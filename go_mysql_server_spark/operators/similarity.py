@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — candidates × queries via broadcast,
+  per-query heap via window row_number. The baseline every ANN variant is
+  measured against. At 100 TB the candidate side stays partitioned; only
+  queries broadcast, so cost is one pass over the corpus per query batch.
+- lsh_topk: random-hyperplane LSH (sign-random-projection) — deterministic
+  pseudo-random hyperplanes derived from md5 so the DuckDB oracle can
+  reproduce them. Buckets join on signature, so the all-to-all collapses to
+  per-bucket joins: the 100 TB scale path (IVF-style pruning).
+
+All math is double-precision, rounded before ranking so ordering is
+identical across engines; ties broken by vec_id.
+
+The reference's vector surface is vec_distance_{l2_squared,euclidean,cosine}
+(reference sql/expression/function/vector/distance.go:62-145) plus an ANN
+index ORDER BY rewrite (sql/analyzer/replace_order_by_distance.go); this
+module supplies both the exact and the approximate form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_HYPERPLANES = 8
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_squared(a: Column, b: Column) -> Column:
+    """vec_distance_l2_squared (reference distance.go:62)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid") -> DataFrame:
+    """Exact top-k by cosine: (qid, vec_id, cos_sim, rank), self excluded."""
+    cand = embeddings.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(F.broadcast(q), F.col(qid_col) != F.col(id_col))
+        .select(
+            qid_col, id_col,
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_sql(k: int = 5, n_queries: int = 5) -> str:
+    """DuckDB twin: queries = vec_id < n_queries of the embeddings table."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+  WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(
+           list_dot_product(q.qvec, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qvec, q.qvec))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           6) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored) r
+WHERE rank <= {k}
+"""
+
+
+def hyperplane_signs(spark, dims: int,
+                     num_planes: int = NUM_HYPERPLANES) -> DataFrame:
+    """Deterministic ±1 hyperplane matrix: sign(p,d) from md5 parity.
+
+    (p, d, s) rows; tiny (planes × dims) → always broadcast.
+    """
+    return (
+        spark.range(num_planes).selectExpr("id AS p")
+        .crossJoin(spark.range(dims).selectExpr("id AS d"))
+        .selectExpr(
+            "p", "d",
+            "CASE WHEN CAST(conv(substr(md5(concat('plane#', p, '#', d)), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+            " THEN 1 ELSE -1 END AS s",
+        )
+    )
+
+
+def lsh_signature(embeddings: DataFrame, signs: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, sig): sig bit p = [Σ_d sign(p,d)·v_d > 0], packed into a long."""
+    elems = embeddings.select(
+        F.col(id_col),
+        F.posexplode(_to_double(F.col(vec_col))).alias("d", "v"),
+    )
+    return (
+        elems.join(F.broadcast(signs), "d")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT)"
+                       " ELSE CAST(0 AS BIGINT) END")
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
+             num_planes: int = NUM_HYPERPLANES,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: rank by cosine only within the query's LSH bucket."""
+    dims = len(embeddings.select(vec_col).first()[0])
+    signs = hyperplane_signs(spark, dims, num_planes)
+    sigs = lsh_signature(embeddings, signs, id_col, vec_col)
+    with_sig = embeddings.join(sigs, id_col)
+    q = (
+        with_sig.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                F.col("sig").alias("qsig"))
+    )
+    cand = with_sig.select(F.col(id_col), F.col(vec_col).alias("cvec"), "sig")
+    scored = (
+        cand.join(F.broadcast(q),
+                  (F.col("sig") == F.col("qsig")) & (F.col(id_col) != F.col("qid")))
+        .select("qid", id_col,
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_sql(k: int = 3, n_queries: int = 5,
+                 num_planes: int = NUM_HYPERPLANES, dims: int = 64) -> str:
+    return f"""
+WITH signs AS (
+  SELECT p, d,
+         CASE WHEN ('0x' || substr(md5('plane#' || p || '#' || d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, {num_planes - 1})) AS p),
+       (SELECT unnest(generate_series(0, {dims - 1})) AS d)
+),
+elems AS (
+  SELECT vec_id, d.i - 1 AS d, d.v::DOUBLE AS v
+  FROM embeddings, LATERAL (
+    SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i) d
+),
+proj AS (
+  SELECT vec_id, p, SUM(v * s) AS proj
+  FROM elems JOIN signs USING (d) GROUP BY vec_id, p
+),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id
+),
+base AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, s.sig
+         FROM embeddings e JOIN sigs s USING (vec_id)),
+q AS (SELECT vec_id AS qid, vec AS qvec, sig AS qsig FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         ROUND(list_dot_product(q.qvec, c.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos_sim
+  FROM base c JOIN q ON c.sig = q.qsig AND c.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored) r
+WHERE rank <= {k}
+"""

@@ -1,0 +1,161 @@
+"""LLM training-data pipeline queries — dedup, similarity, text analysis.
+
+Registry wrappers over operators/{dedup,similarity,text}.py, each paired
+with its exact DuckDB oracle so the driver's hash gate covers them like any
+relational operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..operators.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
+    fingerprint_md5,
+    fingerprint_md5_sql,
+    langid,
+    langid_sql,
+    min_shingle_fingerprint,
+    min_shingle_fingerprint_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+from ._util import t
+from .registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle=dedup.exact_duplicates_sql() + " ORDER BY canonical_id",
+)
+def dedup_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("canonical_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=dedup.minhash_candidate_pairs_sql() + " ORDER BY a, b",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(docs).orderBy("a", "b")
+
+
+@query("dedup_simhash", oracle=dedup.simhash_sql() + " ORDER BY doc_id")
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=dedup.ngram_jaccard_pairs_sql() + " ORDER BY a, b",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs).orderBy("a", "b")
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=similarity.brute_force_topk_sql() + " ORDER BY qid, rank",
+)
+def similarity_topk_cosine(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+@query(
+    "similarity_lsh_ann",
+    oracle=similarity.lsh_topk_sql() + " ORDER BY qid, rank",
+)
+def similarity_lsh_ann(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(spark, emb, k=3, n_queries=5).orderBy("qid", "rank")
+
+
+@query(
+    "text_features",
+    oracle=f"""
+SELECT doc_id,
+       {token_count_sql('text')} AS n_tokens,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens,
+       {langid_sql('text')} AS pred_lang,
+       {quality_score_sql('text')} AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_features(spark, sf_dir):
+    """Language-ID + quality + token counting in one JVM-side projection."""
+    c = F.col("text")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(c).alias("n_tokens"),
+            bpe_token_count(c).alias("n_bpe_tokens"),
+            langid(c).alias("pred_lang"),
+            quality_score(c).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       {fingerprint_md5_sql('text')} AS fp_md5,
+       {min_shingle_fingerprint_sql('text')} AS fp_shingle
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprints(spark, sf_dir):
+    c = F.col("text")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            fingerprint_md5(c).alias("fp_md5"),
+            min_shingle_fingerprint(c).alias("fp_shingle"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "langid_accuracy_by_source",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {langid_sql('text')} = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pred_match
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def langid_accuracy_by_source(spark, sf_dir):
+    """Aggregated text-analysis: predicted-vs-labeled language per source."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "lang", langid(F.col("text")).alias("pred"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0)).alias(
+                "n_pred_match"
+            ),
+        )
+        .orderBy("source")
+    )

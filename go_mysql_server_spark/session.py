@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the engine.
+
+The reference engine (go-mysql-server) executes queries single-threaded with
+fully in-memory sorts/hashes and no spill (see SURVEY.md §4.4,
+reference sql/rowexec/). On Spark we instead get task parallelism, external
+sort/agg/join with spill, and adaptive execution for free — this module just
+sets the knobs so those behave well from local[32] up to a 1000-executor
+cluster:
+
+- AQE on: runtime join-strategy switching (broadcast when a side turns out
+  small), skew-join splitting, partition coalescing. At 100 TB this is what
+  keeps a statically mis-planned shuffle from becoming the bottleneck.
+- shuffle.partitions sized to cores locally; on a real cluster AQE coalesces
+  from a high initial number, so we set a high initialPartitionNum instead of
+  hand-tuning per-query.
+- ANSI off: the reference implements MySQL's lax coercions/NULL-on-error
+  semantics (reference sql/types/conversion.go); Spark 4 defaults to ANSI
+  which *raises* on overflow/bad-cast. MySQL semantics need ANSI off.
+- Session timezone UTC: parquet timestamps in the testdata are naive-UTC;
+  the DuckDB oracle reads them naively, so Spark must not shift them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(app_name: str = "go-mysql-server-spark",
+                  cpus: int | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # On a real cluster start high and let AQE coalesce; locally cores.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(cpus, 64)))
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session.
+
+    The driver's verify harness creates its own SparkSession; every query
+    builder calls this so semantics (timezone, ANSI) don't depend on who
+    built the session. Only runtime-mutable confs are touched.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.adaptive.enabled", "true"),
+        # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
+        # read as long and rescale in sources/tables.py (DuckDB truncates
+        # ns→µs the same way).
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf locked by the host session: keep going
+    return spark

@@ -1,0 +1,60 @@
+"""Table registration: parquet dirs → named DataFrames / temp views.
+
+This is the Spark analogue of the reference's storage SPI
+(reference sql/tables.go:22-33 — `Partitions`/`PartitionRows` scan interface,
+plus `FilteredTable`/`ProjectedTable` pushdown capabilities at
+sql/tables.go:105-134). Spark's parquet DataSource gives all of those
+natively: file splits are the partitions, and filter/column pushdown shows
+up in the scan node as PushedFilters/ReadSchema.
+
+Scale note: at 100 TB these would be partitioned/bucketed managed tables;
+here they are plain parquet files. Everything downstream only sees a
+DataFrame, so swapping the source for a bucketed catalog table (to get
+shuffle-free joins on the bucket key) changes nothing above this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune_session
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Filter/column pruning pushdown is Spark-native."""
+    tune_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as long
+        # (nanosAsLong) — rescale to µs timestamp with integer division,
+        # matching DuckDB's ns→µs truncation.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str,
+                 prefix: str = "") -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the DataFrames.
+
+    Mirrors the reference's database catalog registration
+    (reference sql/catalog.go / memory/database.go) in the thinnest possible
+    way: names → relations in the session catalog, so both DataFrame code
+    and spark.sql() text can address them.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(prefix + name)
+        out[name] = df
+    return out
