@@ -1,0 +1,692 @@
+"""The engine: MySQL-dialect statement router over a SparkSession.
+
+This is the Spark-first analogue of the reference's Engine
+(reference engine.go:76-88 — parser, analyzer, catalog, session state):
+statements arrive in MySQL dialect; SELECTs transpile (dialect/transpiler)
+and execute through Catalyst; DML/DDL/session statements are handled by
+this layer because Spark has no OLTP surface.
+
+Storage model: every table is an immutable DataFrame snapshot in an
+in-process catalog (the moral equivalent of the reference's `memory/`
+backend, memory/table_data.go) — DML produces a *new* snapshot via a
+declarative transform (union / anti-join / conditional projection) and
+re-registers the temp view. On a cluster the same statement shapes write
+Delta-style table versions; nothing in the statement layer would change.
+
+Constraint surface implemented (reference sql/plan/insert.go:62-103,
+memory/table_editor.go): PRIMARY KEY uniqueness, NOT NULL, AUTO_INCREMENT
+assignment + LAST_INSERT_ID, column DEFAULTs, ENUM value validation, CHECK
+constraints, INSERT IGNORE / REPLACE / ON DUPLICATE KEY UPDATE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dialect.transpiler import transpile_select
+from .session import tune_session
+
+
+class SqlError(Exception):
+    """Statement-level error (mirrors the reference's sql errors)."""
+
+
+@dataclass
+class OkResult:
+    """Non-SELECT result (reference sql/types/ok_result.go:1-40)."""
+
+    rows_affected: int = 0
+    last_insert_id: int | None = None
+    info: str = ""
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    spark_type: T.DataType
+    nullable: bool = True
+    default: str | None = None  # SQL expression text
+    auto_increment: bool = False
+    enum_values: tuple[str, ...] | None = None
+
+
+@dataclass
+class TableState:
+    name: str
+    columns: list[ColumnDef]
+    primary_key: tuple[str, ...] = ()
+    checks: list[str] = field(default_factory=list)
+    df: DataFrame | None = None
+    auto_inc_next: int = 1
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, c.nullable) for c in self.columns]
+        )
+
+
+_TYPE_MAP: list[tuple[re.Pattern, Any]] = [
+    (re.compile(r"^BIGINT\s+UNSIGNED", re.I), T.DecimalType(20, 0)),
+    (re.compile(r"^(TINYINT|SMALLINT|MEDIUMINT|INT|INTEGER)\s+UNSIGNED", re.I),
+     T.LongType()),
+    (re.compile(r"^BIGINT", re.I), T.LongType()),
+    (re.compile(r"^(TINYINT|SMALLINT|MEDIUMINT|INT|INTEGER)\b", re.I), T.IntegerType()),
+    (re.compile(r"^(BOOL|BOOLEAN)\b", re.I), T.IntegerType()),  # MySQL bool = tinyint
+    (re.compile(r"^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.I), "decimal"),
+    (re.compile(r"^DECIMAL", re.I), T.DecimalType(10, 0)),
+    (re.compile(r"^FLOAT", re.I), T.FloatType()),
+    (re.compile(r"^(DOUBLE|REAL)", re.I), T.DoubleType()),
+    (re.compile(r"^(DATETIME|TIMESTAMP)", re.I), T.TimestampType()),
+    (re.compile(r"^DATE\b", re.I), T.DateType()),
+    (re.compile(r"^TIME\b", re.I), T.StringType()),  # TIME is a duration; string shim
+    (re.compile(r"^YEAR\b", re.I), T.IntegerType()),
+    (re.compile(r"^(VARCHAR|CHAR|TINYTEXT|TEXT|MEDIUMTEXT|LONGTEXT)", re.I),
+     T.StringType()),
+    (re.compile(r"^(VARBINARY|BINARY|TINYBLOB|BLOB|MEDIUMBLOB|LONGBLOB)", re.I),
+     T.BinaryType()),
+    (re.compile(r"^JSON", re.I), T.StringType()),
+    (re.compile(r"^ENUM\s*\(", re.I), "enum"),
+    (re.compile(r"^SET\s*\(", re.I), T.StringType()),
+]
+
+
+def _parse_type(type_sql: str) -> tuple[T.DataType, tuple[str, ...] | None]:
+    ts = type_sql.strip()
+    for pat, res in _TYPE_MAP:
+        m = pat.match(ts)
+        if not m:
+            continue
+        if res == "decimal":
+            return T.DecimalType(int(m.group(1)), int(m.group(2))), None
+        if res == "enum":
+            close = ts.index(")")
+            vals = tuple(
+                v.strip().strip("'") for v in ts[m.end():close].split(",")
+            )
+            return T.StringType(), vals
+        return res, None
+    raise SqlError(f"unsupported column type: {type_sql!r}")
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, i, n = [], 0, [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            cur.append(c)
+            i += 1
+            while i < n:
+                cur.append(s[i])
+                if s[i] == "'" and not (i + 1 < n and s[i + 1] == "'"):
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+class Engine:
+    """Statement router + session/catalog state.
+
+    Usage::
+
+        eng = Engine(spark)
+        eng.query("CREATE TABLE t (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+        eng.query("INSERT INTO t VALUES (1, 'x')")   # → OkResult
+        eng.query("SELECT * FROM t")                  # → DataFrame
+    """
+
+    def __init__(self, spark: SparkSession, default_db: str = "mydb"):
+        self.spark = tune_session(spark)
+        self.databases: dict[str, dict[str, TableState]] = {default_db: {}}
+        self.current_db = default_db
+        self.user_vars: dict[str, Any] = {}
+        self.sys_vars: dict[str, Any] = {
+            "autocommit": 1,
+            "sql_mode": "",
+            "version": "8.0.0-gms-spark",
+            "max_allowed_packet": 67108864,
+        }
+        self.last_insert_id: int | None = None
+
+    # ---- public API --------------------------------------------------------
+
+    def query(self, sql: str) -> DataFrame | OkResult:
+        sql = sql.strip().rstrip(";").strip()
+        head = sql.split(None, 1)[0].upper() if sql else ""
+        handler = {
+            "SELECT": self._q_select, "WITH": self._q_select,
+            "TABLE": self._q_select, "VALUES": self._q_select,
+            "CREATE": self._q_create, "DROP": self._q_drop,
+            "INSERT": self._q_insert, "REPLACE": self._q_insert,
+            "UPDATE": self._q_update, "DELETE": self._q_delete,
+            "TRUNCATE": self._q_truncate,
+            "USE": self._q_use, "SET": self._q_set,
+            "SHOW": self._q_show,
+            "DESCRIBE": self._q_describe, "DESC": self._q_describe,
+            "EXPLAIN": self._q_explain,
+            "BEGIN": self._q_txn, "START": self._q_txn,
+            "COMMIT": self._q_txn, "ROLLBACK": self._q_txn,
+        }.get(head)
+        if handler is None:
+            raise SqlError(f"unsupported statement: {sql[:60]!r}")
+        return handler(sql)
+
+    # ---- catalog helpers ---------------------------------------------------
+
+    def _db(self, name: str | None = None) -> dict[str, TableState]:
+        db = name or self.current_db
+        if db not in self.databases:
+            raise SqlError(f"unknown database {db!r}")
+        return self.databases[db]
+
+    def _table(self, name: str) -> TableState:
+        db, tbl = self._split_name(name)
+        tables = self._db(db)
+        if tbl not in tables:
+            raise SqlError(f"table {tbl!r} not found in database {db or self.current_db!r}")
+        return tables[tbl]
+
+    @staticmethod
+    def _split_name(name: str) -> tuple[str | None, str]:
+        name = name.strip().strip("`")
+        if "." in name:
+            db, tbl = name.split(".", 1)
+            return db.strip("`"), tbl.strip("`")
+        return None, name
+
+    def _register(self, ts: TableState) -> None:
+        """(Re)bind the table's current snapshot as a temp view."""
+        assert ts.df is not None
+        ts.df.createOrReplaceTempView(ts.name)
+
+    def _empty_df(self, ts: TableState) -> DataFrame:
+        return self.spark.createDataFrame([], ts.schema)
+
+    # ---- variable substitution --------------------------------------------
+
+    _USER_VAR = re.compile(r"@(?!@)(\w+)")
+    _SYS_VAR = re.compile(r"@@(?:session\.|global\.)?(\w+)", re.I)
+
+    def _substitute_vars(self, sql: str) -> str:
+        def sys_repl(m: re.Match) -> str:
+            return self._lit(self.sys_vars.get(m.group(1).lower()))
+
+        def user_repl(m: re.Match) -> str:
+            return self._lit(self.user_vars.get(m.group(1)))
+
+        return self._USER_VAR.sub(user_repl, self._SYS_VAR.sub(sys_repl, sql))
+
+    @staticmethod
+    def _lit(v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    # ---- SELECT ------------------------------------------------------------
+
+    def _q_select(self, sql: str) -> DataFrame:
+        sql = self._substitute_vars(sql)
+        sql = re.sub(r"\bLAST_INSERT_ID\s*\(\s*\)", self._lit(self.last_insert_id or 0),
+                     sql, flags=re.I)
+        sql = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db), sql, flags=re.I)
+        return self.spark.sql(transpile_select(sql))
+
+    def _q_explain(self, sql: str) -> DataFrame:
+        inner = sql.split(None, 1)[1]
+        df = self._q_select(inner)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return self.spark.createDataFrame([(plan,)], "plan string")
+
+    # ---- DDL ---------------------------------------------------------------
+
+    _CREATE_TABLE = re.compile(
+        r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*"
+        r"(ENGINE[^)]*|DEFAULT\s+CHARSET[^)]*|COLLATE[^)]*)?$",
+        re.I | re.S,
+    )
+
+    def _q_create(self, sql: str) -> OkResult | DataFrame:
+        upper = sql.upper()
+        if upper.startswith("CREATE DATABASE") or upper.startswith("CREATE SCHEMA"):
+            name = sql.split()[-1].strip("`")
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
+                name = sql.split()[-1].strip("`")
+                self.databases.setdefault(name, {})
+            elif name in self.databases:
+                raise SqlError(f"database {name!r} exists")
+            else:
+                self.databases[name] = {}
+            return OkResult(1)
+        if upper.startswith("CREATE VIEW") or re.match(
+            r"CREATE\s+OR\s+REPLACE\s+VIEW", upper
+        ):
+            m = re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([`\w.]+)\s+AS\s+(.*)$",
+                         sql, re.I | re.S)
+            if not m:
+                raise SqlError("cannot parse CREATE VIEW")
+            _, vname = self._split_name(m.group(1))
+            body = transpile_select(self._substitute_vars(m.group(2)))
+            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {body}")
+            return OkResult(0)
+        if re.match(r"CREATE\s+(UNIQUE\s+)?INDEX", upper):
+            return OkResult(0, info="indexes are advisory no-ops on Spark")
+        # CREATE TABLE ... AS SELECT
+        m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(SELECT.*)$",
+                     sql, re.I | re.S)
+        if m:
+            db, tbl = self._split_name(m.group(2))
+            df = self._q_select(m.group(3))
+            cols = [
+                ColumnDef(f.name, f.dataType, f.nullable) for f in df.schema.fields
+            ]
+            ts = TableState(tbl, cols, df=df)
+            self._db(db)[tbl] = ts
+            self._register(ts)
+            return OkResult(df.count())
+        m = self._CREATE_TABLE.match(sql)
+        if not m:
+            raise SqlError(f"cannot parse CREATE TABLE: {sql[:80]!r}")
+        if_not_exists, name, body = m.group(1), m.group(2), m.group(3)
+        db, tbl = self._split_name(name)
+        tables = self._db(db)
+        if tbl in tables:
+            if if_not_exists:
+                return OkResult(0)
+            raise SqlError(f"table {tbl!r} exists")
+        ts = self._parse_table_body(tbl, body)
+        ts.df = self._empty_df(ts)
+        tables[tbl] = ts
+        self._register(ts)
+        return OkResult(0)
+
+    def _parse_table_body(self, tbl: str, body: str) -> TableState:
+        columns: list[ColumnDef] = []
+        pk: tuple[str, ...] = ()
+        checks: list[str] = []
+        for item in _split_top_level(body):
+            up = item.upper()
+            if up.startswith("PRIMARY KEY"):
+                cols = item[item.index("("):].strip("() ")
+                pk = tuple(c.strip().strip("`") for c in cols.split(","))
+                continue
+            if up.startswith(("UNIQUE", "KEY", "INDEX", "FULLTEXT", "SPATIAL",
+                              "CONSTRAINT", "FOREIGN KEY")):
+                cm = re.search(r"CHECK\s*\((.*)\)\s*$", item, re.I | re.S)
+                if cm:
+                    checks.append(cm.group(1))
+                continue
+            if up.startswith("CHECK"):
+                checks.append(item[item.index("("):].strip()[1:-1])
+                continue
+            cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", item, re.S)
+            if not cm:
+                raise SqlError(f"cannot parse column def: {item!r}")
+            cname, rest = cm.group(1), cm.group(2)
+            dtype, enum_vals = _parse_type(rest)
+            rest_up = rest.upper()
+            nullable = "NOT NULL" not in rest_up
+            auto_inc = "AUTO_INCREMENT" in rest_up
+            default = None
+            dm = re.search(r"DEFAULT\s+('(?:[^']|'')*'|\(.*?\)|[\w.+-]+)", rest, re.I)
+            if dm and dm.group(1).upper() != "NULL":
+                default = dm.group(1)
+            if "PRIMARY KEY" in rest_up:
+                pk = (cname,)
+            columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
+                                     enum_vals))
+        if pk:
+            for c in columns:
+                if c.name in pk:
+                    c.nullable = False
+        return TableState(tbl, columns, pk, checks)
+
+    def _q_drop(self, sql: str) -> OkResult:
+        m = re.match(r"DROP\s+(TABLE|VIEW|DATABASE|SCHEMA|INDEX)\s+(IF\s+EXISTS\s+)?([`\w.]+)",
+                     sql, re.I)
+        if not m:
+            raise SqlError(f"cannot parse DROP: {sql[:60]!r}")
+        kind, if_exists, name = m.group(1).upper(), m.group(2), m.group(3)
+        if kind in ("DATABASE", "SCHEMA"):
+            name = name.strip("`")
+            if name in self.databases:
+                del self.databases[name]
+            elif not if_exists:
+                raise SqlError(f"unknown database {name!r}")
+            return OkResult(0)
+        if kind == "INDEX":
+            return OkResult(0)
+        db, tbl = self._split_name(name)
+        if kind == "VIEW":
+            self.spark.catalog.dropTempView(tbl)
+            return OkResult(0)
+        tables = self._db(db)
+        if tbl not in tables:
+            if if_exists:
+                return OkResult(0)
+            raise SqlError(f"unknown table {tbl!r}")
+        del tables[tbl]
+        self.spark.catalog.dropTempView(tbl)
+        return OkResult(0)
+
+    # ---- DML ---------------------------------------------------------------
+
+    _INSERT = re.compile(
+        r"^(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([`\w.]+)\s*"
+        r"(\(([^)]*)\))?\s*(VALUES?\s*(.*)|(SELECT.*)|SET\s+(.*))$",
+        re.I | re.S,
+    )
+
+    def _q_insert(self, sql: str) -> OkResult:
+        sql = self._substitute_vars(sql)
+        odku = None
+        m_odku = re.search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", sql, re.I | re.S)
+        if m_odku:
+            odku = m_odku.group(1)
+            sql = sql[:m_odku.start()].strip()
+        m = self._INSERT.match(sql)
+        if not m:
+            raise SqlError(f"cannot parse INSERT: {sql[:80]!r}")
+        verb, ignore, name = m.group(1).upper(), bool(m.group(2)), m.group(3)
+        col_list = (
+            [c.strip().strip("`") for c in m.group(5).split(",")] if m.group(5) else None
+        )
+        ts = self._table(name)
+        if m.group(8):  # INSERT ... SELECT
+            new_rows = self._q_select(m.group(8))
+        elif m.group(9):  # INSERT ... SET c=v
+            assigns = _split_top_level(m.group(9))
+            col_list = [a.split("=", 1)[0].strip().strip("`") for a in assigns]
+            exprs = ", ".join(a.split("=", 1)[1].strip() for a in assigns)
+            new_rows = self.spark.sql(f"SELECT {exprs}")
+        else:
+            values_sql = m.group(7).strip()
+            new_rows = self.spark.sql(f"SELECT * FROM VALUES {values_sql}")
+        return self._insert_df(ts, new_rows, col_list, verb, ignore, odku)
+
+    def _insert_df(self, ts: TableState, new_rows: DataFrame,
+                   col_list: list[str] | None, verb: str, ignore: bool,
+                   odku: str | None) -> OkResult:
+        target_cols = col_list or [c.name for c in ts.columns if not (
+            c.auto_increment and len(new_rows.columns) < len(ts.columns))]
+        if len(new_rows.columns) != len(target_cols):
+            raise SqlError(
+                f"column count mismatch: {len(new_rows.columns)} values for "
+                f"{len(target_cols)} columns")
+        named = new_rows.toDF(*target_cols)
+
+        # fill defaults / auto-increment for omitted columns
+        n_new = named.count()
+        last_id = None
+        select_cols = []
+        for c in ts.columns:
+            if c.name in target_cols:
+                select_cols.append(F.col(c.name).cast(c.spark_type).alias(c.name))
+            elif c.auto_increment:
+                named = named.withColumn(
+                    "__rn",
+                    F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+                )
+                select_cols.append(
+                    (F.col("__rn") + F.lit(ts.auto_inc_next - 1))
+                    .cast(c.spark_type).alias(c.name)
+                )
+                last_id = ts.auto_inc_next
+                ts.auto_inc_next += n_new
+            elif c.default is not None:
+                select_cols.append(F.expr(c.default).cast(c.spark_type).alias(c.name))
+            else:
+                select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
+        incoming = named.select(*select_cols)
+
+        self._validate(ts, incoming)
+
+        existing = ts.df
+        if ts.primary_key:
+            pk = list(ts.primary_key)
+            dup_new = (
+                incoming.groupBy(*pk).count().filter(F.col("count") > 1).count()
+            )
+            if dup_new and not ignore and verb != "REPLACE":
+                raise SqlError("duplicate primary key within inserted rows")
+            clash = incoming.join(existing.select(*pk), pk, "left_semi")
+            n_clash = clash.count()
+            if n_clash:
+                if verb == "REPLACE":
+                    existing = existing.join(incoming.select(*pk), pk, "left_anti")
+                elif odku is not None:
+                    existing = self._apply_odku(ts, existing, incoming, odku)
+                    incoming = incoming.join(existing.select(*pk), pk, "left_anti")
+                elif ignore:
+                    incoming = incoming.join(existing.select(*pk), pk, "left_anti")
+                else:
+                    raise SqlError("duplicate entry for primary key")
+        result = existing.unionByName(incoming).localCheckpoint(eager=True)
+        affected = result.count() - ts.df.count() if verb == "INSERT" else n_new
+        ts.df = result
+        self._register(ts)
+        if last_id is not None:
+            self.last_insert_id = last_id
+        return OkResult(max(affected, 0), last_id)
+
+    def _apply_odku(self, ts: TableState, existing: DataFrame,
+                    incoming: DataFrame, odku: str) -> DataFrame:
+        """ON DUPLICATE KEY UPDATE: update clashing existing rows; VALUES(c)
+        refers to the incoming row's value."""
+        pk = list(ts.primary_key)
+        inc = incoming.select(
+            *[F.col(c).alias(f"__new_{c}") for c in incoming.columns]
+        )
+        cond = [existing[k] == inc[f"__new_{k}"] for k in pk]
+        joined = existing.join(inc, cond, "left")
+        out_cols = []
+        assigns = {
+            a.split("=", 1)[0].strip().strip("`"):
+                re.sub(r"\bVALUES\s*\(\s*`?(\w+)`?\s*\)", r"__new_\1",
+                       a.split("=", 1)[1].strip(), flags=re.I)
+            for a in _split_top_level(odku)
+        }
+        for c in ts.columns:
+            if c.name in assigns:
+                out_cols.append(
+                    F.when(F.col(f"__new_{pk[0]}").isNotNull(),
+                           F.expr(assigns[c.name]).cast(c.spark_type))
+                    .otherwise(F.col(c.name)).alias(c.name)
+                )
+            else:
+                out_cols.append(F.col(c.name))
+        return joined.select(*out_cols)
+
+    def _validate(self, ts: TableState, df: DataFrame) -> None:
+        for c in ts.columns:
+            if not c.nullable:
+                if df.filter(F.col(c.name).isNull()).count():
+                    raise SqlError(f"column {c.name!r} cannot be null")
+            if c.enum_values is not None:
+                bad = df.filter(
+                    F.col(c.name).isNotNull()
+                    & ~F.col(c.name).isin(*c.enum_values)
+                ).count()
+                if bad:
+                    raise SqlError(f"invalid ENUM value for column {c.name!r}")
+        for chk in ts.checks:
+            if df.filter(f"NOT ({chk})").count():
+                raise SqlError(f"CHECK constraint violated: {chk}")
+
+    def _q_update(self, sql: str) -> OkResult:
+        sql = self._substitute_vars(sql)
+        m = re.match(r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+                     sql, re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse UPDATE: {sql[:60]!r}")
+        ts = self._table(m.group(2))
+        where = transpile_select(m.group(4)) if m.group(4) else "true"
+        assigns = {
+            a.split("=", 1)[0].strip().strip("`"): a.split("=", 1)[1].strip()
+            for a in _split_top_level(m.group(3))
+        }
+        unknown = set(assigns) - {c.name for c in ts.columns}
+        if unknown:
+            raise SqlError(f"unknown columns in UPDATE: {sorted(unknown)}")
+        n_match = ts.df.filter(where).count()
+        out_cols = [
+            F.when(F.expr(where),
+                   F.expr(transpile_select(assigns[c.name])).cast(c.spark_type))
+            .otherwise(F.col(c.name)).alias(c.name)
+            if c.name in assigns else F.col(c.name)
+            for c in ts.columns
+        ]
+        updated = ts.df.select(*out_cols)
+        self._validate(ts, updated.filter(where))
+        ts.df = updated.localCheckpoint(eager=True)
+        self._register(ts)
+        return OkResult(n_match)
+
+    def _q_delete(self, sql: str) -> OkResult:
+        sql = self._substitute_vars(sql)
+        m = re.match(r"DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$", sql,
+                     re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse DELETE: {sql[:60]!r}")
+        ts = self._table(m.group(1))
+        where = transpile_select(m.group(2)) if m.group(2) else "true"
+        n = ts.df.filter(where).count()
+        ts.df = ts.df.filter(f"NOT ({where}) OR ({where}) IS NULL").localCheckpoint(
+            eager=True
+        )
+        self._register(ts)
+        return OkResult(n)
+
+    def _q_truncate(self, sql: str) -> OkResult:
+        name = sql.split()[-1]
+        ts = self._table(name)
+        n = ts.df.count()
+        ts.df = self._empty_df(ts)
+        ts.auto_inc_next = 1
+        self._register(ts)
+        return OkResult(n)
+
+    # ---- session / admin ---------------------------------------------------
+
+    def _q_use(self, sql: str) -> OkResult:
+        db = sql.split()[1].strip("`")
+        if db not in self.databases:
+            raise SqlError(f"unknown database {db!r}")
+        self.current_db = db
+        for ts in self.databases[db].values():
+            self._register(ts)
+        return OkResult(0)
+
+    def _q_set(self, sql: str) -> OkResult:
+        body = sql.split(None, 1)[1]
+        if body.upper().startswith(("NAMES", "CHARACTER SET", "CHARSET")):
+            return OkResult(0)
+        for assign in _split_top_level(body):
+            m = re.match(r"@@(?:session\.|global\.)?(\w+)\s*:?=\s*(.*)$", assign, re.I)
+            if m:
+                self.sys_vars[m.group(1).lower()] = self._eval_scalar(m.group(2))
+                continue
+            m = re.match(r"@(\w+)\s*:?=\s*(.*)$", assign)
+            if m:
+                self.user_vars[m.group(1)] = self._eval_scalar(m.group(2))
+                continue
+            m = re.match(r"(\w+)\s*=\s*(.*)$", assign)  # bare sysvar
+            if m:
+                self.sys_vars[m.group(1).lower()] = self._eval_scalar(m.group(2))
+                continue
+            raise SqlError(f"cannot parse SET: {assign!r}")
+        return OkResult(0)
+
+    def _eval_scalar(self, expr: str) -> Any:
+        expr = self._substitute_vars(expr)
+        row = self.spark.sql(f"SELECT {transpile_select(expr)} AS v").first()
+        return row["v"]
+
+    def _q_show(self, sql: str) -> DataFrame:
+        up = sql.upper()
+        if up.startswith("SHOW DATABASES") or up.startswith("SHOW SCHEMAS"):
+            return self.spark.createDataFrame(
+                [Row(Database=d) for d in sorted(self.databases)]
+            )
+        if up.startswith("SHOW TABLES"):
+            m = re.search(r"FROM\s+([`\w]+)", sql, re.I)
+            db = m.group(1).strip("`") if m else None
+            names = sorted(self._db(db))
+            field = f"Tables_in_{db or self.current_db}"
+            return self.spark.createDataFrame(
+                [(n,) for n in names], f"`{field}` string"
+            )
+        if up.startswith(("SHOW COLUMNS", "SHOW FIELDS", "SHOW FULL COLUMNS")):
+            m = re.search(r"(?:FROM|IN)\s+([`\w.]+)", sql, re.I)
+            if not m:
+                raise SqlError("SHOW COLUMNS needs FROM <table>")
+            return self._describe_table(m.group(1))
+        if up.startswith("SHOW CREATE TABLE"):
+            ts = self._table(sql.split()[-1])
+            cols = ",\n  ".join(
+                f"`{c.name}` {c.spark_type.simpleString()}"
+                + ("" if c.nullable else " NOT NULL")
+                for c in ts.columns
+            )
+            pk = f",\n  PRIMARY KEY ({', '.join(ts.primary_key)})" if ts.primary_key else ""
+            ddl = f"CREATE TABLE `{ts.name}` (\n  {cols}{pk}\n)"
+            return self.spark.createDataFrame(
+                [(ts.name, ddl)], "`Table` string, `Create Table` string"
+            )
+        if up.startswith("SHOW VARIABLES"):
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in sorted(self.sys_vars.items())],
+                "Variable_name string, Value string",
+            )
+        raise SqlError(f"unsupported SHOW: {sql[:60]!r}")
+
+    def _q_describe(self, sql: str) -> DataFrame:
+        return self._describe_table(sql.split()[1])
+
+    def _describe_table(self, name: str) -> DataFrame:
+        ts = self._table(name)
+        rows = [
+            (
+                c.name,
+                c.spark_type.simpleString(),
+                "YES" if c.nullable else "NO",
+                "PRI" if c.name in ts.primary_key else "",
+                c.default,
+                "auto_increment" if c.auto_increment else "",
+            )
+            for c in ts.columns
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "Field string, Type string, `Null` string, Key string, "
+            "`Default` string, Extra string",
+        )
+
+    def _q_txn(self, sql: str) -> OkResult:
+        """Transactions ack as no-ops: every statement's snapshot swap is
+        atomic (reference wraps statements in autocommit the same way —
+        engine.go:659-676; multi-statement rollback is not supported)."""
+        return OkResult(0)

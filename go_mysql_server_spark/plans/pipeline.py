@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity
+from ..operators import dedup, multimodal, similarity
 from ..operators.text import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -128,6 +128,44 @@ def text_fingerprints(spark, sf_dir):
             "doc_id",
             fingerprint_md5(c).alias("fp_md5"),
             min_shingle_fingerprint(c).alias("fp_shingle"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle=multimodal.decode_images_sql() + " ORDER BY doc_id",
+)
+def multimodal_decode(spark, sf_dir):
+    """Binary media column → typed metadata via Arrow-batched mapInPandas
+    (deterministic fake decode; see operators/multimodal.py)."""
+    docs = t(spark, sf_dir, "documents")
+    images = multimodal.documents_as_images(docs)
+    return multimodal.decode_images(images).orderBy("doc_id")
+
+
+@query(
+    "multimodal_patch_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_patches,
+       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_patch_stats(spark, sf_dir):
+    """1→N patch sampling through mapInPandas, verified via per-doc patch
+    counts and reassembled byte totals."""
+    docs = t(spark, sf_dir, "documents")
+    images = multimodal.documents_as_images(docs)
+    patches = multimodal.patch_images(images, patch_size=32)
+    return (
+        patches.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_patches"),
+            F.sum(F.octet_length("patch_bytes")).alias("total_bytes"),
         )
         .orderBy("doc_id")
     )

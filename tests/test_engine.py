@@ -1,0 +1,211 @@
+"""Engine statement-router tests, modeled on the reference's ScriptTest
+corpus (enginetest/queries/script_queries.go): multi-statement scripts with
+per-statement expectations, over the canonical fixture tables from
+FIXTURES.md (mytable, niltable, typest-style DML)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mysql_server_spark.engine import Engine, OkResult, SqlError
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark)
+    e.query("CREATE TABLE mytable (i BIGINT PRIMARY KEY, s VARCHAR(20) NOT NULL)")
+    e.query("INSERT INTO mytable VALUES (1,'first row'),(2,'second row'),(3,'third row')")
+    return e
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_select_basic(eng):
+    got = rows(eng.query("SELECT i, s FROM mytable ORDER BY i"))
+    assert got == [(1, "first row"), (2, "second row"), (3, "third row")]
+
+
+def test_mysql_limit_offset_syntax(eng):
+    got = rows(eng.query("SELECT i FROM mytable ORDER BY i LIMIT 1, 2"))
+    assert got == [(2,), (3,)]
+
+
+def test_backticks_and_null_safe_eq(eng):
+    got = rows(eng.query("SELECT `i` FROM `mytable` WHERE `s` <=> 'first row'"))
+    assert got == [(1,)]
+
+
+def test_date_format_translation(eng):
+    got = rows(eng.query(
+        "SELECT DATE_FORMAT(TIMESTAMP '2020-03-04 05:06:07', '%Y-%m-%d %H:%i:%s') AS f"))
+    assert got == [("2020-03-04 05:06:07",)]
+
+
+def test_str_to_date(eng):
+    got = rows(eng.query("SELECT STR_TO_DATE('04/03/2020', '%d/%m/%Y') AS d"))
+    assert str(got[0][0]).startswith("2020-03-04")
+
+
+def test_group_concat(eng):
+    got = rows(eng.query(
+        "SELECT GROUP_CONCAT(s SEPARATOR '|') AS g FROM mytable"))
+    assert got == [("first row|second row|third row",)]
+
+
+def test_insert_returns_okresult(eng):
+    res = eng.query("INSERT INTO mytable VALUES (4, 'fourth row')")
+    assert isinstance(res, OkResult) and res.rows_affected == 1
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(4,)]
+
+
+def test_insert_duplicate_pk_errors(eng):
+    with pytest.raises(SqlError, match="duplicate"):
+        eng.query("INSERT INTO mytable VALUES (1, 'dup')")
+
+
+def test_insert_ignore_skips_duplicates(eng):
+    res = eng.query("INSERT IGNORE INTO mytable VALUES (1,'dup'),(5,'fifth')")
+    assert res.rows_affected == 1
+    assert rows(eng.query("SELECT s FROM mytable WHERE i IN (1,5) ORDER BY i")) == [
+        ("first row",), ("fifth",)]
+
+
+def test_replace_overwrites(eng):
+    eng.query("REPLACE INTO mytable VALUES (1, 'replaced')")
+    assert rows(eng.query("SELECT s FROM mytable WHERE i = 1")) == [("replaced",)]
+
+
+def test_on_duplicate_key_update(eng):
+    eng.query(
+        "INSERT INTO mytable VALUES (1, 'x') "
+        "ON DUPLICATE KEY UPDATE s = CONCAT(s, '+odku')")
+    assert rows(eng.query("SELECT s FROM mytable WHERE i = 1")) == [
+        ("first row+odku",)]
+
+
+def test_update_where(eng):
+    res = eng.query("UPDATE mytable SET s = UPPER(s) WHERE i >= 2")
+    assert res.rows_affected == 2
+    assert rows(eng.query("SELECT s FROM mytable ORDER BY i")) == [
+        ("first row",), ("SECOND ROW",), ("THIRD ROW",)]
+
+
+def test_delete_where(eng):
+    res = eng.query("DELETE FROM mytable WHERE i = 2")
+    assert res.rows_affected == 1
+    assert rows(eng.query("SELECT i FROM mytable ORDER BY i")) == [(1,), (3,)]
+
+
+def test_truncate(eng):
+    eng.query("TRUNCATE TABLE mytable")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(0,)]
+
+
+def test_auto_increment_and_last_insert_id(eng):
+    eng.query("CREATE TABLE ai (id BIGINT PRIMARY KEY AUTO_INCREMENT, v VARCHAR(10))")
+    eng.query("INSERT INTO ai (v) VALUES ('a'),('b')")
+    res = eng.query("INSERT INTO ai (v) VALUES ('c')")
+    assert res.last_insert_id == 3
+    assert rows(eng.query("SELECT id, v FROM ai ORDER BY id")) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    assert rows(eng.query("SELECT LAST_INSERT_ID() AS x")) == [(3,)]
+
+
+def test_column_defaults(eng):
+    eng.query("CREATE TABLE d (i BIGINT PRIMARY KEY, status VARCHAR(10) DEFAULT 'new', "
+              "n INT DEFAULT 42)")
+    eng.query("INSERT INTO d (i) VALUES (1)")
+    assert rows(eng.query("SELECT i, status, n FROM d")) == [(1, "new", 42)]
+
+
+def test_not_null_enforced(eng):
+    with pytest.raises(SqlError, match="cannot be null"):
+        eng.query("INSERT INTO mytable VALUES (9, NULL)")
+
+
+def test_enum_validation(eng):
+    eng.query("CREATE TABLE e (i BIGINT PRIMARY KEY, c ENUM('a','b','c'))")
+    eng.query("INSERT INTO e VALUES (1, 'b')")
+    with pytest.raises(SqlError, match="ENUM"):
+        eng.query("INSERT INTO e VALUES (2, 'z')")
+
+
+def test_check_constraint(eng):
+    eng.query("CREATE TABLE chk (i BIGINT PRIMARY KEY, q INT, CHECK (q > 0))")
+    eng.query("INSERT INTO chk VALUES (1, 5)")
+    with pytest.raises(SqlError, match="CHECK"):
+        eng.query("INSERT INTO chk VALUES (2, -1)")
+
+
+def test_niltable_three_valued_logic(eng):
+    eng.query("CREATE TABLE niltable (i BIGINT PRIMARY KEY, i2 BIGINT, b TINYINT, f DOUBLE)")
+    eng.query("INSERT INTO niltable VALUES (1,NULL,NULL,NULL),(2,2,1,NULL),"
+              "(3,NULL,0,NULL),(4,4,NULL,4.0),(5,NULL,1,5.0),(6,6,0,6.0)")
+    assert rows(eng.query("SELECT i FROM niltable WHERE i2 IS NULL ORDER BY i")) == [
+        (1,), (3,), (5,)]
+    assert rows(eng.query("SELECT i FROM niltable WHERE NOT (i2 = 4) ORDER BY i")) == [
+        (2,), (6,)]
+    assert rows(eng.query("SELECT i FROM niltable WHERE i2 <=> NULL ORDER BY i")) == [
+        (1,), (3,), (5,)]
+
+
+def test_user_and_system_variables(eng):
+    eng.query("SET @x = 41")
+    assert rows(eng.query("SELECT @x + 1 AS v")) == [(42,)]
+    eng.query("SET @@foo_var = 'hello'")
+    assert rows(eng.query("SELECT @@foo_var AS v")) == [("hello",)]
+    assert rows(eng.query("SELECT @@version AS v")) == [("8.0.0-gms-spark",)]
+
+
+def test_use_and_show_databases(eng):
+    eng.query("CREATE DATABASE otherdb")
+    eng.query("USE otherdb")
+    eng.query("CREATE TABLE t2 (a INT PRIMARY KEY)")
+    assert rows(eng.query("SHOW TABLES")) == [("t2",)]
+    assert ("otherdb",) in rows(eng.query("SHOW DATABASES"))
+    assert rows(eng.query("SELECT DATABASE() AS d")) == [("otherdb",)]
+
+
+def test_show_columns_and_describe(eng):
+    got = rows(eng.query("DESCRIBE mytable"))
+    assert got[0][0] == "i" and got[0][3] == "PRI"
+    assert got[1][0] == "s" and got[1][2] == "NO"
+
+
+def test_show_create_table(eng):
+    got = rows(eng.query("SHOW CREATE TABLE mytable"))
+    assert got[0][0] == "mytable" and "PRIMARY KEY" in got[0][1]
+
+
+def test_create_table_as_select(eng):
+    eng.query("CREATE TABLE copy1 AS SELECT i, s FROM mytable WHERE i <= 2")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM copy1")) == [(2,)]
+
+
+def test_create_view(eng):
+    eng.query("CREATE VIEW myview AS SELECT i FROM mytable WHERE i > 1")
+    assert rows(eng.query("SELECT * FROM myview ORDER BY i")) == [(2,), (3,)]
+
+
+def test_insert_select(eng):
+    eng.query("CREATE TABLE archive (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    res = eng.query("INSERT INTO archive SELECT i, s FROM mytable WHERE i != 2")
+    assert res.rows_affected == 2
+
+
+def test_transactions_ack(eng):
+    assert isinstance(eng.query("BEGIN"), OkResult)
+    assert isinstance(eng.query("COMMIT"), OkResult)
+    assert isinstance(eng.query("ROLLBACK"), OkResult)
+
+
+def test_xor_operator(eng):
+    got = rows(eng.query("SELECT (TRUE XOR FALSE) AS a, (TRUE XOR TRUE) AS b"))
+    assert got == [(True, False)]
+
+
+def test_explain_runs(eng):
+    got = rows(eng.query("EXPLAIN SELECT i FROM mytable WHERE i = 1"))
+    assert "Scan" in got[0][0] or "scan" in got[0][0]

@@ -1,0 +1,63 @@
+"""Streaming ops: run each incremental plan to completion over the static
+events file and assert batch/stream parity (the design invariant of
+go_mysql_server_spark/streaming/events.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_mysql_server_spark.sources import load
+from go_mysql_server_spark.streaming import events as se
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_counts_matches_batch(spark):
+    stream = se.events_stream(spark, SF_DIR)
+    se.run_to_memory(se.tumbling_counts(stream), "t_tumble", "complete")
+    got = _rows(spark.table("t_tumble"))
+
+    batch = load(spark, SF_DIR, "events")
+    want = _rows(
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_matches_batch(spark):
+    stream = se.events_stream(spark, SF_DIR)
+    se.run_to_memory(se.session_windows(stream), "t_sess", "complete")
+    got = _rows(spark.table("t_sess"))
+
+    batch = load(spark, SF_DIR, "events")
+    want = _rows(
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "session_value")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark_keys_unique(spark):
+    stream = se.events_stream(spark, SF_DIR)
+    se.run_to_memory(se.dedup_within_watermark(stream), "t_dedup", "append")
+    out = spark.table("t_dedup")
+    n = out.count()
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    n_batch_keys = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "event_type").distinct().count()
+    )
+    # one surviving row per observed key (watermark horizon ≥ stream span)
+    assert n == n_keys
+    assert n_keys <= n_batch_keys
