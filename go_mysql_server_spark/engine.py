@@ -157,6 +157,9 @@ class Engine:
 
     def __init__(self, spark: SparkSession, default_db: str = "mydb"):
         self.spark = tune_session(spark)
+        from .functions import register_udfs
+
+        register_udfs(self.spark)  # UDF-backed MySQL fns callable from SQL
         self.databases: dict[str, dict[str, TableState]] = {default_db: {}}
         self.current_db = default_db
         self.user_vars: dict[str, Any] = {}
