@@ -184,7 +184,7 @@ class Engine:
             "UPDATE": self._q_update, "DELETE": self._q_delete,
             "TRUNCATE": self._q_truncate,
             "USE": self._q_use, "SET": self._q_set,
-            "SHOW": self._q_show,
+            "SHOW": self._q_show, "LOAD": self._q_load_data,
             "DESCRIBE": self._q_describe, "DESC": self._q_describe,
             "EXPLAIN": self._q_explain,
             "BEGIN": self._q_txn, "START": self._q_txn,
@@ -249,12 +249,117 @@ class Engine:
 
     # ---- SELECT ------------------------------------------------------------
 
-    def _q_select(self, sql: str) -> DataFrame:
+    def _q_select(self, sql: str) -> DataFrame | OkResult:
         sql = self._substitute_vars(sql)
         sql = re.sub(r"\bLAST_INSERT_ID\s*\(\s*\)", self._lit(self.last_insert_id or 0),
                      sql, flags=re.I)
         sql = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db), sql, flags=re.I)
+        sql = self._rewrite_information_schema(sql)
+        m = re.search(r"\bINTO\s+OUTFILE\s+'([^']+)'", sql, re.I)
+        if m:  # SELECT ... INTO OUTFILE (reference sql/plan/into.go)
+            path = m.group(1)
+            inner = sql[:m.start()] + sql[m.end():]
+            df = self.spark.sql(transpile_select(inner))
+            df.coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
+            return OkResult(df.count(), info=f"wrote {path}")
         return self.spark.sql(transpile_select(sql))
+
+    # information_schema synthesized from the engine catalog (reference
+    # sql/information_schema/information_schema.go)
+    _INFO_SCHEMA = re.compile(r"\binformation_schema\.(tables|columns|schemata)\b", re.I)
+
+    def _rewrite_information_schema(self, sql: str) -> str:
+        needed = {m.group(1).lower() for m in self._INFO_SCHEMA.finditer(sql)}
+        if not needed:
+            return sql
+        if "schemata" in needed:
+            self.spark.createDataFrame(
+                [("def", d, "utf8mb4", "utf8mb4_0900_ai_ci")
+                 for d in sorted(self.databases)],
+                "CATALOG_NAME string, SCHEMA_NAME string, "
+                "DEFAULT_CHARACTER_SET_NAME string, DEFAULT_COLLATION_NAME string",
+            ).createOrReplaceTempView("information_schema__schemata")
+        if "tables" in needed:
+            rows = [
+                ("def", db, ts.name, "BASE TABLE")
+                for db, tables in sorted(self.databases.items())
+                for ts in tables.values()
+            ]
+            self.spark.createDataFrame(
+                rows or [("def", self.current_db, None, None)],
+                "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+                "TABLE_TYPE string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__tables")
+        if "columns" in needed:
+            rows = [
+                (db, ts.name, c.name, i + 1,
+                 c.spark_type.simpleString(),
+                 "YES" if c.nullable else "NO",
+                 "PRI" if c.name in ts.primary_key else "")
+                for db, tables in sorted(self.databases.items())
+                for ts in tables.values()
+                for i, c in enumerate(ts.columns)
+            ]
+            self.spark.createDataFrame(
+                rows or [(self.current_db, None, None, 0, None, None, None)],
+                "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
+                "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string, "
+                "COLUMN_KEY string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__columns")
+        return self._INFO_SCHEMA.sub(
+            lambda m: f"information_schema__{m.group(1).lower()}", sql
+        )
+
+    _LOAD_DATA = re.compile(
+        r"^LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+"
+        r"(?:(IGNORE|REPLACE)\s+)?INTO\s+TABLE\s+([`\w.]+)(.*)$",
+        re.I | re.S,
+    )
+
+    def _q_load_data(self, sql: str) -> OkResult:
+        """LOAD DATA [LOCAL] INFILE (reference sql/plan/load_data.go:25-60):
+        CSV bulk load with custom terminators/enclosures, IGNORE n LINES."""
+        m = self._LOAD_DATA.match(sql.strip())
+        if not m:
+            raise SqlError(f"cannot parse LOAD DATA: {sql[:80]!r}")
+        path, mode, name, opts = m.group(1), (m.group(2) or "").upper(), m.group(3), m.group(4)
+        ts = self._table(name)
+        sep = ","
+        quote = '"'
+        skip = 0
+        om = re.search(r"FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
+        if om:
+            sep = om.group(1).encode().decode("unicode_escape")
+        om = re.search(r"ENCLOSED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
+        if om:
+            quote = om.group(1).encode().decode("unicode_escape") or '"'
+        om = re.search(r"IGNORE\s+(\d+)\s+(?:LINES|ROWS)", opts, re.I)
+        if om:
+            skip = int(om.group(1))
+        if skip:
+            # IGNORE n LINES: Spark CSV has no skip-n option; index lines
+            # with zipWithIndex (order-preserving) and parse via from_csv.
+            lines = self.spark.sparkContext.textFile(path).zipWithIndex()
+            kept = lines.filter(lambda t: t[1] >= skip).map(lambda t: (t[0],))
+            raw = self.spark.createDataFrame(kept, "line string")
+            df = raw.select(
+                F.from_csv(
+                    F.col("line"), ts.schema.simpleString(),
+                    {"sep": sep, "quote": quote},
+                ).alias("r")
+            ).select("r.*")
+        else:
+            df = (
+                self.spark.read.option("sep", sep).option("quote", quote)
+                .option("header", "false").schema(ts.schema).csv(path)
+            )
+        return self._insert_df(
+            ts, df, [c.name for c in ts.columns],
+            "REPLACE" if mode == "REPLACE" else "INSERT",
+            ignore=(mode == "IGNORE"), odku=None,
+        )
 
     def _q_explain(self, sql: str) -> DataFrame:
         inner = sql.split(None, 1)[1]

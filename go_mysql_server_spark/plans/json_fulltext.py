@@ -1,0 +1,134 @@
+"""JSON_TABLE and fulltext MATCH...AGAINST coverage.
+
+- JSON_TABLE (reference sql/plan/json_table.go:56-121; exec
+  sql/rowexec/rel.go:154-227): JSON doc → relation with NESTED PATH and FOR
+  ORDINALITY. Spark-first form: from_json to a typed struct, then
+  posexplode_outer — the shredding happens JVM-side with no UDF, and at
+  scale it's embarrassingly parallel (no shuffle).
+- MATCH ... AGAINST (reference sql/expression/matchagainst.go:33): natural-
+  language-mode relevance. The reference computes a per-row score from its
+  fulltext index; the Spark-first equivalent is a term-frequency score
+  computed as a Column expression (an inverted index materializes as a
+  (term, doc) relation when persistence matters — see token explode in
+  operators/dedup.simhash for the shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+_JSON_DOCS = [
+    (1, '{"items": [{"name": "alpha", "qty": 2}, {"name": "beta", "qty": 5}]}'),
+    (2, '{"items": [{"name": "gamma", "qty": 1}]}'),
+    (3, '{"items": []}'),
+    (4, None),
+]
+
+_JSON_DOCS_SQL = """
+(VALUES (1, '{"items": [{"name": "alpha", "qty": 2}, {"name": "beta", "qty": 5}]}'),
+        (2, '{"items": [{"name": "gamma", "qty": 1}]}'),
+        (3, '{"items": []}'),
+        (4, NULL)) AS docs(id, doc)
+"""
+
+
+@query(
+    "json_table_shred",
+    oracle=f"""
+SELECT id,
+       CAST(x.i AS INTEGER) AS ord,
+       json_extract_string(doc, '$.items[' || (x.i - 1) || '].name') AS item_name,
+       CAST(json_extract(doc, '$.items[' || (x.i - 1) || '].qty') AS INTEGER) AS qty
+FROM {_JSON_DOCS_SQL}
+LEFT JOIN LATERAL (
+  SELECT unnest(generate_series(1, CAST(json_array_length(doc, '$.items') AS INTEGER))) AS i
+) x ON TRUE
+ORDER BY id, ord
+""",
+)
+def json_table_shred(spark, sf_dir):
+    """JSON_TABLE(doc, '$.items[*]' COLUMNS(ord FOR ORDINALITY, name, qty)).
+
+    posexplode_outer keeps rows whose array is empty/NULL (MySQL JSON_TABLE
+    outer semantics), with ordinality = pos+1."""
+    docs = spark.createDataFrame(_JSON_DOCS, "id int, doc string")
+    parsed = docs.select(
+        "id",
+        F.posexplode_outer(
+            F.from_json(
+                F.col("doc"),
+                "struct<items: array<struct<name: string, qty: int>>>",
+            )["items"]
+        ).alias("pos", "item"),
+    )
+    return parsed.select(
+        "id",
+        (F.col("pos") + 1).cast("int").alias("ord"),
+        F.col("item.name").alias("item_name"),
+        F.col("item.qty").alias("qty"),
+    ).orderBy("id", "ord")
+
+
+@query(
+    "json_props_struct_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_props_struct_extract(spark, sf_dir):
+    """from_json shredding of the events.props column + aggregation over the
+    extracted field — the scan→shred→agg pipeline stays one stage."""
+    e = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "struct<k: int>")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FT_TERMS = ("spark", "window", "join")
+
+
+@query(
+    "fulltext_match_against",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                            x -> x IN ('spark', 'window', 'join'))) AS BIGINT)
+           AS relevance
+FROM documents
+WHERE len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                      x -> x IN ('spark', 'window', 'join'))) > 0
+ORDER BY relevance DESC, doc_id
+LIMIT 50
+""",
+)
+def fulltext_match_against(spark, sf_dir):
+    """MATCH(text) AGAINST('spark window join') in natural-language mode:
+    term-frequency relevance, matching rows only, ranked."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " +")
+    relevance = F.size(F.filter(toks, lambda x: x.isin(*_FT_TERMS))).cast("long")
+    return (
+        docs.select("doc_id", relevance.alias("relevance"))
+        .filter(F.col("relevance") > 0)
+        .orderBy(F.desc("relevance"), "doc_id")
+        .limit(50)
+    )

@@ -209,3 +209,40 @@ def test_xor_operator(eng):
 def test_explain_runs(eng):
     got = rows(eng.query("EXPLAIN SELECT i FROM mytable WHERE i = 1"))
     assert "Scan" in got[0][0] or "scan" in got[0][0]
+
+
+def test_load_data_infile(eng, tmp_path):
+    csv = tmp_path / "rows.csv"
+    csv.write_text("# header to skip\n10;'ten'\n11;'eleven'\n")
+    eng.query("CREATE TABLE loaded (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    res = eng.query(
+        f"LOAD DATA INFILE '{csv}' INTO TABLE loaded "
+        "FIELDS TERMINATED BY ';' ENCLOSED BY '\\'' IGNORE 1 LINES")
+    assert res.rows_affected == 2
+    assert rows(eng.query("SELECT i, s FROM loaded ORDER BY i")) == [
+        (10, "ten"), (11, "eleven")]
+
+
+def test_select_into_outfile(eng, tmp_path):
+    out = tmp_path / "outdir"
+    res = eng.query(f"SELECT i, s FROM mytable ORDER BY i INTO OUTFILE '{out}'")
+    assert res.rows_affected == 3
+    import glob
+    files = glob.glob(str(out / "*.csv"))
+    assert files
+    content = open(files[0]).read()
+    assert "first row" in content
+
+
+def test_information_schema_tables_and_columns(eng):
+    got = rows(eng.query(
+        "SELECT TABLE_NAME FROM information_schema.tables "
+        "WHERE TABLE_SCHEMA = 'mydb' ORDER BY TABLE_NAME"))
+    assert ("mytable",) in got
+    cols = rows(eng.query(
+        "SELECT COLUMN_NAME, COLUMN_KEY FROM information_schema.columns "
+        "WHERE TABLE_NAME = 'mytable' ORDER BY ORDINAL_POSITION"))
+    assert cols == [("i", "PRI"), ("s", "")]
+    schemas = rows(eng.query(
+        "SELECT SCHEMA_NAME FROM information_schema.schemata ORDER BY 1"))
+    assert ("mydb",) in schemas

@@ -1,0 +1,88 @@
+"""Plan-shape regression tests — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives 100 TB: filters reaching the parquet scan, column-pruned
+read schemas, broadcast joins for dimensions, TakeOrderedAndProject for
+top-k, no Python UDFs in relational hot paths. The reference pins plans the
+same way with golden EXPLAIN corpora (enginetest/queries/query_plans.go).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mysql_server_spark.plans import all_queries
+
+from .conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns of 11 read from parquet
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_scan_project_filter_pushdown(spark):
+    plan = formatted_plan(spark, "scan_project_filter")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" not in read  # unused column pruned
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = formatted_plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q5_star_join_broadcasts(spark):
+    plan = formatted_plan(spark, "tpch_q5_local_supplier_volume")
+    # every dimension must broadcast; the big fact join may be any strategy
+    assert plan.count("BroadcastExchange") >= 4
+
+
+def test_topk_uses_bounded_heap(spark):
+    plan = formatted_plan(spark, "topk_heap")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_semi_anti_join_strategies(spark):
+    semi = formatted_plan(spark, "join_semi")
+    anti = formatted_plan(spark, "join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_agg_is_partial_final(spark):
+    plan = formatted_plan(spark, "agg_basic_stats")
+    # two HashAggregates around an Exchange = map-side partial agg
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    for name in ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+                 "window_row_number_topn_per_group", "dedup_minhash_lsh",
+                 "text_features", "similarity_topk_cosine"]:
+        plan = formatted_plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_count_star_reads_no_data_columns(spark):
+    plan = formatted_plan(spark, "count_star_meta")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "struct<>" in read  # metadata-only count (TableCountLookup analogue)
