@@ -170,6 +170,9 @@ class Engine:
             "max_allowed_packet": 67108864,
         }
         self.last_insert_id: int | None = None
+        self.triggers: dict[str, list] = {}       # table → [Trigger]
+        self.procedures: dict[str, object] = {}   # name → Procedure
+        self.prepared: dict[str, object] = {}     # name → PreparedStatement
 
     # ---- public API --------------------------------------------------------
 
@@ -189,6 +192,8 @@ class Engine:
             "EXPLAIN": self._q_explain,
             "BEGIN": self._q_txn, "START": self._q_txn,
             "COMMIT": self._q_txn, "ROLLBACK": self._q_txn,
+            "PREPARE": self._q_prepare, "EXECUTE": self._q_execute,
+            "DEALLOCATE": self._q_deallocate, "CALL": self._q_call,
         }.get(head)
         if handler is None:
             raise SqlError(f"unsupported statement: {sql[:60]!r}")
@@ -377,8 +382,43 @@ class Engine:
         re.I | re.S,
     )
 
+    _CREATE_TRIGGER = re.compile(
+        r"^CREATE\s+TRIGGER\s+([`\w]+)\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+"
+        r"ON\s+([`\w.]+)\s+FOR\s+EACH\s+ROW\s+(.*)$",
+        re.I | re.S,
+    )
+
+    _CREATE_PROCEDURE = re.compile(
+        r"^CREATE\s+PROCEDURE\s+([`\w]+)\s*\(([^)]*)\)\s*(.*)$", re.I | re.S
+    )
+
     def _q_create(self, sql: str) -> OkResult | DataFrame:
         upper = sql.upper()
+        m = self._CREATE_TRIGGER.match(sql)
+        if m:
+            from .procedures import Trigger
+
+            _, tbl = self._split_name(m.group(4))
+            self._table(tbl)  # must exist
+            trig = Trigger(m.group(1).strip("`"), m.group(2).upper(),
+                           m.group(3).upper(), tbl, m.group(5).strip())
+            self.triggers.setdefault(tbl, []).append(trig)
+            return OkResult(0)
+        m = self._CREATE_PROCEDURE.match(sql)
+        if m:
+            from .procedures import Procedure
+
+            params = []
+            if m.group(2).strip():
+                for p in _split_top_level(m.group(2)):
+                    toks = p.split()
+                    mode = toks[0].upper() if toks[0].upper() in ("IN", "OUT", "INOUT") else "IN"
+                    rest = toks[1:] if mode != "IN" or toks[0].upper() == "IN" else toks
+                    params.append((mode, rest[0], " ".join(rest[1:])))
+            self.procedures[m.group(1).strip("`").lower()] = Procedure(
+                m.group(1).strip("`"), params, m.group(3).strip()
+            )
+            return OkResult(0)
         if upper.startswith("CREATE DATABASE") or upper.startswith("CREATE SCHEMA"):
             name = sql.split()[-1].strip("`")
             if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
@@ -569,6 +609,7 @@ class Engine:
             else:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         incoming = named.select(*select_cols)
+        incoming = self._apply_insert_triggers(ts, incoming, "BEFORE")
 
         self._validate(ts, incoming)
 
@@ -598,6 +639,7 @@ class Engine:
         self._register(ts)
         if last_id is not None:
             self.last_insert_id = last_id
+        self._apply_insert_triggers(ts, incoming, "AFTER")
         return OkResult(max(affected, 0), last_id)
 
     def _apply_odku(self, ts: TableState, existing: DataFrame,
@@ -792,6 +834,114 @@ class Engine:
             "Field string, Type string, `Null` string, Key string, "
             "`Default` string, Extra string",
         )
+
+    # ---- prepared statements / procedures / triggers -----------------------
+
+    def _q_prepare(self, sql: str) -> OkResult:
+        """PREPARE name FROM 'stmt' (reference engine.go:174)."""
+        from .procedures import PreparedStatement
+
+        m = re.match(r"PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*$", sql, re.I | re.S)
+        if not m:
+            # PREPARE name FROM @var
+            m2 = re.match(r"PREPARE\s+(\w+)\s+FROM\s+@(\w+)\s*$", sql, re.I)
+            if not m2:
+                raise SqlError(f"cannot parse PREPARE: {sql[:60]!r}")
+            text = str(self.user_vars.get(m2.group(2), ""))
+            name = m2.group(1)
+        else:
+            name, text = m.group(1), m.group(2).replace("''", "'")
+        self.prepared[name.lower()] = PreparedStatement(
+            name, text, text.count("?")
+        )
+        return OkResult(0)
+
+    def _q_execute(self, sql: str) -> DataFrame | OkResult:
+        m = re.match(r"EXECUTE\s+(\w+)(?:\s+USING\s+(.*))?$", sql, re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse EXECUTE: {sql[:60]!r}")
+        ps = self.prepared.get(m.group(1).lower())
+        if ps is None:
+            raise SqlError(f"unknown prepared statement {m.group(1)!r}")
+        args = []
+        if m.group(2):
+            for a in _split_top_level(m.group(2)):
+                a = a.strip()
+                args.append(self.user_vars.get(a[1:]) if a.startswith("@")
+                            else self._eval_scalar(a))
+        if len(args) != ps.n_params:
+            raise SqlError(
+                f"prepared statement {ps.name} needs {ps.n_params} params, got {len(args)}")
+        text = ps.sql
+        for a in args:  # positional ?-substitution
+            text = text.replace("?", self._lit(a), 1)
+        return self.query(text)
+
+    def _q_deallocate(self, sql: str) -> OkResult:
+        m = re.match(r"DEALLOCATE\s+PREPARE\s+(\w+)", sql, re.I)
+        if m:
+            self.prepared.pop(m.group(1).lower(), None)
+        return OkResult(0)
+
+    def _q_call(self, sql: str) -> DataFrame | OkResult:
+        from .procedures import ProcedureInterpreter
+
+        m = re.match(r"CALL\s+([`\w]+)\s*(?:\((.*)\))?\s*$", sql, re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse CALL: {sql[:60]!r}")
+        proc = self.procedures.get(m.group(1).strip("`").lower())
+        if proc is None:
+            raise SqlError(f"unknown procedure {m.group(1)!r}")
+        args = []
+        if m.group(2) and m.group(2).strip():
+            args = [self._eval_scalar(a) for a in _split_top_level(m.group(2))]
+        result = ProcedureInterpreter(self).call(proc, args)
+        return result if result is not None else OkResult(0)
+
+    def _apply_insert_triggers(self, ts: TableState, incoming: DataFrame,
+                               timing: str) -> DataFrame:
+        """Set-based trigger execution (reference plan/trigger.go rewrites
+        triggers into the plan the same way — as extra operators, not
+        callbacks). BEFORE: `SET NEW.c = expr` becomes a projection over the
+        whole incoming batch. AFTER: the body runs once with NEW.* bound to
+        the batch via a temp view (INSERT INTO audit VALUES(NEW.x) becomes
+        INSERT ... SELECT x FROM batch)."""
+        from .procedures import split_statements
+
+        for trig in self.triggers.get(ts.name, []):
+            if trig.event != "INSERT" or trig.timing != timing:
+                continue
+            for stmt in split_statements(trig.body):
+                up = stmt.strip().upper()
+                if timing == "BEFORE" and up.startswith("SET NEW."):
+                    cols = {c.name: F.col(c.name) for c in ts.columns}
+                    for assign in _split_top_level(stmt.strip()[4:]):
+                        mm = re.match(r"NEW\.(\w+)\s*=\s*(.*)$", assign.strip(),
+                                      re.I | re.S)
+                        if not mm:
+                            raise SqlError(f"cannot parse trigger SET: {assign!r}")
+                        expr = re.sub(r"\bNEW\.(\w+)", r"\1", mm.group(2), flags=re.I)
+                        cols[mm.group(1)] = F.expr(expr).cast(
+                            next(c.spark_type for c in ts.columns
+                                 if c.name == mm.group(1))
+                        )
+                    incoming = incoming.select(
+                        *[cols[c.name].alias(c.name) for c in ts.columns]
+                    )
+                elif timing == "AFTER":
+                    incoming.createOrReplaceTempView("__trigger_new")
+                    mm = re.match(
+                        r"INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                        stmt.strip(), re.I | re.S)
+                    if mm and re.search(r"\bNEW\.", stmt, re.I):
+                        exprs = re.sub(r"\bNEW\.(\w+)", r"\1", mm.group(4), flags=re.I)
+                        collist = f"({mm.group(3)})" if mm.group(3) else ""
+                        self.query(
+                            f"INSERT INTO {mm.group(1)} {collist} "
+                            f"SELECT {exprs} FROM __trigger_new")
+                    else:
+                        self.query(re.sub(r"\bNEW\.(\w+)", r"\1", stmt, flags=re.I))
+        return incoming
 
     def _q_txn(self, sql: str) -> OkResult:
         """Transactions ack as no-ops: every statement's snapshot swap is

@@ -246,3 +246,58 @@ def test_information_schema_tables_and_columns(eng):
     schemas = rows(eng.query(
         "SELECT SCHEMA_NAME FROM information_schema.schemata ORDER BY 1"))
     assert ("mydb",) in schemas
+
+
+def test_prepared_statements(eng):
+    eng.query("PREPARE q FROM 'SELECT s FROM mytable WHERE i = ?'")
+    assert rows(eng.query("EXECUTE q USING 2")) == [("second row",)]
+    eng.query("SET @p = 3")
+    assert rows(eng.query("EXECUTE q USING @p")) == [("third row",)]
+    eng.query("DEALLOCATE PREPARE q")
+    with pytest.raises(SqlError, match="unknown prepared"):
+        eng.query("EXECUTE q USING 1")
+
+
+def test_before_insert_trigger_set_new(eng):
+    eng.query("CREATE TRIGGER up_s BEFORE INSERT ON mytable FOR EACH ROW "
+              "SET NEW.s = UPPER(NEW.s)")
+    eng.query("INSERT INTO mytable VALUES (7, 'lower case')")
+    assert rows(eng.query("SELECT s FROM mytable WHERE i = 7")) == [("LOWER CASE",)]
+
+
+def test_after_insert_trigger_audit(eng):
+    eng.query("CREATE TABLE audit (i BIGINT, note VARCHAR(40))")
+    eng.query("CREATE TRIGGER aud AFTER INSERT ON mytable FOR EACH ROW "
+              "INSERT INTO audit VALUES (NEW.i, CONCAT('added:', NEW.s))")
+    eng.query("INSERT INTO mytable VALUES (8, 'eighth'),(9, 'ninth')")
+    assert rows(eng.query("SELECT i, note FROM audit ORDER BY i")) == [
+        (8, "added:eighth"), (9, "added:ninth")]
+
+
+def test_stored_procedure_control_flow(eng):
+    eng.query("CREATE TABLE nums (n BIGINT PRIMARY KEY)")
+    eng.query(
+        "CREATE PROCEDURE fill_nums(IN upto INT) "
+        "BEGIN "
+        "  DECLARE i INT DEFAULT 1; "
+        "  WHILE i <= upto DO "
+        "    INSERT INTO nums VALUES (i); "
+        "    SET i = i + 1; "
+        "  END WHILE; "
+        "END")
+    eng.query("CALL fill_nums(5)")
+    assert rows(eng.query("SELECT COUNT(*) AS c, CAST(SUM(n) AS BIGINT) AS s FROM nums")) == [(5, 15)]
+
+
+def test_stored_procedure_if_else_and_select(eng):
+    eng.query(
+        "CREATE PROCEDURE classify(IN x INT) "
+        "BEGIN "
+        "  IF x > 100 THEN SELECT 'big' AS cls; "
+        "  ELSEIF x > 10 THEN SELECT 'mid' AS cls; "
+        "  ELSE SELECT 'small' AS cls; "
+        "  END IF; "
+        "END")
+    assert rows(eng.query("CALL classify(500)")) == [("big",)]
+    assert rows(eng.query("CALL classify(50)")) == [("mid",)]
+    assert rows(eng.query("CALL classify(5)")) == [("small",)]
