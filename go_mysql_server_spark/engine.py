@@ -64,6 +64,10 @@ class TableState:
     checks: list[str] = field(default_factory=list)
     df: DataFrame | None = None
     auto_inc_next: int = 1
+    # version history for AS OF time travel (reference GetTableInsensitiveAsOf,
+    # sql/databases.go:212-218; myhistorytable fixture): snapshots appended
+    # per committing DML statement.
+    history: list[DataFrame] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -222,10 +226,14 @@ class Engine:
             return db.strip("`"), tbl.strip("`")
         return None, name
 
-    def _register(self, ts: TableState) -> None:
-        """(Re)bind the table's current snapshot as a temp view."""
+    def _register(self, ts: TableState, record_version: bool = True) -> None:
+        """(Re)bind the table's current snapshot as a temp view and record
+        the snapshot in the version history (AS OF support — snapshots are
+        already immutable DataFrames, so 'history' costs one list append)."""
         assert ts.df is not None
         ts.df.createOrReplaceTempView(ts.name)
+        if record_version:
+            ts.history.append(ts.df)
 
     def _empty_df(self, ts: TableState) -> DataFrame:
         return self.spark.createDataFrame([], ts.schema)
@@ -260,6 +268,7 @@ class Engine:
                      sql, flags=re.I)
         sql = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db), sql, flags=re.I)
         sql = self._rewrite_information_schema(sql)
+        sql = self._rewrite_as_of(sql)
         m = re.search(r"\bINTO\s+OUTFILE\s+'([^']+)'", sql, re.I)
         if m:  # SELECT ... INTO OUTFILE (reference sql/plan/into.go)
             path = m.group(1)
@@ -268,6 +277,26 @@ class Engine:
             df.coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
             return OkResult(df.count(), info=f"wrote {path}")
         return self.spark.sql(transpile_select(sql))
+
+    # AS OF time travel: `FROM t AS OF <version>` binds a historical
+    # snapshot (reference sql/plan/versionable.go:19-24; versions are
+    # 0-based statement commit ordinals).
+    _AS_OF = re.compile(r"\b([`\w]+)\s+AS\s+OF\s+(\d+)", re.I)
+
+    def _rewrite_as_of(self, sql: str) -> str:
+        def repl(m: re.Match) -> str:
+            _, tbl = self._split_name(m.group(1))
+            version = int(m.group(2))
+            ts = self._table(tbl)
+            if version >= len(ts.history):
+                raise SqlError(
+                    f"table {tbl!r} has {len(ts.history)} versions; "
+                    f"AS OF {version} does not exist")
+            view = f"{tbl}__asof_{version}"
+            ts.history[version].createOrReplaceTempView(view)
+            return view
+
+        return self._AS_OF.sub(repl, sql)
 
     # information_schema synthesized from the engine catalog (reference
     # sql/information_schema/information_schema.go)

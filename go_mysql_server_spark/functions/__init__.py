@@ -18,10 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
 
-from . import datetime_fns, scalar_basic, special
+from . import datetime_fns, scalar_basic, spatial, special
 
 REGISTRY: dict[str, object] = {}
-for mod in (scalar_basic, datetime_fns, special):
+for mod in (scalar_basic, datetime_fns, special, spatial):
     REGISTRY.update(mod.FUNCTIONS)
 
 

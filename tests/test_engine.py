@@ -301,3 +301,18 @@ def test_stored_procedure_if_else_and_select(eng):
     assert rows(eng.query("CALL classify(500)")) == [("big",)]
     assert rows(eng.query("CALL classify(50)")) == [("mid",)]
     assert rows(eng.query("CALL classify(5)")) == [("small",)]
+
+
+def test_as_of_time_travel(eng):
+    # version 0 = the CREATE (empty), 1 = after the fixture INSERT
+    eng.query("UPDATE mytable SET s = 'rewritten' WHERE i = 1")   # version 2
+    eng.query("DELETE FROM mytable WHERE i = 3")                  # version 3
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable AS OF 0")) == [(0,)]
+    assert rows(eng.query("SELECT s FROM mytable AS OF 1 WHERE i = 1")) == [
+        ("first row",)]
+    assert rows(eng.query("SELECT s FROM mytable AS OF 2 WHERE i = 1")) == [
+        ("rewritten",)]
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable AS OF 3")) == [(2,)]
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(2,)]
+    with pytest.raises(SqlError, match="AS OF 99"):
+        eng.query("SELECT * FROM mytable AS OF 99")

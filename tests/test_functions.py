@@ -138,3 +138,36 @@ def test_registry_size():
 def test_unknown_function_raises():
     with pytest.raises(KeyError, match="unknown MySQL function"):
         mysql_fn("no_such_fn", 1)
+
+
+def test_spatial_point_roundtrip(spark):
+    from go_mysql_server_spark.functions.spatial import (
+        point, st_astext, st_distance, st_geomfromtext, st_x, st_y,
+    )
+    p = point(3.0, 4.0)
+    assert val(spark, st_x(p)) == 3.0
+    assert val(spark, st_y(p)) == 4.0
+    assert val(spark, st_astext(p)) == "POINT(3.0 4.0)"
+    assert val(spark, st_distance(point(0, 0), p)) == 5.0
+    parsed = st_geomfromtext("POINT(3 4)").getItem(0)
+    assert val(spark, st_distance(parsed, p)) == 0.0
+
+
+def test_spatial_length_area_contains(spark):
+    from go_mysql_server_spark.functions.spatial import (
+        st_area, st_contains, st_geomfromtext, st_length,
+    )
+    line = st_geomfromtext("LINESTRING(0 0, 3 0, 3 4)")
+    assert val(spark, st_length(line)) == 7.0
+    square = st_geomfromtext("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert val(spark, st_area(square)) == 16.0
+    from go_mysql_server_spark.functions.spatial import point
+    assert val(spark, st_contains(square, point(2, 2))) == 1
+    assert val(spark, st_contains(square, point(5, 2))) == 0
+
+
+def test_spatial_distance_sphere(spark):
+    from go_mysql_server_spark.functions.spatial import point, st_distance_sphere
+    # Paris (2.35, 48.85) ↔ London (-0.13, 51.51): ~343-344 km
+    d = val(spark, st_distance_sphere(point(2.35, 48.85), point(-0.13, 51.51)))
+    assert 340_000 < d < 348_000
