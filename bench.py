@@ -32,6 +32,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "text_features",
+    "events_funnel",
+    "multimodal_decode",
+    "vocab_document_frequency",
 ]
 
 

@@ -56,17 +56,35 @@ def l2_squared(a: Column, b: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition to session parallelism: the testdata arrives as one file
+    → one split, which would serialize the distance computation; on a real
+    cluster inputs are already split and this is a cheap rebalance."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "qid") -> DataFrame:
     """Exact top-k by cosine: (qid, vec_id, cos_sim, rank), self excluded."""
-    cand = embeddings.select(F.col(id_col), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    # Norms precompute once per side: the pair loop then evaluates a single
+    # dot product instead of three array aggregates per candidate pair.
+    cand = _spread(embeddings, id_col).select(
+        F.col(id_col), F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
     scored = (
         cand.join(F.broadcast(q), F.col(qid_col) != F.col(id_col))
         .select(
             qid_col, id_col,
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
@@ -143,6 +161,7 @@ def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """ANN: rank by cosine only within the query's LSH bucket."""
     dims = len(embeddings.select(vec_col).first()[0])
+    embeddings = _spread(embeddings, id_col)
     signs = hyperplane_signs(spark, dims, num_planes)
     sigs = lsh_signature(embeddings, signs, id_col, vec_col)
     with_sig = embeddings.join(sigs, id_col)

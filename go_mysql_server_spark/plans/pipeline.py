@@ -99,6 +99,7 @@ def text_features(spark, sf_dir):
     c = F.col("text")
     return (
         t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             token_count(c).alias("n_tokens"),
@@ -124,6 +125,7 @@ def text_fingerprints(spark, sf_dir):
     c = F.col("text")
     return (
         t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             fingerprint_md5(c).alias("fp_md5"),
@@ -140,7 +142,8 @@ def text_fingerprints(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     """Binary media column → typed metadata via Arrow-batched mapInPandas
     (deterministic fake decode; see operators/multimodal.py)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     images = multimodal.documents_as_images(docs)
     return multimodal.decode_images(images).orderBy("doc_id")
 

@@ -1,0 +1,159 @@
+"""Second wave of pipeline analytics: dedup canonicalization, funnel
+analysis, vocabulary statistics.
+
+- dedup_connected_components: minhash candidate pairs form a graph; the
+  canonical representative of each near-dup cluster is the component
+  minimum — computed by iterative label propagation (driver-side fixpoint
+  over distributed joins, same machinery as recursive CTEs). The DuckDB
+  oracle replays it as a recursive CTE, so the whole pipeline
+  (shingle → minhash → LSH → graph → canonical id) is hash-checked.
+- events_funnel: classic conversion funnel (view → click → purchase within
+  a horizon) via min-event-time per stage + stage-ordering predicates —
+  pure joins/aggregation, no per-user state loops.
+- vocab_stats: corpus vocabulary with document frequency — the wordcount
+  that feeds tokenizer training; one explode + one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators.recursive_cte import recursive_cte
+from ._util import t
+from .registry import query
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {dedup.minhash_candidate_pairs_sql().strip().rstrip()}
+),
+edges AS (  -- undirected
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+),
+members AS (SELECT DISTINCT u AS node FROM edges),
+labels(node, label) AS (
+  SELECT node, node FROM members
+  UNION
+  SELECT e.u, l.label
+  FROM labels l JOIN edges e ON e.v = l.node
+  WHERE l.label < e.u
+),
+canon AS (SELECT node, MIN(label) AS canonical FROM labels GROUP BY node)
+SELECT canonical AS canonical_id, CAST(COUNT(*) AS BIGINT) + 1 AS cluster_size
+FROM canon WHERE node <> canonical
+GROUP BY canonical
+ORDER BY canonical_id
+""",
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: label propagation to the component minimum.
+
+    Each iteration is one distributed join (labels ⋈ edges) + min-agg; the
+    fixpoint usually lands in O(graph diameter) rounds. At 100 TB this is
+    the standard large-graph CC pattern (hash-partitioned on node)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint(eager=False)
+    edges = pairs.selectExpr("a AS u", "b AS v").unionAll(
+        pairs.selectExpr("b AS u", "a AS v")
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+
+    def step(delta):
+        # propagate smaller labels along edges
+        return (
+            delta.join(edges, delta.node == edges.v)
+            .filter(F.col("label") < F.col("u"))
+            .select(F.col("u").alias("node"), "label")
+        )
+
+    all_labels = recursive_cte(labels, step, distinct=True)
+    canon = all_labels.groupBy("node").agg(F.min("label").alias("canonical"))
+    return (
+        canon.filter(F.col("node") != F.col("canonical"))
+        .groupBy(F.col("canonical").alias("canonical_id"))
+        .agg((F.count("*") + 1).alias("cluster_size"))
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH stage_times AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+      AS clicked_after_view,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+           THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+FROM stage_times
+""",
+)
+def events_funnel(spark, sf_dir):
+    """Conversion funnel view→click→purchase in stage order: min event time
+    per stage per user, then ordering predicates. One shuffle (user_id)."""
+    e = t(spark, sf_dir, "events")
+    st = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return st.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).alias("viewed"),
+        F.sum(clicked.cast("int")).alias("clicked_after_view"),
+        F.sum(full.cast("int")).alias("full_funnel"),
+    )
+
+
+@query(
+    "vocab_document_frequency",
+    oracle="""
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS tok
+  FROM documents
+)
+GROUP BY tok
+HAVING COUNT(DISTINCT doc_id) >= 5
+ORDER BY term_freq DESC, tok
+LIMIT 100
+""",
+)
+def vocab_document_frequency(spark, sf_dir):
+    """Vocabulary with term and document frequency (tokenizer-training
+    wordcount). explode → single groupBy on token; DF filter prunes the
+    long tail before the driver ever sees it."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.desc("term_freq"), "tok")
+        .limit(100)
+    )

@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.pipeline",
     "go_mysql_server_spark.plans.events_catalog",
     "go_mysql_server_spark.plans.json_fulltext",
+    "go_mysql_server_spark.plans.pipeline2",
 )
 
 
