@@ -45,7 +45,13 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     spark = build_session("gms-spark-bench", cpus=cpus)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Python-worker warm-up: first mapInPandas pays worker+Arrow startup
+    import pandas as _pd
+
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     queries = all_queries()
     timings: dict[str, float] = {}

@@ -60,10 +60,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     builder calls this so semantics (timezone, ANSI) don't depend on who
     built the session. Only runtime-mutable confs are touched.
     """
+    import os as _os
+
+    cores = _os.cpu_count() or 8
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
+        # A host session may carry the 200-partition default; size shuffles
+        # to the machine (AQE coalesces further at runtime).
+        ("spark.sql.shuffle.partitions", str(cores)),
         # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
         # read as long and rescale in sources/tables.py (DuckDB truncates
         # ns→µs the same way).
