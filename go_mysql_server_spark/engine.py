@@ -57,11 +57,23 @@ class ColumnDef:
 
 
 @dataclass
+class ForeignKey:
+    """Referential constraint (reference sql/plan/foreign_key_editor.go)."""
+
+    columns: tuple[str, ...]
+    parent_table: str
+    parent_columns: tuple[str, ...]
+    on_delete: str = "RESTRICT"   # RESTRICT | CASCADE | SET NULL
+    on_update: str = "RESTRICT"
+
+
+@dataclass
 class TableState:
     name: str
     columns: list[ColumnDef]
     primary_key: tuple[str, ...] = ()
     checks: list[str] = field(default_factory=list)
+    foreign_keys: list[ForeignKey] = field(default_factory=list)
     df: DataFrame | None = None
     auto_inc_next: int = 1
     # version history for AS OF time travel (reference GetTableInsensitiveAsOf,
@@ -500,10 +512,18 @@ class Engine:
         self._register(ts)
         return OkResult(0)
 
+    _FK_DEF = re.compile(
+        r"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+([`\w.]+)\s*\(([^)]*)\)"
+        r"(?:\s+ON\s+DELETE\s+(CASCADE|RESTRICT|SET\s+NULL|NO\s+ACTION))?"
+        r"(?:\s+ON\s+UPDATE\s+(CASCADE|RESTRICT|SET\s+NULL|NO\s+ACTION))?",
+        re.I,
+    )
+
     def _parse_table_body(self, tbl: str, body: str) -> TableState:
         columns: list[ColumnDef] = []
         pk: tuple[str, ...] = ()
         checks: list[str] = []
+        fks: list[ForeignKey] = []
         for item in _split_top_level(body):
             up = item.upper()
             if up.startswith("PRIMARY KEY"):
@@ -512,6 +532,17 @@ class Engine:
                 continue
             if up.startswith(("UNIQUE", "KEY", "INDEX", "FULLTEXT", "SPATIAL",
                               "CONSTRAINT", "FOREIGN KEY")):
+                fm = self._FK_DEF.search(item)
+                if fm:
+                    _, parent = self._split_name(fm.group(2))
+                    fks.append(ForeignKey(
+                        tuple(c.strip().strip("`") for c in fm.group(1).split(",")),
+                        parent,
+                        tuple(c.strip().strip("`") for c in fm.group(3).split(",")),
+                        (fm.group(4) or "RESTRICT").upper().replace("NO ACTION", "RESTRICT"),
+                        (fm.group(5) or "RESTRICT").upper().replace("NO ACTION", "RESTRICT"),
+                    ))
+                    continue
                 cm = re.search(r"CHECK\s*\((.*)\)\s*$", item, re.I | re.S)
                 if cm:
                     checks.append(cm.group(1))
@@ -539,7 +570,7 @@ class Engine:
             for c in columns:
                 if c.name in pk:
                     c.nullable = False
-        return TableState(tbl, columns, pk, checks)
+        return TableState(tbl, columns, pk, checks, fks)
 
     def _q_drop(self, sql: str) -> OkResult:
         m = re.match(r"DROP\s+(TABLE|VIEW|DATABASE|SCHEMA|INDEX)\s+(IF\s+EXISTS\s+)?([`\w.]+)",
@@ -714,6 +745,22 @@ class Engine:
         for chk in ts.checks:
             if df.filter(f"NOT ({chk})").count():
                 raise SqlError(f"CHECK constraint violated: {chk}")
+        for fk in ts.foreign_keys:
+            parent = self._db(None).get(fk.parent_table)
+            if parent is None or parent.df is None:
+                raise SqlError(f"FK parent table {fk.parent_table!r} missing")
+            child_keys = df.select(
+                *[F.col(c).alias(p) for c, p in zip(fk.columns, fk.parent_columns)]
+            ).na.drop()  # NULL FK values are allowed (MySQL semantics)
+            orphans = child_keys.join(
+                parent.df.select(*fk.parent_columns), list(fk.parent_columns),
+                "left_anti",
+            ).count()
+            if orphans:
+                raise SqlError(
+                    f"FK violation: {orphans} value(s) in {ts.name}"
+                    f"({', '.join(fk.columns)}) not present in "
+                    f"{fk.parent_table}({', '.join(fk.parent_columns)})")
 
     def _q_update(self, sql: str) -> OkResult:
         sql = self._substitute_vars(sql)
@@ -730,7 +777,8 @@ class Engine:
         unknown = set(assigns) - {c.name for c in ts.columns}
         if unknown:
             raise SqlError(f"unknown columns in UPDATE: {sorted(unknown)}")
-        n_match = ts.df.filter(where).count()
+        matched = ts.df.filter(where)
+        n_match = matched.count()
         out_cols = [
             F.when(F.expr(where),
                    F.expr(transpile_select(assigns[c.name])).cast(c.spark_type))
@@ -742,6 +790,8 @@ class Engine:
         self._validate(ts, updated.filter(where))
         ts.df = updated.localCheckpoint(eager=True)
         self._register(ts)
+        if n_match:
+            self._run_old_triggers(ts, matched, "UPDATE")
         return OkResult(n_match)
 
     def _q_delete(self, sql: str) -> OkResult:
@@ -752,12 +802,85 @@ class Engine:
             raise SqlError(f"cannot parse DELETE: {sql[:60]!r}")
         ts = self._table(m.group(1))
         where = transpile_select(m.group(2)) if m.group(2) else "true"
-        n = ts.df.filter(where).count()
+        deleted = ts.df.filter(where)
+        n = deleted.count()
+        if n:
+            self._apply_fk_on_delete(ts, deleted)
         ts.df = ts.df.filter(f"NOT ({where}) OR ({where}) IS NULL").localCheckpoint(
             eager=True
         )
         self._register(ts)
+        if n:
+            self._run_old_triggers(ts, deleted, "DELETE")
         return OkResult(n)
+
+    def _apply_fk_on_delete(self, parent_ts: TableState,
+                            deleted: DataFrame) -> None:
+        """Referential actions (reference foreign_key_editor.go:1-849):
+        RESTRICT errors, CASCADE deletes children recursively, SET NULL
+        clears the referencing columns — each as one distributed join."""
+        for child_ts in list(self._db(None).values()):
+            for fk in child_ts.foreign_keys:
+                if fk.parent_table != parent_ts.name:
+                    continue
+                keys = deleted.select(*fk.parent_columns)
+                matching = child_ts.df.join(
+                    keys.withColumnsRenamed(
+                        dict(zip(fk.parent_columns, fk.columns))),
+                    list(fk.columns), "left_semi",
+                )
+                n_kids = matching.count()
+                if not n_kids:
+                    continue
+                if fk.on_delete == "RESTRICT":
+                    raise SqlError(
+                        f"cannot delete from {parent_ts.name!r}: {n_kids} row(s) "
+                        f"in {child_ts.name!r} reference it (RESTRICT)")
+                if fk.on_delete == "CASCADE":
+                    self._apply_fk_on_delete(child_ts, matching)
+                    child_ts.df = child_ts.df.join(
+                        keys.withColumnsRenamed(
+                            dict(zip(fk.parent_columns, fk.columns))),
+                        list(fk.columns), "left_anti",
+                    ).localCheckpoint(eager=True)
+                    self._register(child_ts)
+                else:  # SET NULL
+                    renamed = keys.withColumnsRenamed(
+                        dict(zip(fk.parent_columns, fk.columns)))
+                    hit = child_ts.df.join(renamed, list(fk.columns), "left_semi")
+                    miss = child_ts.df.join(renamed, list(fk.columns), "left_anti")
+                    nulled = hit.select(
+                        *[F.lit(None).cast(
+                            next(c.spark_type for c in child_ts.columns
+                                 if c.name == col)).alias(col)
+                          if col in fk.columns else F.col(col)
+                          for col in child_ts.df.columns]
+                    )
+                    child_ts.df = miss.unionByName(nulled).localCheckpoint(eager=True)
+                    self._register(child_ts)
+
+    def _run_old_triggers(self, ts: TableState, old_rows: DataFrame,
+                          event: str) -> None:
+        """AFTER UPDATE/DELETE triggers, set-based: OLD.* binds to the
+        affected batch via a temp view."""
+        from .procedures import split_statements
+
+        for trig in self.triggers.get(ts.name, []):
+            if trig.event != event or trig.timing != "AFTER":
+                continue
+            old_rows.createOrReplaceTempView("__trigger_old")
+            for stmt in split_statements(trig.body):
+                mm = re.match(
+                    r"INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                    stmt.strip(), re.I | re.S)
+                if mm and re.search(r"\bOLD\.", stmt, re.I):
+                    exprs = re.sub(r"\bOLD\.(\w+)", r"\1", mm.group(4), flags=re.I)
+                    collist = f"({mm.group(3)})" if mm.group(3) else ""
+                    self.query(
+                        f"INSERT INTO {mm.group(1)} {collist} "
+                        f"SELECT {exprs} FROM __trigger_old")
+                else:
+                    self.query(re.sub(r"\bOLD\.(\w+)", r"\1", stmt, flags=re.I))
 
     def _q_truncate(self, sql: str) -> OkResult:
         name = sql.split()[-1]

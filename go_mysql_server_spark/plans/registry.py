@@ -34,6 +34,7 @@ _ORACLES: dict[str, str] = {}
 # Modules that populate the registry on import.
 _PLAN_MODULES = (
     "go_mysql_server_spark.plans.tpch",
+    "go_mysql_server_spark.plans.tpch2",
     "go_mysql_server_spark.plans.relational",
     "go_mysql_server_spark.plans.aggregates",
     "go_mysql_server_spark.plans.windows",

@@ -316,3 +316,66 @@ def test_as_of_time_travel(eng):
     assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(2,)]
     with pytest.raises(SqlError, match="AS OF 99"):
         eng.query("SELECT * FROM mytable AS OF 99")
+
+
+def test_foreign_key_insert_validation(eng):
+    eng.query("CREATE TABLE parent (id BIGINT PRIMARY KEY, name VARCHAR(20))")
+    eng.query("INSERT INTO parent VALUES (1,'a'),(2,'b')")
+    eng.query("CREATE TABLE child (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES parent(id))")
+    eng.query("INSERT INTO child VALUES (10, 1), (11, NULL)")  # NULL FK ok
+    with pytest.raises(SqlError, match="FK violation"):
+        eng.query("INSERT INTO child VALUES (12, 99)")
+
+
+def test_foreign_key_on_delete_restrict(eng):
+    eng.query("CREATE TABLE p1 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO p1 VALUES (1),(2)")
+    eng.query("CREATE TABLE c1 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES p1(id))")
+    eng.query("INSERT INTO c1 VALUES (10, 1)")
+    with pytest.raises(SqlError, match="RESTRICT"):
+        eng.query("DELETE FROM p1 WHERE id = 1")
+    eng.query("DELETE FROM p1 WHERE id = 2")  # unreferenced → fine
+
+
+def test_foreign_key_on_delete_cascade(eng):
+    eng.query("CREATE TABLE p2 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO p2 VALUES (1),(2)")
+    eng.query("CREATE TABLE c2 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES p2(id) ON DELETE CASCADE)")
+    eng.query("CREATE TABLE g2 (gid BIGINT PRIMARY KEY, cid BIGINT, "
+              "FOREIGN KEY (cid) REFERENCES c2(cid) ON DELETE CASCADE)")
+    eng.query("INSERT INTO c2 VALUES (10, 1), (11, 2)")
+    eng.query("INSERT INTO g2 VALUES (100, 10)")
+    eng.query("DELETE FROM p2 WHERE id = 1")   # cascades two levels
+    assert rows(eng.query("SELECT cid FROM c2")) == [(11,)]
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM g2")) == [(0,)]
+
+
+def test_foreign_key_on_delete_set_null(eng):
+    eng.query("CREATE TABLE p3 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO p3 VALUES (1),(2)")
+    eng.query("CREATE TABLE c3 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES p3(id) ON DELETE SET NULL)")
+    eng.query("INSERT INTO c3 VALUES (10, 1), (11, 2)")
+    eng.query("DELETE FROM p3 WHERE id = 1")
+    assert rows(eng.query("SELECT cid, pid FROM c3 ORDER BY cid")) == [
+        (10, None), (11, 2)]
+
+
+def test_after_delete_trigger_with_old(eng):
+    eng.query("CREATE TABLE graveyard (i BIGINT, s VARCHAR(20))")
+    eng.query("CREATE TRIGGER grave AFTER DELETE ON mytable FOR EACH ROW "
+              "INSERT INTO graveyard VALUES (OLD.i, OLD.s)")
+    eng.query("DELETE FROM mytable WHERE i >= 2")
+    assert rows(eng.query("SELECT i, s FROM graveyard ORDER BY i")) == [
+        (2, "second row"), (3, "third row")]
+
+
+def test_after_update_trigger_with_old(eng):
+    eng.query("CREATE TABLE changes (i BIGINT, old_s VARCHAR(20))")
+    eng.query("CREATE TRIGGER chg AFTER UPDATE ON mytable FOR EACH ROW "
+              "INSERT INTO changes VALUES (OLD.i, OLD.s)")
+    eng.query("UPDATE mytable SET s = 'x' WHERE i = 1")
+    assert rows(eng.query("SELECT i, old_s FROM changes")) == [(1, "first row")]
