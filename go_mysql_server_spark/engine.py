@@ -764,6 +764,10 @@ class Engine:
 
     def _q_update(self, sql: str) -> OkResult:
         sql = self._substitute_vars(sql)
+        if re.search(r"UPDATE\s+IGNORE\s+", sql, re.I) is None and re.search(
+            r"\bJOIN\b", sql.split(" SET ")[0] if " SET " in sql else sql, re.I
+        ):
+            return self._q_update_join(sql)
         m = re.match(r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
@@ -794,8 +798,74 @@ class Engine:
             self._run_old_triggers(ts, matched, "UPDATE")
         return OkResult(n_match)
 
+    def _q_update_join(self, sql: str) -> OkResult:
+        """Multi-table UPDATE (reference sql/plan/update_join.go:1-269),
+        single target table: UPDATE t JOIN ... ON ... SET t.c = expr [WHERE].
+
+        Evaluated as: project (pk → new values) over the join, then merge
+        into the target by PK — two distributed joins, no row loops."""
+        m = re.match(r"UPDATE\s+(.*?)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+                     sql, re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse multi-table UPDATE: {sql[:60]!r}")
+        from_clause, set_clause, where = m.group(1), m.group(2), m.group(3)
+        target = from_clause.split()[0].strip("`")
+        ts = self._table(target)
+        if not ts.primary_key:
+            raise SqlError("multi-table UPDATE requires a primary key on the target")
+        assigns = {}
+        for a in _split_top_level(set_clause):
+            lhs, rhs = a.split("=", 1)
+            col = lhs.strip().strip("`").split(".")[-1]
+            assigns[col] = rhs.strip()
+        pk = list(ts.primary_key)
+        pk_select = ", ".join(f"{target}.{k} AS {k}" for k in pk)
+        new_select = ", ".join(
+            f"({transpile_select(expr)}) AS __new_{c}" for c, expr in assigns.items()
+        )
+        where_sql = f" WHERE {transpile_select(where)}" if where else ""
+        updates = self.spark.sql(
+            f"SELECT {pk_select}, {new_select}, 1 AS __upd_match "
+            f"FROM {from_clause}{where_sql}"
+        ).dropDuplicates(pk)
+        n = updates.count()
+        joined = ts.df.join(updates, pk, "left")
+        matched = F.col("__upd_match").isNotNull()
+        out = joined.select(*[
+            (F.when(matched, F.col(f"__new_{c.name}"))
+             .otherwise(F.col(c.name)).cast(c.spark_type).alias(c.name))
+            if c.name in assigns else F.col(c.name)
+            for c in ts.columns
+        ])
+        ts.df = out.localCheckpoint(eager=True)
+        self._register(ts)
+        return OkResult(n)
+
     def _q_delete(self, sql: str) -> OkResult:
         sql = self._substitute_vars(sql)
+        mj = re.match(r"DELETE\s+([`\w]+)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+                      sql, re.I | re.S)
+        if mj and re.search(r"\bJOIN\b", mj.group(2), re.I):
+            # multi-table DELETE t FROM t JOIN ... (reference delete.go)
+            target = mj.group(1).strip("`")
+            ts = self._table(target)
+            if not ts.primary_key:
+                raise SqlError("multi-table DELETE requires a primary key on the target")
+            pk = list(ts.primary_key)
+            pk_select = ", ".join(f"{target}.{k} AS {k}" for k in pk)
+            where_sql = f" WHERE {transpile_select(mj.group(3))}" if mj.group(3) else ""
+            victims = self.spark.sql(
+                f"SELECT {pk_select} FROM {mj.group(2)}{where_sql}"
+            ).dropDuplicates(pk)
+            doomed = ts.df.join(victims, pk, "left_semi")
+            n = doomed.count()
+            if n:
+                self._apply_fk_on_delete(ts, doomed)
+            ts.df = ts.df.join(victims, pk, "left_anti").localCheckpoint(eager=True)
+            self._register(ts)
+            if n:
+                self._run_old_triggers(ts, doomed, "DELETE")
+            return OkResult(n)
         m = re.match(r"DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$", sql,
                      re.I | re.S)
         if not m:

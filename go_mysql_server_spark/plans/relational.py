@@ -554,6 +554,31 @@ def not_in_null_semantics(spark, sf_dir):
 
 
 @query(
+    "collation_ci_compare",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_ci_match
+FROM customer
+WHERE lower(c_mktsegment) = lower('Building')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def collation_ci_compare(spark, sf_dir):
+    """Case-insensitive collation compare (MySQL default utf8mb4_0900_ai_ci;
+    reference sql/collations.go). Spark compares binary; the shim is a
+    lower() fold on both operands — pushdown-safe and the documented
+    approach in SURVEY §1.4 for ci collations."""
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.lower(F.col("c_mktsegment")) == F.lower(F.lit("Building")))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_ci_match"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "null_safe_equality",
     oracle="""
 SELECT a IS NOT DISTINCT FROM b AS nse, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -379,3 +379,27 @@ def test_after_update_trigger_with_old(eng):
               "INSERT INTO changes VALUES (OLD.i, OLD.s)")
     eng.query("UPDATE mytable SET s = 'x' WHERE i = 1")
     assert rows(eng.query("SELECT i, old_s FROM changes")) == [(1, "first row")]
+
+
+def test_multi_table_update_join(eng):
+    eng.query("CREATE TABLE prices (pk BIGINT PRIMARY KEY, amount DOUBLE, cat VARCHAR(10))")
+    eng.query("CREATE TABLE rates (cat VARCHAR(10), mult DOUBLE)")
+    eng.query("INSERT INTO prices VALUES (1, 100.0, 'a'), (2, 200.0, 'b'), (3, 50.0, 'a')")
+    eng.query("INSERT INTO rates VALUES ('a', 1.1), ('b', 0.5)")
+    res = eng.query(
+        "UPDATE prices JOIN rates ON prices.cat = rates.cat "
+        "SET prices.amount = prices.amount * rates.mult "
+        "WHERE prices.amount >= 100")
+    assert res.rows_affected == 2
+    got = rows(eng.query("SELECT pk, ROUND(amount,2) AS a FROM prices ORDER BY pk"))
+    assert got == [(1, 110.0), (2, 100.0), (3, 50.0)]
+
+
+def test_multi_table_delete_join(eng):
+    eng.query("CREATE TABLE sess (sid BIGINT PRIMARY KEY, uid BIGINT)")
+    eng.query("CREATE TABLE banned (uid BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO sess VALUES (1, 100), (2, 200), (3, 100)")
+    eng.query("INSERT INTO banned VALUES (100)")
+    res = eng.query("DELETE sess FROM sess JOIN banned ON sess.uid = banned.uid")
+    assert res.rows_affected == 2
+    assert rows(eng.query("SELECT sid FROM sess")) == [(2,)]

@@ -61,3 +61,27 @@ def test_dedup_within_watermark_keys_unique(spark):
     # one surviving row per observed key (watermark horizon ≥ stream span)
     assert n == n_keys
     assert n_keys <= n_batch_keys
+
+
+def test_stateful_running_user_stats_matches_batch(spark):
+    from go_mysql_server_spark.streaming.stateful import running_user_stats
+
+    stream = se.events_stream(spark, SF_DIR)
+    se.run_to_memory(running_user_stats(stream), "t_state", "update")
+    got = _rows(spark.table("t_state"))
+
+    batch = load(spark, SF_DIR, "events")
+    want = _rows(
+        batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    # single availableNow batch → one emission per user with final totals
+    assert len(got) == len(want)
+    got_by_user = {r[0]: r[1:] for r in got}
+    for user_id, n, total, mx in want:
+        gn, gt, gm = got_by_user[user_id]
+        assert gn == n and gm == mx
+        assert abs(gt - total) < 1e-6
