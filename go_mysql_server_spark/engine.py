@@ -268,19 +268,44 @@ class Engine:
     def _lit(v: Any) -> str:
         if v is None:
             return "NULL"
-        if isinstance(v, (int, float)):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
             return repr(v)
+        if isinstance(v, float):
+            # Spark parses bare decimal literals as DECIMAL(p,s); a float
+            # variable must round-trip as DOUBLE
+            return f"CAST({v!r} AS DOUBLE)"
         return "'" + str(v).replace("'", "''") + "'"
 
     # ---- SELECT ------------------------------------------------------------
 
     def _q_select(self, sql: str) -> DataFrame | OkResult:
+        # INTO @vars must be peeled off before user-var substitution rewrites
+        # the very @names we need to assign.
+        into_vars = re.search(r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s*$", sql, re.I)
+        if into_vars:
+            sql = sql[:into_vars.start()]
         sql = self._substitute_vars(sql)
         sql = re.sub(r"\bLAST_INSERT_ID\s*\(\s*\)", self._lit(self.last_insert_id or 0),
                      sql, flags=re.I)
         sql = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db), sql, flags=re.I)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_as_of(sql)
+        if into_vars:  # SELECT ... INTO @a, @b (reference sql/plan/into.go:1-135)
+            names = [v.strip().lstrip("@") for v in into_vars.group(1).split(",")]
+            df = self.spark.sql(transpile_select(sql))
+            results = df.take(2)
+            if len(results) != 1:
+                raise SqlError(
+                    f"SELECT INTO expects exactly 1 row, got {len(results)}")
+            row = results[0]
+            if len(row) != len(names):
+                raise SqlError(
+                    f"SELECT INTO: {len(row)} columns for {len(names)} variables")
+            for name, value in zip(names, row):
+                self.user_vars[name] = value
+            return OkResult(1)
         m = re.search(r"\bINTO\s+OUTFILE\s+'([^']+)'", sql, re.I)
         if m:  # SELECT ... INTO OUTFILE (reference sql/plan/into.go)
             path = m.group(1)

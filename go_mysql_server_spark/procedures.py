@@ -63,15 +63,17 @@ def split_statements(body: str) -> list[str]:
                     break
                 i += 1
         else:
-            m = re.match(r"(BEGIN|IF|WHILE|REPEAT|CASE)\b", body[i:], re.I)
-            m_end = re.match(r"END\s*(IF|WHILE|REPEAT|CASE)?\b", body[i:], re.I)
+            at_word_start = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+            m = re.match(r"(BEGIN|IF|WHILE|REPEAT|CASE|LOOP)\b", body[i:], re.I) \
+                if at_word_start else None
+            m_end = re.match(r"END\s*(IF|WHILE|REPEAT|CASE|LOOP)?\b", body[i:], re.I) \
+                if at_word_start else None
             if m_end and depth > 0:
                 depth -= 1
                 cur.append(body[i:i + m_end.end()])
                 i += m_end.end()
                 continue
-            # ELSEIF contains IF; don't double count
-            if m and not re.match(r"ELSEIF\b", body[max(0, i - 4):], re.I):
+            if m:
                 depth += 1
                 cur.append(body[i:i + m.end()])
                 i += m.end()
@@ -91,19 +93,54 @@ def split_statements(body: str) -> list[str]:
     return out
 
 
+class _Leave(Exception):
+    """Control-flow escape for LEAVE <label>."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+
+class _Iterate(Exception):
+    """Control-flow escape for ITERATE <label>."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+
+class _Cursor:
+    """Materialized cursor over a SELECT's rows (reference fetch.go).
+
+    The reference streams the cursor over its iterator; here the SELECT runs
+    as one distributed job and the driver walks the collected rows — cursors
+    are a per-row control-flow construct, inherently driver-side."""
+
+    def __init__(self, rows):
+        self.rows = rows
+        self.pos = 0
+
+    def fetch(self):
+        if self.pos >= len(self.rows):
+            return None
+        row = self.rows[self.pos]
+        self.pos += 1
+        return row
+
+
 class ProcedureInterpreter:
     """Executes a procedure body statement-by-statement through the engine.
 
-    Supported control flow (the reference's block.go/if_else.go/while.go
-    subset the fixture scripts exercise): DECLARE, SET var, IF/ELSEIF/ELSE,
-    WHILE, ITERATE/LEAVE-free loops, SELECT (last SELECT's result is the
-    CALL result), any DML/DDL statement.
+    Supported control flow (reference block.go/if_else.go/while.go/loop.go/
+    fetch.go subset): DECLARE (vars, CURSOR FOR, CONTINUE HANDLER FOR NOT
+    FOUND), SET, IF/ELSEIF/ELSE, WHILE, [label:] LOOP with LEAVE/ITERATE,
+    OPEN/FETCH/CLOSE, SELECT (last SELECT is the CALL result), any DML/DDL.
     """
 
     MAX_LOOP = 100_000
 
     def __init__(self, engine):
         self.engine = engine
+        self.cursors: dict[str, _Cursor | str] = {}
+        self.not_found_handler: str | None = None
 
     def call(self, proc: Procedure, args: list):
         if len(args) != len(proc.params):
@@ -118,6 +155,16 @@ class ProcedureInterpreter:
 
     def _exec(self, stmt: str, scope: dict):
         up = stmt.strip().upper()
+        m = re.match(r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*)$", stmt.strip(),
+                     re.I | re.S)
+        if m:
+            self.cursors[m.group(1).lower()] = m.group(2)  # SELECT bound at OPEN
+            return None
+        if re.match(r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+NOT\s+FOUND",
+                    stmt.strip(), re.I):
+            m = re.search(r"NOT\s+FOUND\s+(.*)$", stmt.strip(), re.I | re.S)
+            self.not_found_handler = m.group(1).strip()
+            return None
         if up.startswith("DECLARE"):
             m = re.match(r"DECLARE\s+(\w+)\s+\S+(?:\s+DEFAULT\s+(.*))?$",
                          stmt.strip(), re.I | re.S)
@@ -126,6 +173,39 @@ class ProcedureInterpreter:
                     self._eval(m.group(2), scope) if m.group(2) else None
                 )
             return None
+        if up.startswith("OPEN "):
+            name = stmt.split()[1].strip().lower()
+            sel = self.cursors.get(name)
+            if not isinstance(sel, str):
+                from .engine import SqlError
+                raise SqlError(f"cursor {name!r} not declared")
+            df = self.engine.query(self._bind(sel, scope))
+            self.cursors[name] = _Cursor([tuple(r) for r in df.collect()])
+            return None
+        if up.startswith("FETCH"):
+            m = re.match(r"FETCH\s+(?:NEXT\s+FROM\s+|FROM\s+)?(\w+)\s+INTO\s+(.*)$",
+                         stmt.strip(), re.I | re.S)
+            cur = self.cursors.get(m.group(1).lower())
+            targets = [v.strip().lstrip("@").lower() for v in m.group(2).split(",")]
+            row = cur.fetch() if isinstance(cur, _Cursor) else None
+            if row is None:
+                if self.not_found_handler:
+                    self._exec(self.not_found_handler, scope)
+                return None
+            for name, value in zip(targets, row):
+                scope[name] = value
+            return None
+        if up.startswith("CLOSE "):
+            self.cursors.pop(stmt.split()[1].strip().lower(), None)
+            return None
+        m = re.match(r"(?:(\w+)\s*:\s*)?LOOP\b(.*)\bEND\s+LOOP\s*(\w+)?$",
+                     stmt.strip(), re.I | re.S)
+        if m:
+            return self._exec_loop(m.group(1) or "", m.group(2), scope)
+        if up.startswith("LEAVE"):
+            raise _Leave(stmt.split()[1].strip().lower() if len(stmt.split()) > 1 else "")
+        if up.startswith("ITERATE"):
+            raise _Iterate(stmt.split()[1].strip().lower() if len(stmt.split()) > 1 else "")
         if up.startswith("SET "):
             for assign in stmt.strip()[4:].split(","):
                 name, expr = assign.split("=", 1)
@@ -137,6 +217,24 @@ class ProcedureInterpreter:
         if up.startswith("WHILE"):
             return self._exec_while(stmt, scope)
         return self.engine.query(self._bind(stmt, scope))
+
+    def _exec_loop(self, label: str, body: str, scope: dict):
+        result = None
+        label = label.lower()
+        for _ in range(self.MAX_LOOP):
+            try:
+                for s in split_statements(body):
+                    result = self._exec(s, scope) or result
+            except _Leave as lv:
+                if lv.label in ("", label):
+                    return result
+                raise
+            except _Iterate as it:
+                if it.label in ("", label):
+                    continue
+                raise
+        from .engine import SqlError
+        raise SqlError("LOOP exceeded iteration limit")
 
     def _exec_if(self, stmt: str, scope: dict):
         m = re.match(r"IF\s+(.*?)\s+THEN\s+(.*)\s+END\s+IF$", stmt.strip(),

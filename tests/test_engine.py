@@ -403,3 +403,48 @@ def test_multi_table_delete_join(eng):
     res = eng.query("DELETE sess FROM sess JOIN banned ON sess.uid = banned.uid")
     assert res.rows_affected == 2
     assert rows(eng.query("SELECT sid FROM sess")) == [(2,)]
+
+
+def test_select_into_user_vars(eng):
+    res = eng.query("SELECT i, s FROM mytable WHERE i = 2 INTO @myi, @mys")
+    assert res.rows_affected == 1
+    assert rows(eng.query("SELECT @myi AS i, @mys AS s")) == [(2, "second row")]
+    with pytest.raises(SqlError, match="exactly 1 row"):
+        eng.query("SELECT i FROM mytable INTO @x")
+
+
+def test_mysql_lax_coercions(eng):
+    # string↔number comparison coerces numerically (ANSI off, MySQL-style)
+    assert rows(eng.query("SELECT ('42' = 42) AS a, (1 + '2') AS b, "
+                          "('3.5' * 2) AS c")) == [(True, 3.0, 7.0)]
+    # division by zero yields NULL, not an error (MySQL semantics)
+    assert rows(eng.query("SELECT 1 / 0 AS d, 1 % 0 AS m")) == [(None, None)]
+    # implicit numeric cast in predicates
+    eng.query("CREATE TABLE strnum (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    eng.query("INSERT INTO strnum VALUES (1, '10'), (2, '9')")
+    assert rows(eng.query("SELECT k FROM strnum WHERE v = 10 ORDER BY k")) == [(1,)]
+
+
+def test_procedure_cursor_fetch_loop(eng):
+    eng.query("CREATE TABLE src (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    eng.query("INSERT INTO src VALUES (1,'a'),(2,'b'),(3,'c')")
+    eng.query("CREATE TABLE dst (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    eng.query(
+        "CREATE PROCEDURE copy_rows() "
+        "BEGIN "
+        "  DECLARE done INT DEFAULT 0; "
+        "  DECLARE vi BIGINT; "
+        "  DECLARE vs VARCHAR(20); "
+        "  DECLARE cur CURSOR FOR SELECT i, s FROM src ORDER BY i; "
+        "  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1; "
+        "  OPEN cur; "
+        "  read_loop: LOOP "
+        "    FETCH cur INTO vi, vs; "
+        "    IF done = 1 THEN LEAVE read_loop; END IF; "
+        "    INSERT INTO dst VALUES (vi, UPPER(vs)); "
+        "  END LOOP read_loop; "
+        "  CLOSE cur; "
+        "END")
+    eng.query("CALL copy_rows()")
+    assert rows(eng.query("SELECT i, s FROM dst ORDER BY i")) == [
+        (1, "A"), (2, "B"), (3, "C")]
