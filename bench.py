@@ -53,6 +53,8 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
+    import gc
+
     queries = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -61,6 +63,9 @@ def main() -> None:
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        # release checkpointed RDD blocks between queries so one query's
+        # cached state doesn't distort the next measurement
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -134,8 +134,11 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # both sides and Catalyst would otherwise inline (and so recompute) the
     # md5-over-shingles pass per band column per side. The sig relation is
     # tiny (id + n longs) — persisting it is the standard LSH-at-scale plan.
+    # eager: both sides of the self-join consume sigs; a lazy checkpoint
+    # can be raced into double materialization by AQE's concurrent stage
+    # submission
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes).localCheckpoint(
-        eager=False
+        eager=True
     )
     n_bands = num_hashes // band_size
     band_cols = [
