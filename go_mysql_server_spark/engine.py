@@ -199,6 +199,7 @@ class Engine:
             "SELECT": self._q_select, "WITH": self._q_select,
             "TABLE": self._q_select, "VALUES": self._q_select,
             "CREATE": self._q_create, "DROP": self._q_drop,
+            "ALTER": self._q_alter, "RENAME": self._q_rename,
             "INSERT": self._q_insert, "REPLACE": self._q_insert,
             "UPDATE": self._q_update, "DELETE": self._q_delete,
             "TRUNCATE": self._q_truncate,
@@ -596,6 +597,79 @@ class Engine:
                 if c.name in pk:
                     c.nullable = False
         return TableState(tbl, columns, pk, checks, fks)
+
+    def _q_alter(self, sql: str) -> OkResult:
+        """ALTER TABLE add/drop/modify/rename column, rename table
+        (reference sql/plan/alter_table.go:1-1038) — each variant is a
+        schema-projection over the current snapshot."""
+        m = re.match(r"ALTER\s+TABLE\s+([`\w.]+)\s+(.*)$", sql, re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse ALTER: {sql[:60]!r}")
+        ts = self._table(m.group(1))
+        for action in _split_top_level(m.group(2)):
+            up = action.upper()
+            if up.startswith("ADD COLUMN") or (up.startswith("ADD ")
+                                               and "INDEX" not in up
+                                               and "KEY" not in up
+                                               and "CONSTRAINT" not in up):
+                body = re.sub(r"^ADD\s+(COLUMN\s+)?", "", action, flags=re.I)
+                cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", body, re.S)
+                dtype, enum_vals = _parse_type(cm.group(2))
+                nullable = "NOT NULL" not in cm.group(2).upper()
+                dm = re.search(r"DEFAULT\s+('(?:[^']|'')*'|[\w.+-]+)", cm.group(2), re.I)
+                default = dm.group(1) if dm and dm.group(1).upper() != "NULL" else None
+                col = ColumnDef(cm.group(1), dtype, nullable, default,
+                                enum_values=enum_vals)
+                fill = F.expr(default).cast(dtype) if default else F.lit(None).cast(dtype)
+                ts.columns.append(col)
+                ts.df = ts.df.withColumn(col.name, fill)
+            elif up.startswith("DROP COLUMN") or (up.startswith("DROP ")
+                                                  and "INDEX" not in up
+                                                  and "KEY" not in up):
+                name = action.split()[-1].strip("`")
+                ts.columns = [c for c in ts.columns if c.name != name]
+                ts.df = ts.df.drop(name)
+            elif up.startswith("RENAME COLUMN"):
+                mm = re.match(r"RENAME\s+COLUMN\s+[`]?(\w+)[`]?\s+TO\s+[`]?(\w+)[`]?",
+                              action, re.I)
+                old, new = mm.group(1), mm.group(2)
+                for c in ts.columns:
+                    if c.name == old:
+                        c.name = new
+                ts.primary_key = tuple(new if k == old else k for k in ts.primary_key)
+                ts.df = ts.df.withColumnRenamed(old, new)
+            elif up.startswith("RENAME TO") or up.startswith("RENAME "):
+                new = action.split()[-1].strip("`")
+                tables = self._db(None)
+                self.spark.catalog.dropTempView(ts.name)
+                del tables[ts.name]
+                ts.name = new
+                tables[new] = ts
+            elif up.startswith(("MODIFY", "CHANGE")):
+                body = re.sub(r"^(MODIFY|CHANGE)\s+(COLUMN\s+)?", "", action, flags=re.I)
+                parts = body.split(None, 1)
+                cname = parts[0].strip("`")
+                dtype, enum_vals = _parse_type(parts[1])
+                for c in ts.columns:
+                    if c.name == cname:
+                        c.spark_type = dtype
+                        c.enum_values = enum_vals
+                        c.nullable = "NOT NULL" not in parts[1].upper()
+                ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
+            elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE", "DROP INDEX",
+                                "ADD CONSTRAINT", "ADD PRIMARY")):
+                continue  # advisory on Spark
+            else:
+                raise SqlError(f"unsupported ALTER action: {action[:50]!r}")
+        ts.df = ts.df.localCheckpoint(eager=True)
+        self._register(ts)
+        return OkResult(0)
+
+    def _q_rename(self, sql: str) -> OkResult:
+        m = re.match(r"RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)", sql, re.I)
+        if not m:
+            raise SqlError(f"cannot parse RENAME: {sql[:60]!r}")
+        return self._q_alter(f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}")
 
     def _q_drop(self, sql: str) -> OkResult:
         m = re.match(r"DROP\s+(TABLE|VIEW|DATABASE|SCHEMA|INDEX)\s+(IF\s+EXISTS\s+)?([`\w.]+)",

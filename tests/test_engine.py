@@ -448,3 +448,23 @@ def test_procedure_cursor_fetch_loop(eng):
     eng.query("CALL copy_rows()")
     assert rows(eng.query("SELECT i, s FROM dst ORDER BY i")) == [
         (1, "A"), (2, "B"), (3, "C")]
+
+
+def test_alter_table_add_drop_rename_modify(eng):
+    eng.query("ALTER TABLE mytable ADD COLUMN score INT DEFAULT 5")
+    assert rows(eng.query("SELECT i, score FROM mytable WHERE i = 1")) == [(1, 5)]
+    eng.query("ALTER TABLE mytable RENAME COLUMN score TO points")
+    assert rows(eng.query("SELECT points FROM mytable WHERE i = 1")) == [(5,)]
+    eng.query("ALTER TABLE mytable MODIFY COLUMN points BIGINT")
+    got = rows(eng.query("DESCRIBE mytable"))
+    assert ("points", "bigint") == (got[2][0], got[2][1])
+    eng.query("ALTER TABLE mytable DROP COLUMN points")
+    assert [r[0] for r in rows(eng.query("DESCRIBE mytable"))] == ["i", "s"]
+
+
+def test_rename_table(eng):
+    eng.query("RENAME TABLE mytable TO renamed_table")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM renamed_table")) == [(3,)]
+    with pytest.raises(Exception, match="mytable"):
+        # the old temp view is gone → Spark TABLE_OR_VIEW_NOT_FOUND
+        eng.query("SELECT * FROM mytable")
