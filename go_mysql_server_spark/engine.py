@@ -882,20 +882,54 @@ class Engine:
             raise SqlError(f"unknown columns in UPDATE: {sorted(unknown)}")
         matched = ts.df.filter(where)
         n_match = matched.count()
+        # pin the match decision BEFORE assignments mutate the columns the
+        # WHERE references (UPDATE ... SET s='b' WHERE s='a')
+        base = ts.df.withColumn("__matched", F.expr(where))
         out_cols = [
-            F.when(F.expr(where),
+            F.when(F.col("__matched"),
                    F.expr(transpile_select(assigns[c.name])).cast(c.spark_type))
             .otherwise(F.col(c.name)).alias(c.name)
             if c.name in assigns else F.col(c.name)
             for c in ts.columns
         ]
-        updated = ts.df.select(*out_cols)
-        self._validate(ts, updated.filter(where))
-        ts.df = updated.localCheckpoint(eager=True)
+        updated = base.select(*out_cols, "__matched")
+        updated = self._apply_before_update_triggers(ts, updated)
+        self._validate(ts, updated.filter("__matched"))
+        ts.df = updated.drop("__matched").localCheckpoint(eager=True)
         self._register(ts)
         if n_match:
             self._run_old_triggers(ts, matched, "UPDATE")
         return OkResult(n_match)
+
+    def _apply_before_update_triggers(self, ts: TableState,
+                                      updated: DataFrame) -> DataFrame:
+        """BEFORE UPDATE `SET NEW.c = expr`: one more projection over rows
+        flagged __matched; NEW.x refers to post-assignment values (MySQL
+        semantics — statement SET applies first, trigger sees the result)."""
+        from .procedures import split_statements
+
+        for trig in self.triggers.get(ts.name, []):
+            if trig.event != "UPDATE" or trig.timing != "BEFORE":
+                continue
+            for stmt in split_statements(trig.body):
+                if not stmt.strip().upper().startswith("SET NEW."):
+                    raise SqlError(
+                        "BEFORE UPDATE triggers support SET NEW.col = expr only")
+                cols = {c.name: F.col(c.name) for c in ts.columns}
+                for assign in _split_top_level(stmt.strip()[4:]):
+                    mm = re.match(r"NEW\.(\w+)\s*=\s*(.*)$", assign.strip(),
+                                  re.I | re.S)
+                    expr = re.sub(r"\bNEW\.(\w+)", r"\1", mm.group(2), flags=re.I)
+                    ctype = next(c.spark_type for c in ts.columns
+                                 if c.name == mm.group(1))
+                    cols[mm.group(1)] = (
+                        F.when(F.col("__matched"), F.expr(expr).cast(ctype))
+                        .otherwise(F.col(mm.group(1)))
+                    )
+                updated = updated.select(
+                    *[cols[c.name].alias(c.name) for c in ts.columns], "__matched"
+                )
+        return updated
 
     def _q_update_join(self, sql: str) -> OkResult:
         """Multi-table UPDATE (reference sql/plan/update_join.go:1-269),

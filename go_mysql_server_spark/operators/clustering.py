@@ -1,0 +1,61 @@
+"""K-means clustering over embedding columns — the IVF coarse quantizer.
+
+An IVF similarity index is "cluster the corpus, search only the probed
+clusters"; LSH (operators/similarity.py) covers the hash-bucket variant,
+this covers the learned-centroid variant. Expressed as Lloyd iterations of
+pure DataFrame ops: assign = argmin over broadcast centroids, update =
+per-cluster mean — each iteration is one broadcast join + one shuffle on
+the cluster id, the canonical distributed k-means.
+
+Deterministic by construction (no sampling): centroids initialize from the
+k lowest vec_ids; iteration count is fixed. Results are engine-specific in
+the last float ulp (cross-engine float averaging), so the registry entry is
+rows-only checked — properties (cover, k clusters, assignment = nearest
+centroid) are asserted in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _to_double, l2_squared
+
+
+def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, dist) after `iterations` Lloyd rounds."""
+    vecs = embeddings.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("v")
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism, id_col)
+    vecs = vecs.localCheckpoint(eager=True)  # reused every iteration
+
+    centroids = (
+        vecs.orderBy(id_col).limit(k)
+        .select(F.monotonically_increasing_id().alias("c_tmp"), F.col("v").alias("c"))
+        .withColumn("cluster", F.row_number().over(
+            Window.orderBy("c_tmp")) - 1)
+        .select("cluster", "c")
+    )
+
+    assigned = None
+    for _ in range(iterations):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            id_col, "v", "cluster", l2_squared(F.col("v"), F.col("c")).alias("d")
+        )
+        w = Window.partitionBy(id_col).orderBy("d", "cluster")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "cluster", "d")
+        )
+        dims = len(vecs.select("v").first()[0])
+        centroids = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"c{i}") for i in range(dims)])
+            .select("cluster", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("c"))
+        ).localCheckpoint(eager=True)
+
+    return assigned.select(
+        id_col, "cluster", F.round(F.sqrt("d"), 6).alias("dist")
+    )

@@ -171,9 +171,12 @@ def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
                 F.col("sig").alias("qsig"))
     )
     cand = with_sig.select(F.col(id_col), F.col(vec_col).alias("cvec"), "sig")
+    # equi-join on the bucket signature (hash join), self-pairs filtered
+    # after — folding the != into the join condition would force a
+    # nested-loop strategy
     scored = (
-        cand.join(F.broadcast(q),
-                  (F.col("sig") == F.col("qsig")) & (F.col(id_col) != F.col("qid")))
+        cand.join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        .filter(F.col(id_col) != F.col("qid"))
         .select("qid", id_col,
                 F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup
+from ..operators.clustering import kmeans
 from ..operators.recursive_cte import recursive_cte
 from ._util import t
 from .registry import query
@@ -156,4 +157,57 @@ def vocab_document_frequency(spark, sf_dir):
         .filter(F.col("doc_freq") >= 5)
         .orderBy(F.desc("term_freq"), "tok")
         .limit(100)
+    )
+
+
+@query("similarity_kmeans_ivf", oracle=None)
+def similarity_kmeans_ivf(spark, sf_dir):
+    """IVF coarse quantizer: k-means over the embedding corpus (3 Lloyd
+    rounds, deterministic init). Rows-only driver check — float averaging
+    is engine-specific; invariants are asserted in tests/test_operators.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=8, iterations=3).orderBy("vec_id")
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER)
+             AS week_n,
+         f.cohort_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_n, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity
+GROUP BY cohort_week, week_n
+ORDER BY cohort_week, week_n
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, activity counted
+    per week offset — two shuffles (user_id, then cohort cell)."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+              - F.unix_timestamp(F.col("cohort_week"))) / (7 * 86400))
+            .cast("int").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_n")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
     )

@@ -468,3 +468,18 @@ def test_rename_table(eng):
     with pytest.raises(Exception, match="mytable"):
         # the old temp view is gone → Spark TABLE_OR_VIEW_NOT_FOUND
         eng.query("SELECT * FROM mytable")
+
+
+def test_before_update_trigger_set_new(eng):
+    eng.query("CREATE TABLE bu (i BIGINT PRIMARY KEY, s VARCHAR(30), "
+              "touched INT DEFAULT 0)")
+    eng.query("INSERT INTO bu VALUES (1, 'alpha', 0), (2, 'beta', 0)")
+    eng.query("CREATE TRIGGER bu_t BEFORE UPDATE ON bu FOR EACH ROW "
+              "SET NEW.touched = NEW.touched + 1, NEW.s = UPPER(NEW.s)")
+    eng.query("UPDATE bu SET s = CONCAT(s, '!') WHERE i = 1")
+    assert rows(eng.query("SELECT i, s, touched FROM bu ORDER BY i")) == [
+        (1, "ALPHA!", 1), (2, "beta", 0)]
+    # WHERE references a column the SET mutates: match must pin pre-update
+    eng.query("UPDATE bu SET s = 'beta-done' WHERE s = 'beta'")
+    assert rows(eng.query("SELECT s, touched FROM bu WHERE i = 2")) == [
+        ("BETA-DONE", 1)]

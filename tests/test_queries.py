@@ -28,5 +28,7 @@ def test_query_matches_oracle(name, spark, oracle):
 
 def test_every_query_has_oracle_or_reason():
     missing = [n for n in QUERIES if n not in ORACLES]
-    # keep the rows-only list intentional and small
-    assert set(missing) <= {"agg_approx_count_distinct"}, missing
+    # keep the rows-only list intentional and small (sketches and iterative
+    # float averaging are engine-specific; invariants asserted elsewhere)
+    assert set(missing) <= {"agg_approx_count_distinct",
+                            "similarity_kmeans_ivf"}, missing
