@@ -86,3 +86,53 @@ def test_count_star_reads_no_data_columns(spark):
     plan = formatted_plan(spark, "count_star_meta")
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "struct<>" in read  # metadata-only count (TableCountLookup analogue)
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """The 100 TB layout story: writing partitioned by a filter column makes
+    scans read only the matching partitions (PartitionFilters in the scan)."""
+    from go_mysql_server_spark.sources import load
+    from go_mysql_server_spark.sources.writer import write_partitioned
+
+    li = load(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li_part")
+    write_partitioned(li, path, ["l_returnflag"])
+
+    df = spark.read.parquet(path).filter("l_returnflag = 'R'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters")[1][:200]
+    # pruned scan returns exactly the R rows
+    assert df.count() == li.filter("l_returnflag = 'R'").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed tables joined on the bucket key require no shuffle —
+    the Spark-native analogue of the reference's indexed lookup joins."""
+    import uuid
+
+    from go_mysql_server_spark.sources import load
+    from go_mysql_server_spark.sources.writer import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    suffix = uuid.uuid4().hex[:8]
+    orders = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                   f"b_orders_{suffix}", "k", 8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"),
+                   f"b_lineitem_{suffix}", "k", 8)
+    joined = spark.table(f"b_orders_{suffix}").join(
+        spark.table(f"b_lineitem_{suffix}"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "SortMergeJoin" in plan
+        # both sides read pre-bucketed → no shuffle exchange in the plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{suffix}")
