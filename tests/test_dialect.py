@@ -1,0 +1,70 @@
+"""Unit tests for the MySQL→Spark SQL transpiler (no Spark session needed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_mysql_server_spark.dialect.transpiler import (
+    translate_datetime_format,
+    transpile_select,
+)
+
+
+@pytest.mark.parametrize("mysql,java", [
+    ("%Y-%m-%d", "yyyy-MM-dd"),
+    ("%Y-%m-%d %H:%i:%s", "yyyy-MM-dd HH:mm:ss"),
+    ("%d/%m/%y", "dd/MM/yy"),
+    ("%M %e, %Y", "MMMM d, yyyy"),
+    ("%h:%i %p", "hh:mm a"),
+    ("%W week %j", "EEEE 'w''e''e''k' DDD"),
+    ("100%%", "100%"),
+])
+def test_datetime_format_translation(mysql, java):
+    assert translate_datetime_format(mysql) == java
+
+
+def test_limit_comma_rewrite():
+    assert transpile_select("SELECT a FROM t LIMIT 5, 10").endswith(
+        "LIMIT 10 OFFSET 5")
+    # plain LIMIT untouched
+    assert transpile_select("SELECT a FROM t LIMIT 10").endswith("LIMIT 10")
+
+
+def test_date_format_call_rewrite():
+    out = transpile_select("SELECT DATE_FORMAT(ts, '%Y-%m') FROM t")
+    assert "date_format(ts, 'yyyy-MM')" in out
+
+
+def test_str_to_date_rewrite():
+    out = transpile_select("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
+    assert "to_timestamp(s, 'dd/MM/yyyy')" in out
+
+
+def test_nested_date_format_does_not_loop():
+    # regression: the rewritten call must not be rewritten again
+    out = transpile_select(
+        "SELECT DATE_FORMAT(x, '%Y'), DATE_FORMAT(y, '%m') FROM t")
+    assert out.count("date_format") == 2
+
+
+def test_group_concat_rewrites():
+    out = transpile_select("SELECT GROUP_CONCAT(name SEPARATOR '|') FROM t")
+    assert out == "SELECT array_join(array_sort(collect_list(name)), '|') FROM t"
+    out = transpile_select(
+        "SELECT GROUP_CONCAT(DISTINCT name ORDER BY name) FROM t")
+    assert "collect_set(name)" in out
+
+
+def test_function_aliases():
+    out = transpile_select("SELECT UCASE(a), LCASE(b), MID(c, 1, 2) FROM t")
+    assert "upper(a)" in out and "lower(b)" in out and "substring(c, 1, 2)" in out
+
+
+def test_xor_rewrite():
+    assert transpile_select("SELECT a XOR b") == "SELECT a != b"
+
+
+def test_string_literles_protected_in_datetime_rewrite():
+    # commas inside string literals must not split args
+    out = transpile_select("SELECT DATE_FORMAT(ts, '%Y, %m') FROM t")
+    assert "date_format(ts, 'yyyy, MM')" in out
