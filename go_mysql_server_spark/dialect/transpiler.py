@@ -6,15 +6,25 @@ close cousin of MySQL SQL, so the Spark-first frontend is a light source-to-
 source rewrite + Catalyst — NOT a hand-built parser: we only touch the
 constructs where the dialects actually diverge.
 
-Handled rewrites:
+Handled rewrites (all string-literal/identifier aware — literals are masked
+out before any regex pass and restored after, so `SELECT 'a XOR b'` or a
+column named `` `mid` `` are never corrupted):
 - LIMIT x, y              → LIMIT y OFFSET x
 - MySQL date-format %-patterns inside DATE_FORMAT/STR_TO_DATE/TIME_FORMAT
-                          → Java DateTimeFormatter patterns
-- STR_TO_DATE(s, f)       → to_timestamp(s, f')
-- GROUP_CONCAT([DISTINCT] x [SEPARATOR s]) → array_join(array_sort(
-                            collect_list/set(x)), s)
+                          → Java DateTimeFormatter patterns; dynamic
+                          (non-literal) formats go through the registered
+                          `mysql_datefmt_to_java` runtime translator
+- STR_TO_DATE(s, f)       → to_timestamp(s, f')  (parse, never format)
+- GROUP_CONCAT([DISTINCT] x [ORDER BY k [ASC|DESC]] [SEPARATOR s])
+                          → array_join over collect_list/set; an ORDER BY
+                          key different from the value collects
+                          struct(key, value) and sorts by the key with the
+                          requested direction (reference
+                          sql/expression/function/aggregation/group_concat.go)
+- TRUNCATE(x, d)          → sign-aware floor/ceil expression (no UDF)
 - a XOR b                 → boolean !=
-- function aliases with no Spark twin (UCASE, LCASE, MID, …)
+- function aliases with no Spark twin (UCASE, LCASE, MID, …); CURTIME()
+  formats the time-of-day portion (MySQL returns TIME, not TIMESTAMP)
 - backticks, <=>, DIV, IF/IFNULL/NULLIF, INTERVAL syntax pass through —
   Spark accepts them natively.
 
@@ -47,18 +57,17 @@ MYSQL_TO_JAVA_FMT = {
 }
 
 # Simple name-for-name function aliases (MySQL name → Spark name).
+# CURTIME/CURRENT_TIME return a TIME-of-day string, matching MySQL's TIME
+# result, not a full timestamp (reference sql/expression/function/time.go).
 FUNC_ALIASES = {
     "ucase": "upper",
     "lcase": "lower",
     "mid": "substring",
     "curdate": "current_date",
-    "curtime": "current_timestamp",
-    "sysdate": "current_timestamp",
     "localtime": "current_timestamp",
     "localtimestamp": "current_timestamp",
     "day": "dayofmonth",
     "lengthb": "octet_length",
-    "truncate": "trunc_number",  # registered UDF-free shim in engine
     "rand": "rand",
     "char_length": "char_length",
     "power": "power",
@@ -84,9 +93,60 @@ def translate_datetime_format(fmt: str) -> str:
     return "".join(out)
 
 
-_LIMIT_COMMA = re.compile(
-    r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE
-)
+# ---- literal masking -------------------------------------------------------
+
+_PH = "\x00{}\x00"
+_PH_RE = re.compile("\x00(\\d+)\x00")
+
+
+def mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace quoted regions ('...', "...", `...`) with \\x00N\\x00
+    placeholders so regex rewrites can't touch literal/identifier content.
+    Handles doubled-quote ('') and backslash escapes inside strings."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and c != "`" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            out.append(_PH.format(len(lits)))
+            lits.append(sql[i:end])
+            i = end
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), lits
+
+
+def unmask_literals(sql: str, lits: list[str]) -> str:
+    return _PH_RE.sub(lambda m: lits[int(m.group(1))], sql)
+
+
+def _literal_of(arg: str, lits: list[str]) -> str | None:
+    """If a masked arg is exactly one single-quoted literal, return its
+    unquoted content."""
+    m = _PH_RE.fullmatch(arg.strip())
+    if not m:
+        return None
+    lit = lits[int(m.group(1))]
+    if lit.startswith("'") and lit.endswith("'") and len(lit) >= 2:
+        return lit[1:-1]
+    return None
+
+
+_LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
 
 _DATE_FMT_CALL = re.compile(
     r"\b(DATE_FORMAT|TIME_FORMAT|STR_TO_DATE)\s*\(", re.IGNORECASE
@@ -94,11 +154,19 @@ _DATE_FMT_CALL = re.compile(
 
 _GROUP_CONCAT = re.compile(r"\bGROUP_CONCAT\s*\(", re.IGNORECASE)
 
+_TRUNCATE_CALL = re.compile(r"\bTRUNCATE\s*\(", re.IGNORECASE)
+
 _XOR = re.compile(r"\bXOR\b", re.IGNORECASE)
+
+_CURTIME = re.compile(r"\b(?:CURTIME\s*\(\s*\)|CURRENT_TIME(?:\s*\(\s*\))?)(?!\w)",
+                      re.IGNORECASE)
+
+_SYSDATE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 
 
 def _find_close(s: str, start: int) -> int:
-    """Index of the ')' matching the '(' at start (string-literal aware)."""
+    """Index of the ')' matching the '(' at start. Operates on masked SQL
+    (no quotes remain), but stays literal-aware for direct callers."""
     depth, i, n = 0, start, len(s)
     while i < n:
         c = s[i]
@@ -146,9 +214,11 @@ def _split_args(arglist: str) -> list[str]:
     return args
 
 
-def _rewrite_datetime_formats(sql: str) -> str:
+def _rewrite_datetime_formats(sql: str, lits: list[str]) -> str:
     """Translate the format-string argument of DATE_FORMAT/STR_TO_DATE/
-    TIME_FORMAT; STR_TO_DATE additionally becomes to_timestamp."""
+    TIME_FORMAT; STR_TO_DATE becomes to_timestamp (a parse, never a format).
+    Dynamic formats are translated at runtime by the registered
+    `mysql_datefmt_to_java` function (functions/special.py)."""
     pos = 0
     while True:
         m = _DATE_FMT_CALL.search(sql, pos)
@@ -158,25 +228,39 @@ def _rewrite_datetime_formats(sql: str) -> str:
         open_paren = m.end() - 1
         close = _find_close(sql, open_paren)
         args = _split_args(sql[open_paren + 1:close])
-        if len(args) == 2 and args[1].startswith("'") and args[1].endswith("'"):
-            java = translate_datetime_format(args[1][1:-1])
+        fmt_lit = _literal_of(args[1], lits) if len(args) == 2 else None
+        if fmt_lit is not None:
+            java = translate_datetime_format(fmt_lit)
+            ph = _PH.format(len(lits))
+            lits.append("'" + java + "'")
             if fname == "STR_TO_DATE":
-                repl = f"to_timestamp({args[0]}, '{java}')"
+                repl = f"to_timestamp({args[0]}, {ph})"
             else:
-                repl = f"date_format({args[0]}, '{java}')"
-        else:  # dynamic format: leave as-is but still swap the fn name
+                repl = f"date_format({args[0]}, {ph})"
+        elif len(args) == 2:
+            # dynamic format — translate the tokens at runtime, and keep
+            # parse vs format straight (ADVICE r1: STR_TO_DATE must parse)
+            fn = "to_timestamp" if fname == "STR_TO_DATE" else "date_format"
+            repl = f"{fn}({args[0]}, mysql_datefmt_to_java({args[1]}))"
+        else:
             repl = f"date_format({', '.join(args)})"
         sql = sql[:m.start()] + repl + sql[close + 1:]
-        # resume after the rewritten call — its name would match again
         pos = m.start() + len(repl)
 
 
-def _rewrite_group_concat(sql: str) -> str:
-    """GROUP_CONCAT([DISTINCT] expr [ORDER BY ...] [SEPARATOR 'x'])
-    → array_join(array_sort(collect_list|collect_set(expr)), 'x').
+_GC_ORDER_BY = re.compile(
+    r"\bORDER\s+BY\s+(.+?)\s*(ASC|DESC)?\s*$", re.IGNORECASE | re.DOTALL
+)
 
-    The explicit array_sort imposes the deterministic order MySQL's
-    ORDER BY clause provides (reference group_concat.go)."""
+
+def _rewrite_group_concat(sql: str, lits: list[str]) -> str:
+    """GROUP_CONCAT([DISTINCT] expr [ORDER BY key [ASC|DESC]] [SEPARATOR x])
+    → array_join over a sorted collect_list/collect_set.
+
+    When the ORDER BY key differs from the value we collect
+    struct(key, value) pairs, sort by key (comparator handles DESC), then
+    project the value — honoring MySQL's ordering semantics (reference
+    sql/expression/function/aggregation/group_concat.go)."""
     while True:
         m = _GROUP_CONCAT.search(sql)
         if not m:
@@ -185,35 +269,82 @@ def _rewrite_group_concat(sql: str) -> str:
         close = _find_close(sql, open_paren)
         body = sql[open_paren + 1:close].strip()
         sep = ","
-        sep_m = re.search(r"\bSEPARATOR\s+'([^']*)'\s*$", body, re.IGNORECASE)
+        sep_m = re.search(r"\bSEPARATOR\s+(\x00\d+\x00|'[^']*')\s*$", body,
+                          re.IGNORECASE)
         if sep_m:
-            sep = sep_m.group(1)
+            tok = sep_m.group(1)
+            lit = _literal_of(tok, lits)
+            sep = lit if lit is not None else tok.strip("'")
             body = body[:sep_m.start()].strip()
-        body = re.sub(r"\bORDER\s+BY\b.*$", "", body, flags=re.IGNORECASE).strip()
+        order_key, order_dir = None, "ASC"
+        ob = _GC_ORDER_BY.search(body)
+        if ob:
+            order_key = ob.group(1).strip()
+            order_dir = (ob.group(2) or "ASC").upper()
+            body = body[:ob.start()].strip()
         distinct = False
         if body.upper().startswith("DISTINCT "):
             distinct = True
             body = body[len("DISTINCT "):]
-        collect = "collect_set" if distinct else "collect_list"
-        repl = f"array_join(array_sort({collect}({body})), '{sep}')"
+        sep_ph = _PH.format(len(lits))
+        lits.append("'" + sep.replace("'", "''") + "'")
+        if order_key is not None and order_key != body:
+            if distinct:
+                raise ValueError(
+                    "GROUP_CONCAT(DISTINCT x ORDER BY y) with y != x is "
+                    "not supported (MySQL restriction)")
+            cmp_lt, cmp_gt = ("-1", "1") if order_dir == "ASC" else ("1", "-1")
+            arr = (
+                f"transform(array_sort(collect_list(struct({order_key} AS _k, "
+                f"{body} AS _v)), (l, r) -> CASE WHEN l._k < r._k THEN {cmp_lt} "
+                f"WHEN l._k > r._k THEN {cmp_gt} ELSE 0 END), s -> s._v)"
+            )
+        else:
+            collect = "collect_set" if distinct else "collect_list"
+            arr = f"array_sort({collect}({body}))"
+            if order_key is not None and order_dir == "DESC":
+                arr = f"reverse({arr})"
+        repl = f"array_join({arr}, {sep_ph})"
         sql = sql[:m.start()] + repl + sql[close + 1:]
 
 
-def _rewrite_aliases(sql: str) -> str:
+def _rewrite_truncate(sql: str) -> str:
+    """TRUNCATE(x, d) → toward-zero truncation expression (reference
+    sql/expression/function/math.go Truncate). Pure Column math, no UDF."""
+    while True:
+        m = _TRUNCATE_CALL.search(sql)
+        if not m:
+            return sql
+        open_paren = m.end() - 1
+        close = _find_close(sql, open_paren)
+        args = _split_args(sql[open_paren + 1:close])
+        if len(args) != 2:
+            # TRUNCATE TABLE etc. is routed in engine.py; leave untouched
+            return sql
+        x, d = args
+        repl = (f"(CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) * POW(10, ({d}))) "
+                f"ELSE CEIL(({x}) * POW(10, ({d}))) END / POW(10, ({d})))")
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+
+
+def transpile_select(sql: str) -> str:
+    """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
+    text so quoted strings and backtick identifiers pass through verbatim."""
+    sql, lits = mask_literals(sql)
+    sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    sql = _rewrite_datetime_formats(sql, lits)
+    sql = _rewrite_group_concat(sql, lits)
+    sql = _rewrite_truncate(sql)
     for myname, sparkname in FUNC_ALIASES.items():
         if myname == sparkname:
             continue
         sql = re.sub(rf"\b{myname}\s*\(", f"{sparkname}(", sql,
                      flags=re.IGNORECASE)
-    return sql
-
-
-def transpile_select(sql: str) -> str:
-    """MySQL SELECT → Spark SQL SELECT."""
-    sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
-    sql = _rewrite_datetime_formats(sql)
-    sql = _rewrite_group_concat(sql)
-    sql = _rewrite_aliases(sql)
+    # MySQL CURTIME/CURRENT_TIME → TIME-of-day string; SYSDATE ≈ per-call
+    # time (Spark's now() is statement-time; per-call drift is below test
+    # resolution and documented).
+    sql = _CURTIME.sub("date_format(current_timestamp(), 'HH:mm:ss')", sql)
+    sql = _SYSDATE.sub("current_timestamp()", sql)
     # MySQL logical XOR on booleans ≡ boolean inequality
     sql = _XOR.sub("!=", sql)
-    return sql
+    return unmask_literals(sql, lits)

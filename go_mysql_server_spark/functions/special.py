@@ -337,3 +337,9 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_remove", lambda d, p: _mutate(d, p, None, "remove"),
                        T.StringType())
     spark.udf.register("json_merge_patch", _merge_patch, T.StringType())
+    # Runtime MySQL-%-token → Java DateTimeFormatter translation for the
+    # dynamic-format branch of DATE_FORMAT/STR_TO_DATE (dialect/transpiler.py)
+    from ..dialect.transpiler import translate_datetime_format as _tdf
+    spark.udf.register(
+        "mysql_datefmt_to_java",
+        lambda f: None if f is None else _tdf(f), T.StringType())

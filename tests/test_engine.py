@@ -483,3 +483,77 @@ def test_before_update_trigger_set_new(eng):
     eng.query("UPDATE bu SET s = 'beta-done' WHERE s = 'beta'")
     assert rows(eng.query("SELECT s, touched FROM bu WHERE i = 2")) == [
         ("BETA-DONE", 1)]
+
+
+# ---- round 2: literal-aware rewrites + FK ON UPDATE ------------------------
+
+
+def test_user_var_not_substituted_inside_literal(eng):
+    eng.query("SET @x = 5")
+    got = rows(eng.query("SELECT 'a@b.com' AS e, @x AS v"))
+    assert got == [("a@b.com", 5)]
+
+
+def test_xor_and_alias_inside_literal_untouched(eng):
+    got = rows(eng.query("SELECT 'a XOR b' AS s1, 'call mid(x)' AS s2, "
+                         "TRUE XOR FALSE AS x"))
+    assert got == [("a XOR b", "call mid(x)", True)]
+
+
+def test_truncate_numeric_function(eng):
+    got = rows(eng.query("SELECT TRUNCATE(3.847, 2) AS a, "
+                         "TRUNCATE(-3.847, 2) AS b, TRUNCATE(1234.5, -2) AS c"))
+    assert [round(float(v), 6) for v in got[0]] == [3.84, -3.84, 1200.0]
+
+
+def test_curtime_returns_time_of_day(eng):
+    import re as _re
+    got = rows(eng.query("SELECT CURTIME() AS t"))
+    assert _re.fullmatch(r"\d{2}:\d{2}:\d{2}", got[0][0])
+
+
+def test_group_concat_order_by_other_key_desc(eng):
+    got = rows(eng.query(
+        "SELECT GROUP_CONCAT(s ORDER BY i DESC SEPARATOR '|') AS g FROM mytable"))
+    assert got == [("third row|second row|first row",)]
+
+
+def test_str_to_date_dynamic_format(eng):
+    eng.query("CREATE TABLE fmt_t (s VARCHAR(20), f VARCHAR(20))")
+    eng.query("INSERT INTO fmt_t VALUES ('04/03/2020', '%d/%m/%Y')")
+    got = rows(eng.query("SELECT STR_TO_DATE(s, f) AS d FROM fmt_t"))
+    assert str(got[0][0]).startswith("2020-03-04")
+
+
+def test_fk_on_update_restrict(eng):
+    eng.query("CREATE TABLE pu1 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO pu1 VALUES (1),(2)")
+    eng.query("CREATE TABLE cu1 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES pu1(id))")
+    eng.query("INSERT INTO cu1 VALUES (10, 1)")
+    with pytest.raises(SqlError, match="RESTRICT"):
+        eng.query("UPDATE pu1 SET id = 5 WHERE id = 1")
+    eng.query("UPDATE pu1 SET id = 6 WHERE id = 2")  # unreferenced → fine
+    assert rows(eng.query("SELECT id FROM pu1 ORDER BY id")) == [(1,), (6,)]
+
+
+def test_fk_on_update_cascade(eng):
+    eng.query("CREATE TABLE pu2 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO pu2 VALUES (1),(2)")
+    eng.query("CREATE TABLE cu2 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES pu2(id) ON UPDATE CASCADE)")
+    eng.query("INSERT INTO cu2 VALUES (10, 1), (11, 2)")
+    eng.query("UPDATE pu2 SET id = 100 WHERE id = 1")
+    assert rows(eng.query("SELECT cid, pid FROM cu2 ORDER BY cid")) == [
+        (10, 100), (11, 2)]
+
+
+def test_fk_on_update_set_null(eng):
+    eng.query("CREATE TABLE pu3 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO pu3 VALUES (1),(2)")
+    eng.query("CREATE TABLE cu3 (cid BIGINT PRIMARY KEY, pid BIGINT, "
+              "FOREIGN KEY (pid) REFERENCES pu3(id) ON UPDATE SET NULL)")
+    eng.query("INSERT INTO cu3 VALUES (10, 1), (11, 2)")
+    eng.query("UPDATE pu3 SET id = 100 WHERE id = 1")
+    assert rows(eng.query("SELECT cid, pid FROM cu3 ORDER BY cid")) == [
+        (10, None), (11, 2)]
