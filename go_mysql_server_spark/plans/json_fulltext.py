@@ -132,3 +132,122 @@ def fulltext_match_against(spark, sf_dir):
         .orderBy(F.desc("relevance"), "doc_id")
         .limit(50)
     )
+
+
+_NESTED_DOCS = [
+    (1, '{"order": "A", "items": [{"name": "alpha", "tags": ["x", "y"]}, '
+        '{"name": "beta", "tags": ["z"]}]}'),
+    (2, '{"order": "B", "items": [{"name": "gamma", "tags": []}]}'),
+    (3, '{"order": "C", "items": []}'),
+    (4, 'not valid json'),
+    (5, None),
+]
+
+_NESTED_DOCS_SQL = """
+(VALUES (1, '{"order": "A", "items": [{"name": "alpha", "tags": ["x", "y"]}, {"name": "beta", "tags": ["z"]}]}'),
+        (2, '{"order": "B", "items": [{"name": "gamma", "tags": []}]}'),
+        (3, '{"order": "C", "items": []}'),
+        (4, 'not valid json'),
+        (5, NULL)) AS docs(id, doc)
+"""
+
+
+@query(
+    "json_table_nested_path",
+    oracle=f"""
+WITH safe AS (
+  -- malformed docs parse to NULL (Spark from_json semantics; DuckDB's
+  -- json_extract raises instead, so guard with json_valid)
+  SELECT id, CASE WHEN json_valid(doc) THEN doc END AS doc
+  FROM {_NESTED_DOCS_SQL}
+),
+items AS (
+  SELECT id,
+         COALESCE(json_extract_string(doc, '$.order'), 'N/A') AS ord_name,
+         CAST(x.i AS INTEGER) AS item_ord,
+         json_extract_string(doc, '$.items[' || (x.i - 1) || '].name') AS item_name,
+         json_extract(doc, '$.items[' || (x.i - 1) || '].tags') AS tags
+  FROM safe
+  LEFT JOIN LATERAL (
+    SELECT unnest(generate_series(
+      1, CAST(coalesce(json_array_length(doc, '$.items'), 0) AS INTEGER))) AS i
+  ) x ON TRUE
+)
+SELECT id, ord_name, item_ord, item_name,
+       CAST(y.j AS INTEGER) AS tag_ord,
+       json_extract_string(tags, '$[' || (y.j - 1) || ']') AS tag
+FROM items
+LEFT JOIN LATERAL (
+  SELECT unnest(generate_series(
+    1, CAST(coalesce(json_array_length(tags), 0) AS INTEGER))) AS j
+) y ON TRUE
+ORDER BY id, item_ord, tag_ord
+""",
+)
+def json_table_nested_path(spark, sf_dir):
+    """JSON_TABLE with NESTED PATH + DEFAULT ... ON EMPTY/ERROR (reference
+    sql/plan/json_table.go:56-121, exec sql/rowexec/rel.go:154-227):
+
+        JSON_TABLE(doc, '$' COLUMNS(
+          ord_name VARCHAR PATH '$.order' DEFAULT '"N/A"' ON EMPTY,
+          NESTED PATH '$.items[*]' COLUMNS(
+            item_ord FOR ORDINALITY, item_name PATH '$.name',
+            NESTED PATH '$.tags[*]' COLUMNS(tag_ord FOR ORDINALITY, tag))))
+
+    Two chained posexplode_outer calls shred both nesting levels JVM-side;
+    an invalid document parses to NULL (ERROR ON ERROR would filter) and
+    the missing scalar takes the ON EMPTY default."""
+    docs = spark.createDataFrame(_NESTED_DOCS, "id int, doc string")
+    schema = ("struct<order: string, items: array<struct<"
+              "name: string, tags: array<string>>>>")
+    parsed = docs.select(
+        "id", F.from_json(F.col("doc"), schema).alias("j"))
+    level1 = parsed.select(
+        "id",
+        F.coalesce(F.col("j.order"), F.lit("N/A")).alias("ord_name"),
+        F.posexplode_outer("j.items").alias("pos1", "item"),
+    )
+    return level1.select(
+        "id", "ord_name",
+        (F.col("pos1") + 1).cast("int").alias("item_ord"),
+        F.col("item.name").alias("item_name"),
+        F.posexplode_outer("item.tags").alias("pos2", "tag"),
+    ).select(
+        "id", "ord_name", "item_ord", "item_name",
+        (F.col("pos2") + 1).cast("int").alias("tag_ord"), "tag",
+    ).orderBy("id", "item_ord", "tag_ord")
+
+
+@query(
+    "fulltext_boolean_mode",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), ' +') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(ts, x -> x = 'spark')) AS BIGINT) AS n_req
+FROM toks
+WHERE len(list_filter(ts, x -> x = 'spark')) > 0
+  AND len(list_filter(ts, x -> x = 'window')) = 0
+ORDER BY doc_id
+LIMIT 50
+""",
+)
+def fulltext_boolean_mode(spark, sf_dir):
+    """MATCH(text) AGAINST('+spark -window' IN BOOLEAN MODE) (reference
+    sql/expression/matchagainst.go:33 and fulltext boolean parser):
+    +term is required, -term excludes — set predicates over the token
+    array, no scoring (MySQL boolean mode returns 1/0 relevance)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " +")
+    n_req = F.size(F.filter(toks, lambda x: x == "spark")).cast("long")
+    n_excl = F.size(F.filter(toks, lambda x: x == "window"))
+    return (
+        docs.select("doc_id", n_req.alias("n_req"), n_excl.alias("_ex"))
+        .filter((F.col("n_req") > 0) & (F.col("_ex") == 0))
+        .select("doc_id", "n_req")
+        .orderBy("doc_id")
+        .limit(50)
+    )

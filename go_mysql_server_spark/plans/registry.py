@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.subqueries",
     "go_mysql_server_spark.plans.functions_catalog",
     "go_mysql_server_spark.plans.functions_catalog2",
+    "go_mysql_server_spark.plans.collation_catalog",
     "go_mysql_server_spark.plans.pipeline",
     "go_mysql_server_spark.plans.events_catalog",
     "go_mysql_server_spark.plans.json_fulltext",

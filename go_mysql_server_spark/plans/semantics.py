@@ -161,3 +161,96 @@ def cast_matrix(spark, sf_dir):
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int").alias("str_digit"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "type_unsigned_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CASE WHEN 0 - o_orderkey < 0
+                 THEN 18446744073709551616 + (0 - o_orderkey)
+                 ELSE 0 - o_orderkey END AS DECIMAL(20,0)) AS neg_as_unsigned,
+       CAST(o_orderkey AS DECIMAL(20,0)) AS pos_as_unsigned
+FROM orders
+ORDER BY o_orderkey LIMIT 50
+""",
+)
+def type_unsigned_cast(spark, sf_dir):
+    """MySQL CAST(negative AS UNSIGNED) wraps modulo 2^64 (reference
+    sql/types/number.go:40-94); strict-mode *storage* of the same value
+    errors — that half is covered by the engine out-of-range scripts."""
+    o = t(spark, sf_dir, "orders")
+    neg = F.lit(0) - F.col("o_orderkey")
+    two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(21,0))")
+    wrapped = F.when(neg < 0, two64 + neg).otherwise(neg).cast("decimal(20,0)")
+    return o.select(
+        "o_orderkey",
+        wrapped.alias("neg_as_unsigned"),
+        F.col("o_orderkey").cast("decimal(20,0)").alias("pos_as_unsigned"),
+    ).orderBy("o_orderkey").limit(50)
+
+
+@query(
+    "type_enum_ordinal_sort",
+    oracle="""
+WITH e AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+           WHEN '4-NOT SPECIFIED' THEN 2 ELSE 1 END AS ord
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority FROM e
+ORDER BY ord, o_orderkey LIMIT 100
+""",
+)
+def type_enum_ordinal_sort(spark, sf_dir):
+    """ENUM sorts by declaration ordinal, not string (reference
+    sql/types/enum.go:52). Declaration order here is LOW..URGENT, so the
+    string sort and the ordinal sort disagree — the oracle encodes the
+    ordinal semantics."""
+    o = t(spark, sf_dir, "orders")
+    vals = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT"]
+    ordinal = F.array_position(
+        F.array(*[F.lit(v) for v in vals]), F.col("o_orderpriority"))
+    return (
+        o.select("o_orderkey", "o_orderpriority", ordinal.alias("_ord"))
+        .orderBy("_ord", "o_orderkey")
+        .select("o_orderkey", "o_orderpriority")
+        .limit(100)
+    )
+
+
+@query(
+    "type_decimal_div_scale",
+    # Spark's decimal division rounds HALF_UP at the result scale; DuckDB's
+    # goes through DOUBLE (half-even ties). The oracle reproduces MySQL/Spark
+    # exact-rational HALF_UP via integer arithmetic: cents*10^6 / (qty*100)
+    # rounded half-up = (2*num + den) // (2*den).
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(
+         ((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000 * 2
+           + CAST(l_quantity AS BIGINT) * 100)
+          // (CAST(l_quantity AS BIGINT) * 100 * 2))
+         / 1000000.0 AS DECIMAL(26,6)) AS unit_price
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+)
+def type_decimal_div_scale(spark, sf_dir):
+    """MySQL decimal division result scale = dividend scale +
+    div_precision_increment (4) → DECIMAL(.., 2+4=6) (reference
+    sql/expression/div.go:46). Both sides cast to the exact MySQL result
+    type so the hash compares the full-scale decimal."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(15,2)")
+             / F.col("l_quantity").cast("decimal(15,2)"))
+            .cast("decimal(26,6)").alias("unit_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )

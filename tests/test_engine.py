@@ -557,3 +557,170 @@ def test_fk_on_update_set_null(eng):
     eng.query("UPDATE pu3 SET id = 100 WHERE id = 1")
     assert rows(eng.query("SELECT cid, pid FROM cu3 ORDER BY cid")) == [
         (10, None), (11, 2)]
+
+
+def test_collate_clause_ci(eng):
+    eng.query("CREATE TABLE coll_t (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    eng.query("INSERT INTO coll_t VALUES (1,'Alice'),(2,'ALICE'),(3,'bob'),(4,'àlice')")
+    got = rows(eng.query(
+        "SELECT i FROM coll_t WHERE s COLLATE utf8mb4_0900_ai_ci = "
+        "'alice' COLLATE utf8mb4_0900_ai_ci ORDER BY i"))
+    assert got == [(1,), (2,), (4,)]
+    got = rows(eng.query(
+        "SELECT i FROM coll_t WHERE s COLLATE utf8mb4_bin = 'Alice' ORDER BY i"))
+    assert got == [(1,)]
+
+
+def test_unsigned_out_of_range_insert_errors(eng):
+    eng.query("CREATE TABLE ur (i BIGINT PRIMARY KEY, u TINYINT UNSIGNED, "
+              "v INT UNSIGNED)")
+    eng.query("INSERT INTO ur VALUES (1, 255, 4294967295)")  # at the bounds
+    with pytest.raises(SqlError, match="out of range"):
+        eng.query("INSERT INTO ur VALUES (2, 256, 1)")
+    with pytest.raises(SqlError, match="out of range"):
+        eng.query("INSERT INTO ur VALUES (3, 1, -1)")
+    with pytest.raises(SqlError, match="out of range"):
+        eng.query("UPDATE ur SET u = 300 WHERE i = 1")
+    assert rows(eng.query("SELECT u FROM ur")) == [(255,)]
+
+
+def test_signed_out_of_range_insert_errors(eng):
+    eng.query("CREATE TABLE sr (i BIGINT PRIMARY KEY, t TINYINT)")
+    eng.query("INSERT INTO sr VALUES (1, -128), (2, 127)")
+    with pytest.raises(SqlError, match="out of range"):
+        eng.query("INSERT INTO sr VALUES (3, 128)")
+
+
+def test_enum_ordinal_order_by(eng):
+    eng.query("CREATE TABLE sz (i BIGINT PRIMARY KEY, "
+              "size ENUM('small','medium','large'))")
+    eng.query("INSERT INTO sz VALUES (1,'large'),(2,'small'),(3,'medium')")
+    got = rows(eng.query("SELECT size FROM sz ORDER BY size"))
+    assert got == [("small",), ("medium",), ("large",)]  # ordinal, not alpha
+    with pytest.raises(SqlError, match="ENUM"):
+        eng.query("INSERT INTO sz VALUES (4, 'huge')")
+
+
+def test_generated_column_insert_and_update(eng):
+    eng.query("CREATE TABLE gen_t (i BIGINT PRIMARY KEY, a INT, b INT, "
+              "total INT GENERATED ALWAYS AS (a + b) STORED)")
+    eng.query("INSERT INTO gen_t (i, a, b) VALUES (1, 2, 3), (2, 10, 20)")
+    assert rows(eng.query("SELECT i, total FROM gen_t ORDER BY i")) == [
+        (1, 5), (2, 30)]
+    eng.query("UPDATE gen_t SET a = 100 WHERE i = 1")
+    assert rows(eng.query("SELECT total FROM gen_t WHERE i = 1")) == [(103,)]
+    with pytest.raises(SqlError, match="generated"):
+        eng.query("INSERT INTO gen_t (i, a, b, total) VALUES (3, 1, 1, 99)")
+    with pytest.raises(SqlError, match="generated"):
+        eng.query("UPDATE gen_t SET total = 0 WHERE i = 1")
+
+
+def test_alter_add_generated_column_backfills(eng):
+    eng.query("CREATE TABLE gen_b (i BIGINT PRIMARY KEY, s VARCHAR(20))")
+    eng.query("INSERT INTO gen_b VALUES (1,'ab'),(2,'cdef')")
+    eng.query("ALTER TABLE gen_b ADD COLUMN slen INT "
+              "GENERATED ALWAYS AS (length(s)) VIRTUAL")
+    assert rows(eng.query("SELECT i, slen FROM gen_b ORDER BY i")) == [
+        (1, 2), (2, 4)]
+
+
+def test_transaction_rollback_restores_data(eng):
+    eng.query("BEGIN")
+    eng.query("INSERT INTO mytable VALUES (4, 'fourth row')")
+    eng.query("UPDATE mytable SET s = 'changed' WHERE i = 1")
+    eng.query("CREATE TABLE txn_new (x BIGINT PRIMARY KEY)")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(4,)]
+    eng.query("ROLLBACK")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(3,)]
+    assert rows(eng.query("SELECT s FROM mytable WHERE i = 1")) == [("first row",)]
+    with pytest.raises(Exception):  # Spark AnalysisException: view dropped
+        eng.query("SELECT * FROM txn_new")  # created inside rolled-back txn
+
+
+def test_transaction_commit_keeps_data(eng):
+    eng.query("START TRANSACTION")
+    eng.query("INSERT INTO mytable VALUES (5, 'fifth row')")
+    eng.query("COMMIT")
+    eng.query("ROLLBACK")  # no open txn: no-op
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(4,)]
+
+
+def test_savepoint_partial_rollback(eng):
+    eng.query("BEGIN")
+    eng.query("INSERT INTO mytable VALUES (10, 'ten')")
+    eng.query("SAVEPOINT sp1")
+    eng.query("INSERT INTO mytable VALUES (11, 'eleven')")
+    eng.query("ROLLBACK TO SAVEPOINT sp1")
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM mytable")) == [(4,)]
+    eng.query("COMMIT")
+    assert rows(eng.query("SELECT i FROM mytable WHERE i >= 10")) == [(10,)]
+
+
+# ---- round 2: admin surface ------------------------------------------------
+
+
+def test_users_grants_revoke(eng):
+    eng.query("CREATE USER 'app'@'%' IDENTIFIED BY 'secret'")
+    eng.query("GRANT SELECT, INSERT ON mydb.* TO 'app'@'%'")
+    got = rows(eng.query("SHOW GRANTS FOR 'app'@'%'"))
+    assert any("SELECT, INSERT ON mydb.*" in r[0] for r in got)
+    eng.query("REVOKE SELECT, INSERT ON mydb.* FROM 'app'@'%'")
+    got = rows(eng.query("SHOW GRANTS FOR 'app'@'%'"))
+    assert not any("SELECT" in r[0] and "mydb" in r[0] for r in got)
+    eng.query("DROP USER 'app'@'%'")
+    with pytest.raises(SqlError, match="unknown user"):
+        eng.query("GRANT SELECT ON *.* TO 'app'@'%'")
+
+
+def test_show_index_and_create_index(eng):
+    eng.query("CREATE TABLE idx_t (i BIGINT PRIMARY KEY, a INT, b INT, "
+              "KEY k_a (a), UNIQUE KEY u_b (b))")
+    eng.query("CREATE INDEX k_ab ON idx_t (a, b)")
+    got = rows(eng.query("SHOW INDEX FROM idx_t"))
+    names = {r[2] for r in got}
+    assert names == {"PRIMARY", "k_a", "u_b", "k_ab"}
+    eng.query("DROP INDEX k_a ON idx_t")
+    got = rows(eng.query("SHOW INDEX FROM idx_t"))
+    assert "k_a" not in {r[2] for r in got}
+
+
+def test_analyze_table_and_histogram(eng):
+    got = rows(eng.query("ANALYZE TABLE mytable"))
+    assert got[0][3] == "OK"
+    got = rows(eng.query(
+        "ANALYZE TABLE mytable UPDATE HISTOGRAM ON i WITH 4 BUCKETS"))
+    assert "Histogram" in got[0][3]
+    got = rows(eng.query("SHOW TABLE STATUS"))
+    by_name = {r[0]: r[2] for r in got}
+    assert by_name["mytable"] == 3  # ANALYZE recorded the row count
+
+
+def test_event_one_shot_executes(eng):
+    eng.query("CREATE TABLE ev_log (x BIGINT PRIMARY KEY)")
+    eng.query("CREATE EVENT ev1 ON SCHEDULE AT CURRENT_TIMESTAMP "
+              "DO INSERT INTO ev_log VALUES (42)")
+    # due events run at the next statement boundary
+    assert rows(eng.query("SELECT x FROM ev_log")) == [(42,)]
+    assert rows(eng.query("SHOW EVENTS")) == []  # one-shot auto-dropped
+
+
+def test_kill_flush_lock_ack(eng):
+    assert eng.query("KILL 42").rows_affected == 0
+    assert eng.query("FLUSH PRIVILEGES").rows_affected == 0
+    assert eng.query("LOCK TABLES mytable READ").rows_affected == 0
+    assert eng.query("UNLOCK TABLES").rows_affected == 0
+
+
+def test_show_misc_variants(eng):
+    assert rows(eng.query("SHOW COLLATION"))
+    assert rows(eng.query("SHOW CHARACTER SET"))
+    assert rows(eng.query("SHOW ENGINES"))
+    assert rows(eng.query("SHOW PROCESSLIST"))
+    assert rows(eng.query("SHOW WARNINGS")) == []
+    assert rows(eng.query("SHOW STATUS"))
+    assert rows(eng.query("SHOW OPEN TABLES"))
+    assert rows(eng.query("SHOW PRIVILEGES"))
+
+
+def test_do_statement(eng):
+    assert eng.query("DO 1+1").rows_affected == 0
