@@ -225,6 +225,7 @@ class Engine:
         self.last_insert_id: int | None = None
         self.triggers: dict[str, list] = {}       # table → [Trigger]
         self.procedures: dict[str, object] = {}   # name → Procedure
+        self.functions: dict[str, str] = {}       # stored SQL functions (DDL)
         self.users: dict[str, object] = {}        # 'u@h' → admin.UserEntry
         self.grants: dict[str, list] = {}         # 'u@h' → [(privs, target, opt)]
         self.events: dict[str, object] = {}       # name → admin.EventDef
@@ -436,7 +437,10 @@ class Engine:
 
     # information_schema synthesized from the engine catalog (reference
     # sql/information_schema/information_schema.go)
-    _INFO_SCHEMA = re.compile(r"\binformation_schema\.(tables|columns|schemata)\b", re.I)
+    _INFO_SCHEMA = re.compile(
+        r"\binformation_schema\.(tables|columns|schemata|views|routines|"
+        r"triggers|key_column_usage|table_constraints|statistics|"
+        r"character_sets|collations|events|user_privileges)\b", re.I)
 
     def _rewrite_information_schema(self, sql: str) -> str:
         needed = {m.group(1).lower() for m in self._INFO_SCHEMA.finditer(sql)}
@@ -478,6 +482,127 @@ class Engine:
                 "COLUMN_KEY string",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__columns")
+        if "views" in needed:
+            names = [r.name for r in self.spark.catalog.listTables()
+                     if r.tableType == "TEMPORARY"
+                     and r.name not in {t for db in self.databases.values()
+                                        for t in db}]
+            self.spark.createDataFrame(
+                [("def", self.current_db, v, "<definition>") for v in names]
+                or [("def", self.current_db, None, None)],
+                "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+                "VIEW_DEFINITION string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__views")
+        if "routines" in needed:
+            self.spark.createDataFrame(
+                [(p.name, self.current_db, "PROCEDURE")
+                 for p in self.procedures.values()]
+                or [(None, self.current_db, None)],
+                "ROUTINE_NAME string, ROUTINE_SCHEMA string, ROUTINE_TYPE string",
+            ).filter("ROUTINE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__routines")
+        if "triggers" in needed:
+            rows = [
+                (tr.name, tr.event, tbl, self.current_db, tr.timing, tr.body)
+                for tbl, trigs in self.triggers.items() for tr in trigs
+            ]
+            self.spark.createDataFrame(
+                rows or [(None, None, None, self.current_db, None, None)],
+                "TRIGGER_NAME string, EVENT_MANIPULATION string, "
+                "EVENT_OBJECT_TABLE string, TRIGGER_SCHEMA string, "
+                "ACTION_TIMING string, ACTION_STATEMENT string",
+            ).filter("TRIGGER_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__triggers")
+        if "key_column_usage" in needed:
+            rows = []
+            for db, tables in sorted(self.databases.items()):
+                for ts in tables.values():
+                    for i, c in enumerate(ts.primary_key, 1):
+                        rows.append(("PRIMARY", db, ts.name, c, i, None, None))
+                    for fk in ts.foreign_keys:
+                        for i, (c, p) in enumerate(
+                                zip(fk.columns, fk.parent_columns), 1):
+                            rows.append((f"fk_{ts.name}", db, ts.name, c, i,
+                                         fk.parent_table, p))
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None, 0, None, None)],
+                "CONSTRAINT_NAME string, TABLE_SCHEMA string, TABLE_NAME string, "
+                "COLUMN_NAME string, ORDINAL_POSITION int, "
+                "REFERENCED_TABLE_NAME string, REFERENCED_COLUMN_NAME string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__key_column_usage")
+        if "table_constraints" in needed:
+            rows = []
+            for db, tables in sorted(self.databases.items()):
+                for ts in tables.values():
+                    if ts.primary_key:
+                        rows.append(("PRIMARY", db, ts.name, "PRIMARY KEY"))
+                    for fk in ts.foreign_keys:
+                        rows.append((f"fk_{ts.name}", db, ts.name, "FOREIGN KEY"))
+                    for i, _ in enumerate(ts.checks):
+                        rows.append((f"chk_{ts.name}_{i}", db, ts.name, "CHECK"))
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "CONSTRAINT_NAME string, TABLE_SCHEMA string, TABLE_NAME string, "
+                "CONSTRAINT_TYPE string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__table_constraints")
+        if "statistics" in needed:
+            rows = []
+            for db, tables in sorted(self.databases.items()):
+                for ts in tables.values():
+                    for seq, c in enumerate(ts.primary_key, 1):
+                        rows.append((db, ts.name, 0, "PRIMARY", seq, c))
+                    for ix in ts.indexes:
+                        for seq, c in enumerate(ix.columns, 1):
+                            rows.append((db, ts.name, 0 if ix.unique else 1,
+                                         ix.name, seq, c))
+            self.spark.createDataFrame(
+                rows or [(None, None, 0, None, 0, None)],
+                "TABLE_SCHEMA string, TABLE_NAME string, NON_UNIQUE int, "
+                "INDEX_NAME string, SEQ_IN_INDEX int, COLUMN_NAME string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__statistics")
+        if "character_sets" in needed:
+            from .admin import _CHARSETS
+            self.spark.createDataFrame(
+                [(c[0], c[2], c[1], c[3]) for c in _CHARSETS],
+                "CHARACTER_SET_NAME string, DEFAULT_COLLATE_NAME string, "
+                "DESCRIPTION string, MAXLEN int",
+            ).createOrReplaceTempView("information_schema__character_sets")
+        if "collations" in needed:
+            from .admin import _COLLATIONS
+            self.spark.createDataFrame(
+                [(c[0], c[1], c[2], c[3] or "No") for c in _COLLATIONS],
+                "COLLATION_NAME string, CHARACTER_SET_NAME string, ID int, "
+                "IS_DEFAULT string",
+            ).createOrReplaceTempView("information_schema__collations")
+        if "events" in needed:
+            rows = [(ev.name, self.current_db,
+                     "ONE TIME" if ev.at_ts is not None else "RECURRING",
+                     "ENABLED" if ev.enabled else "DISABLED")
+                    for ev in self.events.values()]
+            self.spark.createDataFrame(
+                rows or [(None, self.current_db, None, None)],
+                "EVENT_NAME string, EVENT_SCHEMA string, EVENT_TYPE string, "
+                "STATUS string",
+            ).filter("EVENT_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__events")
+        if "user_privileges" in needed:
+            rows = []
+            for key, grants in self.grants.items():
+                u, h = key.split("@", 1)
+                for privs, target, opt in grants:
+                    for p in privs:
+                        rows.append((f"'{u}'@'{h}'", "def", p,
+                                     "YES" if opt else "NO"))
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "GRANTEE string, TABLE_CATALOG string, PRIVILEGE_TYPE string, "
+                "IS_GRANTABLE string",
+            ).filter("GRANTEE IS NOT NULL").createOrReplaceTempView(
+                "information_schema__user_privileges")
         return self._INFO_SCHEMA.sub(
             lambda m: f"information_schema__{m.group(1).lower()}", sql
         )
@@ -557,6 +682,51 @@ class Engine:
         r"^CREATE\s+PROCEDURE\s+([`\w]+)\s*\(([^)]*)\)\s*(.*)$", re.I | re.S
     )
 
+    # CREATE FUNCTION f(a INT, b INT) RETURNS INT [DETERMINISTIC] RETURN expr
+    # (reference sql/plan/create_procedure.go + expression/function UDFs).
+    # Spark-first: a RETURN-expression function becomes a Spark 4 SQL UDF —
+    # a Catalyst macro inlined into every caller, zero Python round-trips.
+    _CREATE_FUNCTION = re.compile(
+        r"^CREATE\s+FUNCTION\s+([`\w]+)\s*\(([^)]*)\)\s*"
+        r"RETURNS\s+([\w()]+(?:\s+UNSIGNED)?)\s*"
+        r"(?:DETERMINISTIC\s*|NOT\s+DETERMINISTIC\s*|READS\s+SQL\s+DATA\s*|"
+        r"NO\s+SQL\s*|CONTAINS\s+SQL\s*)*"
+        r"RETURN\s+(.*)$", re.I | re.S
+    )
+
+    _SQL_TYPE_FOR_UDF = {
+        "INT": "INT", "INTEGER": "INT", "BIGINT": "BIGINT",
+        "TINYINT": "TINYINT", "SMALLINT": "SMALLINT",
+        "DOUBLE": "DOUBLE", "FLOAT": "FLOAT", "REAL": "DOUBLE",
+        "DATE": "DATE", "DATETIME": "TIMESTAMP", "TIMESTAMP": "TIMESTAMP",
+        "TEXT": "STRING", "JSON": "STRING", "BOOLEAN": "BOOLEAN",
+        "BOOL": "BOOLEAN",
+    }
+
+    def _udf_sql_type(self, t_sql: str) -> str:
+        base = t_sql.strip().upper()
+        if base.startswith(("VARCHAR", "CHAR")):
+            return "STRING"
+        if base.startswith("DECIMAL"):
+            return base
+        return self._SQL_TYPE_FOR_UDF.get(base.split()[0], "STRING")
+
+    def _q_create_function(self, m: re.Match) -> OkResult:
+        name = m.group(1).strip("`")
+        params = []
+        if m.group(2).strip():
+            for p in _split_top_level(m.group(2)):
+                toks = p.split(None, 1)
+                params.append(f"{toks[0].strip('`')} {self._udf_sql_type(toks[1])}")
+        rtype = self._udf_sql_type(m.group(3))
+        body = transpile_select(m.group(4).strip().rstrip(";"))
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({', '.join(params)}) "
+            f"RETURNS {rtype} RETURN {body}"
+        )
+        self.functions[name.lower()] = m.group(0)
+        return OkResult(0)
+
     def _q_create(self, sql: str) -> OkResult | DataFrame:
         from . import admin
         upper = sql.upper()
@@ -570,6 +740,10 @@ class Engine:
         if re.match(r"CREATE\s+(DEFINER\s*=\s*\S+\s+)?EVENT", upper):
             return admin.create_event(self, re.sub(
                 r"DEFINER\s*=\s*\S+\s+", "", sql, flags=re.I))
+        fm = self._CREATE_FUNCTION.match(
+            re.sub(r"DEFINER\s*=\s*\S+\s+", "", sql, flags=re.I))
+        if fm:
+            return self._q_create_function(fm)
         m = self._CREATE_TRIGGER.match(sql)
         if m:
             from .procedures import Trigger
@@ -827,9 +1001,14 @@ class Engine:
             return admin.drop_event(self, sql)
         if re.match(r"DROP\s+INDEX\s+\S+\s+ON", sql, re.I):
             return admin.drop_index(self, sql)
-        if re.match(r"DROP\s+(PROCEDURE|TRIGGER)", sql, re.I):
+        if re.match(r"DROP\s+(PROCEDURE|TRIGGER|FUNCTION)", sql, re.I):
             name = sql.split()[-1].strip("`").lower()
             self.procedures.pop(name, None)
+            if self.functions.pop(name, None) is not None:
+                try:
+                    self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+                except Exception:
+                    pass
             for trigs in self.triggers.values():
                 trigs[:] = [t for t in trigs if t.name.lower() != name]
             return OkResult(0)
@@ -1482,13 +1661,40 @@ class Engine:
             return self._describe_table(m.group(1))
         if up.startswith("SHOW CREATE TABLE"):
             ts = self._table(sql.split()[-1])
-            cols = ",\n  ".join(
-                f"`{c.name}` {c.spark_type.simpleString()}"
-                + ("" if c.nullable else " NOT NULL")
-                for c in ts.columns
-            )
-            pk = f",\n  PRIMARY KEY ({', '.join(ts.primary_key)})" if ts.primary_key else ""
-            ddl = f"CREATE TABLE `{ts.name}` (\n  {cols}{pk}\n)"
+
+            def col_ddl(c) -> str:
+                if c.enum_values is not None:
+                    t_sql = "enum(" + ",".join(f"'{v}'" for v in c.enum_values) + ")"
+                else:
+                    t_sql = c.spark_type.simpleString()
+                out = f"`{c.name}` {t_sql}"
+                if c.generated is not None:
+                    out += f" GENERATED ALWAYS AS ({c.generated}) STORED"
+                if not c.nullable:
+                    out += " NOT NULL"
+                if c.default is not None:
+                    out += f" DEFAULT {c.default}"
+                if c.auto_increment:
+                    out += " AUTO_INCREMENT"
+                return out
+
+            parts = [col_ddl(c) for c in ts.columns]
+            if ts.primary_key:
+                parts.append(f"PRIMARY KEY ({', '.join(ts.primary_key)})")
+            for ix in ts.indexes:
+                kw = "UNIQUE KEY" if ix.unique else "KEY"
+                parts.append(f"{kw} `{ix.name}` ({', '.join(ix.columns)})")
+            for chk in ts.checks:
+                parts.append(f"CHECK ({chk})")
+            for fk in ts.foreign_keys:
+                fk_ddl = (f"FOREIGN KEY ({', '.join(fk.columns)}) REFERENCES "
+                          f"`{fk.parent_table}` ({', '.join(fk.parent_columns)})")
+                if fk.on_delete != "RESTRICT":
+                    fk_ddl += f" ON DELETE {fk.on_delete}"
+                if fk.on_update != "RESTRICT":
+                    fk_ddl += f" ON UPDATE {fk.on_update}"
+                parts.append(fk_ddl)
+            ddl = "CREATE TABLE `" + ts.name + "` (\n  " + ",\n  ".join(parts) + "\n)"
             return self.spark.createDataFrame(
                 [(ts.name, ddl)], "`Table` string, `Create Table` string"
             )

@@ -724,3 +724,56 @@ def test_show_misc_variants(eng):
 
 def test_do_statement(eng):
     assert eng.query("DO 1+1").rows_affected == 0
+
+
+def test_information_schema_extended(eng):
+    eng.query("CREATE TABLE is_t (i BIGINT PRIMARY KEY, p BIGINT, "
+              "KEY k_p (p), CHECK (i > 0), "
+              "FOREIGN KEY (p) REFERENCES mytable(i))")
+    got = rows(eng.query(
+        "SELECT CONSTRAINT_TYPE FROM information_schema.table_constraints "
+        "WHERE TABLE_NAME = 'is_t' ORDER BY CONSTRAINT_TYPE"))
+    assert [r[0] for r in got] == ["CHECK", "FOREIGN KEY", "PRIMARY KEY"]
+    got = rows(eng.query(
+        "SELECT COLUMN_NAME, REFERENCED_TABLE_NAME FROM "
+        "information_schema.key_column_usage WHERE TABLE_NAME = 'is_t' "
+        "AND REFERENCED_TABLE_NAME IS NOT NULL"))
+    assert got == [("p", "mytable")]
+    got = rows(eng.query(
+        "SELECT INDEX_NAME FROM information_schema.statistics "
+        "WHERE TABLE_NAME = 'is_t' ORDER BY INDEX_NAME"))
+    assert [r[0] for r in got] == ["PRIMARY", "k_p"]
+    assert rows(eng.query(
+        "SELECT COLLATION_NAME FROM information_schema.collations "
+        "WHERE IS_DEFAULT = 'Yes' AND CHARACTER_SET_NAME = 'utf8mb4'")) == [
+        ("utf8mb4_0900_ai_ci",)]
+    eng.query("CREATE EVENT isev ON SCHEDULE EVERY 1 HOUR DO SELECT 1")
+    assert rows(eng.query(
+        "SELECT EVENT_TYPE FROM information_schema.events")) == [("RECURRING",)]
+
+
+def test_stored_sql_function(eng):
+    eng.query("CREATE FUNCTION add_tax(price DOUBLE, rate DOUBLE) "
+              "RETURNS DOUBLE DETERMINISTIC RETURN price * (1 + rate)")
+    got = rows(eng.query("SELECT ROUND(add_tax(100.0, 0.2), 2) AS t"))
+    assert got == [(120.0,)]
+    got = rows(eng.query("SELECT i, add_tax(i * 10.0, 0.1) AS v "
+                         "FROM mytable ORDER BY i LIMIT 1"))
+    assert got == [(1, 11.0)]
+    eng.query("DROP FUNCTION add_tax")
+    with pytest.raises(Exception):
+        eng.query("SELECT add_tax(1.0, 0.5)")
+
+
+def test_show_create_table_fidelity(eng):
+    eng.query("CREATE TABLE sct (i BIGINT PRIMARY KEY AUTO_INCREMENT, "
+              "s VARCHAR(10) NOT NULL DEFAULT 'x', "
+              "e ENUM('a','b'), "
+              "d INT GENERATED ALWAYS AS (i + 1) STORED, "
+              "KEY k_s (s), CHECK (i >= 0), "
+              "FOREIGN KEY (i) REFERENCES mytable(i) ON DELETE CASCADE)")
+    ddl = rows(eng.query("SHOW CREATE TABLE sct"))[0][1]
+    for frag in ("AUTO_INCREMENT", "NOT NULL", "DEFAULT 'x'", "enum('a','b')",
+                 "GENERATED ALWAYS AS (i + 1) STORED", "KEY `k_s` (s)",
+                 "CHECK (i >= 0)", "ON DELETE CASCADE", "PRIMARY KEY (i)"):
+        assert frag in ddl, f"missing {frag!r} in:\n{ddl}"

@@ -35,3 +35,31 @@ def test_kmeans_invariants(spark):
         return res.agg(F.sum(F.col("dist") * F.col("dist"))).first()[0]
 
     assert inertia(3) <= inertia(1) * (1 + 1e-9)
+
+
+# ---- round 2: multi-format IO ----------------------------------------------
+
+
+def test_format_roundtrips(spark, tmp_path):
+    from go_mysql_server_spark.sources.formats import read_table, write_table
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)],
+        "id bigint, s string, v double")
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt)
+        back = read_table(spark, path, fmt, schema="id bigint, s string, v double")
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in src.collect()), fmt
+
+
+def test_format_partitioned_write_prunes(spark, tmp_path):
+    from go_mysql_server_spark.sources.formats import read_table, write_table
+    src = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "id bigint, g string")
+    path = str(tmp_path / "part")
+    write_table(src, path, "parquet", partition_by=["g"])
+    back = read_table(spark, path, "parquet").filter("g = 'g1'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in plan, plan[:500]
+    assert back.count() == 10
