@@ -62,6 +62,9 @@ class ColumnDef:
     # (VIRTUAL and STORED coincide under snapshot storage; reference
     # sql/plan/virtual_column_table.go:1-99)
     generated: str | None = None
+    # SET('a','b') members — comma-list values validated element-wise
+    # (reference sql/types/set.go)
+    set_values: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -89,8 +92,10 @@ class TableState:
     histograms: dict = field(default_factory=dict)       # col → bucket bounds
     # version history for AS OF time travel (reference GetTableInsensitiveAsOf,
     # sql/databases.go:212-218; myhistorytable fixture): snapshots appended
-    # per committing DML statement.
+    # per committing DML statement, with wall-clock commit times for
+    # timestamp-based AS OF.
     history: list[DataFrame] = field(default_factory=list)
+    history_ts: list[float] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -133,7 +138,7 @@ _TYPE_MAP: list[tuple[re.Pattern, Any]] = [
      T.BinaryType()),
     (re.compile(r"^JSON", re.I), T.StringType()),
     (re.compile(r"^ENUM\s*\(", re.I), "enum"),
-    (re.compile(r"^SET\s*\(", re.I), T.StringType()),
+    (re.compile(r"^SET\s*\(", re.I), "set"),
 ]
 
 
@@ -148,11 +153,15 @@ def _parse_type(
             continue
         if res == "decimal":
             return T.DecimalType(int(m.group(1)), int(m.group(2))), None, None
-        if res == "enum":
+        if res in ("enum", "set"):
             close = ts.index(")")
             vals = tuple(
                 v.strip().strip("'") for v in ts[m.end():close].split(",")
             )
+            # SET members are validated element-wise, distinguished from
+            # ENUM by a sentinel first element (reference sql/types/set.go)
+            if res == "set":
+                vals = ("\x00set",) + vals
             return T.StringType(), vals, None
         if res == "uint_bigint":
             return T.DecimalType(20, 0), None, _UINT_RANGES["bigint"]
@@ -164,6 +173,13 @@ def _parse_type(
             return T.IntegerType(), None, _INT_RANGES[m.group(1).lower()]
         return res, None, None
     raise SqlError(f"unsupported column type: {type_sql!r}")
+
+
+def _split_enum_set(vals):
+    """Split _parse_type's enum slot into (enum_values, set_values)."""
+    if vals and vals[0] == "\x00set":
+        return None, vals[1:]
+    return vals, None
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -311,6 +327,7 @@ class Engine:
         ts.df.createOrReplaceTempView(ts.name)
         if record_version:
             ts.history.append(ts.df)
+            ts.history_ts.append(__import__("time").time())
 
     def _empty_df(self, ts: TableState) -> DataFrame:
         return self.spark.createDataFrame([], ts.schema)
@@ -418,17 +435,33 @@ class Engine:
     # AS OF time travel: `FROM t AS OF <version>` binds a historical
     # snapshot (reference sql/plan/versionable.go:19-24; versions are
     # 0-based statement commit ordinals).
-    _AS_OF = re.compile(r"\b([`\w]+)\s+AS\s+OF\s+(\d+)", re.I)
+    _AS_OF = re.compile(
+        r"\b([`\w]+)\s+AS\s+OF\s+(?:(\d+)|(?:TIMESTAMP\s+)?'([^']+)')", re.I)
 
     def _rewrite_as_of(self, sql: str) -> str:
+        """AS OF <ordinal> | AS OF [TIMESTAMP] '<ts>' — historical snapshot
+        binding (reference sql/plan/versionable.go:19-24; dolt binds both
+        commit ordinals and wall-clock timestamps)."""
         def repl(m: re.Match) -> str:
             _, tbl = self._split_name(m.group(1))
-            version = int(m.group(2))
             ts = self._table(tbl)
-            if version >= len(ts.history):
-                raise SqlError(
-                    f"table {tbl!r} has {len(ts.history)} versions; "
-                    f"AS OF {version} does not exist")
+            if m.group(2) is not None:
+                version = int(m.group(2))
+                if version >= len(ts.history):
+                    raise SqlError(
+                        f"table {tbl!r} has {len(ts.history)} versions; "
+                        f"AS OF {version} does not exist")
+            else:
+                import datetime as _dt
+                want = _dt.datetime.fromisoformat(m.group(3)).timestamp()
+                version = None
+                for i, committed in enumerate(ts.history_ts):
+                    if committed <= want:
+                        version = i
+                if version is None:
+                    raise SqlError(
+                        f"table {tbl!r} has no version at or before "
+                        f"{m.group(3)!r}")
             view = f"{tbl}__asof_{version}"
             ts.history[version].createOrReplaceTempView(view)
             return view
@@ -615,24 +648,51 @@ class Engine:
 
     def _q_load_data(self, sql: str) -> OkResult:
         """LOAD DATA [LOCAL] INFILE (reference sql/plan/load_data.go:25-60):
-        CSV bulk load with custom terminators/enclosures, IGNORE n LINES."""
+        CSV bulk load with custom terminators/enclosures/escapes, IGNORE n
+        LINES, a (col, @var, ...) capture list, and SET col = expr
+        transforms over the captured fields."""
         m = self._LOAD_DATA.match(sql.strip())
         if not m:
             raise SqlError(f"cannot parse LOAD DATA: {sql[:80]!r}")
         path, mode, name, opts = m.group(1), (m.group(2) or "").upper(), m.group(3), m.group(4)
         ts = self._table(name)
-        sep = ","
-        quote = '"'
-        skip = 0
+        # (col | @var, ...) [SET col = expr, ...] — trailing clauses
+        col_spec: list[str] | None = None
+        assigns: dict[str, str] = {}
+        cm = re.search(r"\(\s*((?:@?`?\w+`?\s*,\s*)*@?`?\w+`?)\s*\)\s*"
+                       r"(?:SET\s+(.*))?$", opts, re.I | re.S)
+        if cm:
+            col_spec = [c.strip().strip("`") for c in cm.group(1).split(",")]
+            if cm.group(2):
+                for a in _split_top_level(cm.group(2)):
+                    lhs, rhs = a.split("=", 1)
+                    # @var references become the captured placeholder cols
+                    rhs = re.sub(r"@(\w+)", r"__var_\1", rhs)
+                    assigns[lhs.strip().strip("`")] = rhs.strip()
+            opts = opts[:cm.start()]
+        sep, quote, escape, skip, line_sep = ",", '"', "\\", 0, None
         om = re.search(r"FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
         if om:
             sep = om.group(1).encode().decode("unicode_escape")
         om = re.search(r"ENCLOSED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
         if om:
             quote = om.group(1).encode().decode("unicode_escape") or '"'
+        om = re.search(r"ESCAPED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
+        if om:
+            escape = om.group(1).encode().decode("unicode_escape") or "\\"
+        om = re.search(r"LINES\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
+        if om:
+            line_sep = om.group(1).encode().decode("unicode_escape")
         om = re.search(r"IGNORE\s+(\d+)\s+(?:LINES|ROWS)", opts, re.I)
         if om:
             skip = int(om.group(1))
+        if col_spec is not None:
+            read_names = [("__var_" + c[1:]) if c.startswith("@") else c
+                          for c in col_spec]
+            schema_str = ", ".join(f"`{n}` string" for n in read_names)
+        else:
+            schema_str = ts.schema.simpleString()
+        csv_opts = {"sep": sep, "quote": quote, "escape": escape}
         if skip:
             # IGNORE n LINES: Spark CSV has no skip-n option; index lines
             # with zipWithIndex (order-preserving) and parse via from_csv.
@@ -641,17 +701,37 @@ class Engine:
             raw = self.spark.createDataFrame(kept, "line string")
             df = raw.select(
                 F.from_csv(
-                    F.col("line"), ts.schema.simpleString(),
-                    {"sep": sep, "quote": quote},
+                    F.col("line"),
+                    schema_str if col_spec is not None
+                    else ts.schema.simpleString(),
+                    csv_opts,
                 ).alias("r")
             ).select("r.*")
         else:
-            df = (
-                self.spark.read.option("sep", sep).option("quote", quote)
-                .option("header", "false").schema(ts.schema).csv(path)
-            )
+            reader = self.spark.read.options(header="false", **csv_opts)
+            if line_sep is not None:
+                reader = reader.option("lineSep", line_sep)
+            if col_spec is not None:
+                df = reader.schema(schema_str).csv(path)
+            else:
+                df = reader.schema(ts.schema).csv(path)
+        if col_spec is not None:
+            table_cols = {c.name for c in ts.columns}
+            target = [c.name for c in ts.columns
+                      if c.name in read_names or c.name in assigns]
+            out_cols = []
+            for c in ts.columns:
+                if c.name in assigns:
+                    out_cols.append(
+                        F.expr(transpile_select(assigns[c.name])).alias(c.name))
+                elif c.name in read_names:
+                    out_cols.append(F.col(c.name))
+            df = df.select(*out_cols)
+            col_list = target
+        else:
+            col_list = [c.name for c in ts.columns]
         return self._insert_df(
-            ts, df, [c.name for c in ts.columns],
+            ts, df, col_list,
             "REPLACE" if mode == "REPLACE" else "INSERT",
             ignore=(mode == "IGNORE"), odku=None,
         )
@@ -891,8 +971,10 @@ class Engine:
                 generated = rest[gm.end():close]
             if "PRIMARY KEY" in rest_up:
                 pk = (cname,)
+            enum_vals, set_vals = _split_enum_set(enum_vals)
             columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
-                                     enum_vals, bounds, generated))
+                                     enum_vals, bounds, generated,
+                                     set_values=set_vals))
         if pk:
             for c in columns:
                 if c.name in pk:
@@ -929,9 +1011,10 @@ class Engine:
                         ("VIRTUAL", "STORED"))):
                     close = _find_close_paren(cm.group(2), gm.end() - 1)
                     generated = cm.group(2)[gm.end():close]
+                enum_vals, set_vals = _split_enum_set(enum_vals)
                 col = ColumnDef(cm.group(1), dtype, nullable, default,
                                 enum_values=enum_vals, int_bounds=bounds,
-                                generated=generated)
+                                generated=generated, set_values=set_vals)
                 if generated is not None:
                     # ALTER ADD generated column backfills over existing rows
                     fill = F.expr(transpile_select(generated)).cast(dtype)
@@ -968,11 +1051,13 @@ class Engine:
                 parts = body.split(None, 1)
                 cname = parts[0].strip("`")
                 dtype, enum_vals, bounds = _parse_type(parts[1])
+                enum_vals, set_vals = _split_enum_set(enum_vals)
                 for c in ts.columns:
                     if c.name == cname:
                         c.spark_type = dtype
                         c.enum_values = enum_vals
                         c.int_bounds = bounds
+                        c.set_values = set_vals
                         c.nullable = "NOT NULL" not in parts[1].upper()
                 ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
             elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE", "DROP INDEX",
@@ -1201,6 +1286,14 @@ class Engine:
                     F.col(c.name).isNotNull()
                     & ~F.col(c.name).isin(*c.enum_values),
                     f"invalid ENUM value for column {c.name!r}"))
+            if c.set_values is not None:
+                members = ", ".join("'" + v.replace("'", "''") + "'"
+                                    for v in c.set_values)
+                checks.append((
+                    F.col(c.name).isNotNull() & F.expr(
+                        f"size(filter(split({c.name}, ','), "
+                        f"x -> x != '' AND x NOT IN ({members}))) > 0"),
+                    f"invalid SET value for column {c.name!r}"))
         for chk in ts.checks:
             # NULL check result passes (MySQL CHECK semantics)
             checks.append((F.expr(f"NOT ({chk})"),
@@ -1856,6 +1949,7 @@ class Engine:
                     "foreign_keys": list(ts.foreign_keys),
                     "auto_inc_next": ts.auto_inc_next,
                     "history": list(ts.history),
+                    "history_ts": list(ts.history_ts),
                 }
         return snap
 
@@ -1885,6 +1979,7 @@ class Engine:
                 ts.foreign_keys = s["foreign_keys"]
                 ts.auto_inc_next = s["auto_inc_next"]
                 ts.history = s["history"]
+                ts.history_ts = s["history_ts"]
                 ts.df = s["df"]
                 if ts.df is not None:
                     ts.df.createOrReplaceTempView(tname)

@@ -104,3 +104,33 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def view_to_purchase_join(views: DataFrame, purchases: DataFrame,
+                          horizon: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's view events in the preceding `horizon`.
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance — that pair is what lets Spark expire buffered state (an
+    unbounded stream-stream join would hold both streams forever; with the
+    interval, state is O(users × horizon)). The attribution-join shape of
+    production clickstreams."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("value").alias("amount")))
+    return v.join(
+        p,
+        F.expr(f"""
+            v_user = p_user AND
+            v_ts BETWEEN p_ts - INTERVAL {horizon} AND p_ts
+        """),
+    ).select("p_user", "purchase_id", "view_id",
+             F.col("amount").alias("amount"))

@@ -777,3 +777,40 @@ def test_show_create_table_fidelity(eng):
                  "GENERATED ALWAYS AS (i + 1) STORED", "KEY `k_s` (s)",
                  "CHECK (i >= 0)", "ON DELETE CASCADE", "PRIMARY KEY (i)"):
         assert frag in ddl, f"missing {frag!r} in:\n{ddl}"
+
+
+def test_as_of_timestamp(eng):
+    import datetime as dt
+    eng.query("INSERT INTO mytable VALUES (7, 'seventh')")
+    marker = dt.datetime.now().isoformat()
+    import time as _t; _t.sleep(0.02)
+    eng.query("INSERT INTO mytable VALUES (8, 'eighth')")
+    got = rows(eng.query(
+        f"SELECT COUNT(*) AS c FROM mytable AS OF TIMESTAMP '{marker}'"))
+    assert got == [(4,)]
+    got = rows(eng.query("SELECT COUNT(*) AS c FROM mytable"))
+    assert got == [(5,)]
+
+
+def test_set_type_validation(eng):
+    eng.query("CREATE TABLE set_t (i BIGINT PRIMARY KEY, "
+              "flags SET('read','write','exec'))")
+    eng.query("INSERT INTO set_t VALUES (1, 'read,write'), (2, ''), (3, NULL)")
+    got = rows(eng.query("SELECT i, FIND_IN_SET('write', flags) AS p "
+                         "FROM set_t ORDER BY i"))
+    assert got == [(1, 2), (2, 0), (3, None)]
+    with pytest.raises(SqlError, match="SET"):
+        eng.query("INSERT INTO set_t VALUES (4, 'read,delete')")
+
+
+def test_load_data_set_exprs_and_escapes(eng, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("1;raw_a\n2;raw_b\n")
+    eng.query("CREATE TABLE ld_t (i BIGINT PRIMARY KEY, s VARCHAR(40), "
+              "up VARCHAR(40))")
+    eng.query(
+        f"LOAD DATA INFILE '{p}' INTO TABLE ld_t "
+        "FIELDS TERMINATED BY ';' "
+        "(i, @raw) SET s = CONCAT('v:', @raw), up = UPPER(@raw)")
+    got = rows(eng.query("SELECT i, s, up FROM ld_t ORDER BY i"))
+    assert got == [(1, "v:raw_a", "RAW_A"), (2, "v:raw_b", "RAW_B")]

@@ -85,3 +85,29 @@ def test_stateful_running_user_stats_matches_batch(spark):
         gn, gt, gm = got_by_user[user_id]
         assert gn == n and gm == mx
         assert abs(gt - total) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    stream = se.events_stream(spark, SF_DIR)
+    views_s = stream.filter(F.col("event_type") == "view")
+    buys_s = stream.filter(F.col("event_type") == "purchase")
+    se.run_to_memory(
+        se.view_to_purchase_join(views_s, buys_s), "t_ssj", "append")
+    got = _rows(spark.table("t_ssj"))
+
+    batch = load(spark, SF_DIR, "events")
+    v = (batch.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts")))
+    p = (batch.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("value").alias("amount")))
+    want = _rows(
+        v.join(p, F.expr(
+            "v_user = p_user AND "
+            "v_ts BETWEEN p_ts - INTERVAL 30 minutes AND p_ts"))
+        .select("p_user", "purchase_id", "view_id", "amount"))
+    assert got == want and len(got) > 0
