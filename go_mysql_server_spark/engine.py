@@ -229,6 +229,8 @@ class Engine:
         register_udfs(self.spark)  # UDF-backed MySQL fns callable from SQL
         from .dialect.collation import register_sql as _register_ci
         _register_ci(self.spark)   # mysql_ci_key SQL macro (COLLATE rewrites)
+        from .dialect.sql_macros import register_sql_macros
+        register_sql_macros(self.spark)  # TIME/date shims for SQL text
         self.databases: dict[str, dict[str, TableState]] = {default_db: {}}
         self.current_db = default_db
         self.user_vars: dict[str, Any] = {}

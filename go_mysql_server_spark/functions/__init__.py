@@ -41,3 +41,5 @@ def names() -> list[str]:
 def register_udfs(spark: SparkSession) -> None:
     """Register the Python-UDF-backed shims for SQL-text callers."""
     special.register_udfs(spark)
+    from .udtf_fns import register_udtfs
+    register_udtfs(spark)

@@ -98,6 +98,22 @@ def _sec_to_time(s) -> Column:
     )
 
 
+def _addtime(t, delta) -> Column:
+    """ADDTIME('HH:MM:SS','HH:MM:SS') — TIME duration addition (reference
+    sql/expression/function/time.go; TIME-as-string shim)."""
+    return _sec_to_time(_time_to_sec(t) + _time_to_sec(delta))
+
+
+def _subtime(t, delta) -> Column:
+    return _sec_to_time(_time_to_sec(t) - _time_to_sec(delta))
+
+
+def _maketime(h, m, s) -> Column:
+    return F.format_string(
+        "%02d:%02d:%02d", _c(h).cast("long"), _c(m).cast("long"),
+        _c(s).cast("long"))
+
+
 def _timediff(a, b) -> Column:
     """TIMEDIFF(a,b) = a-b as 'HH:MM:SS' (may exceed 24h; sign-aware)."""
     secs = _c(a).cast("timestamp").cast("long") - _c(b).cast("timestamp").cast("long")
@@ -170,6 +186,9 @@ FUNCTIONS = {
     "time_format": _dateformat,
     "time_to_sec": _time_to_sec,
     "timediff": _timediff,
+    "addtime": _addtime,
+    "subtime": _subtime,
+    "maketime": _maketime,
     "timestamp": lambda d: _c(d).cast("timestamp"),
     "timestampdiff": _timestampdiff,
     "to_days": _to_days,

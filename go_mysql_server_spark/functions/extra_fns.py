@@ -418,7 +418,35 @@ def _convert_tz(dt, from_tz, to_tz) -> Column:
     return F.from_utc_timestamp(F.to_utc_timestamp(_c(dt), _c(from_tz)), _c(to_tz))
 
 
+def _period_to_months(p):
+    # p is YYYYMM (or YYMM); reference sql/expression/function/time.go
+    from pyspark.sql import functions as FF
+    p = _c(p).cast("long")
+    yy = FF.when(p < 100 * 100, (p / 100).cast("long") + 2000).otherwise(
+        (p / 100).cast("long"))
+    return yy * 12 + (p % 100) - 1
+
+
+def _months_to_period(m):
+    from pyspark.sql import functions as FF
+    return ((m / 12).cast("long") * 100 + (m % 12) + 1).cast("long")
+
+
 MISC_FNS = {
+    "period_add": lambda p, n: _months_to_period(
+        _period_to_months(p) + _c(n).cast("long")),
+    "period_diff": lambda a, b: _period_to_months(a) - _period_to_months(b),
+    "timestampadd": lambda unit, n, ts: F.timestamp_add(
+        unit if isinstance(unit, str) else "SECOND", _c(n), _c(ts)),
+    "position": lambda sub, s: F.instr(_c(s), _c(sub)),
+    "name_const": lambda name, v: _c(v),
+    "format_bytes": _udfw(
+        lambda n: None if n is None else (
+            f"{n} bytes" if abs(n) < 1024 else
+            f"{n / 1024:.2f} KiB" if abs(n) < 1024**2 else
+            f"{n / 1024**2:.2f} MiB" if abs(n) < 1024**3 else
+            f"{n / 1024**3:.2f} GiB"), T.StringType()),
+    "weight_string": lambda s: F.lower(_c(s)),  # ci collation weight shim
     "bit_count": lambda x: F.bit_count(_c(x).cast("long")),
     "convert_tz": _convert_tz,
     "get_format": _udfw(_get_format, T.StringType()),

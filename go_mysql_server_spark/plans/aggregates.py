@@ -253,3 +253,42 @@ def agg_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@query(
+    "agg_json_objectagg",
+    oracle="""
+SELECT r_regionkey,
+       '{' || string_agg('"' || n_name || '":' || CAST(n_nationkey AS VARCHAR),
+                         ',' ORDER BY n_name) || '}' AS nations_obj
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+ORDER BY r_regionkey
+""",
+)
+def agg_json_objectagg(spark, sf_dir):
+    """JSON_OBJECTAGG(key, value) (reference
+    sql/expression/function/aggregation/json_agg.go) — keys sorted for a
+    deterministic object (MySQL emits last-wins insertion order, which a
+    parallel engine must not rely on; both sides build the identical
+    sorted serialization)."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    obj = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("n_name").alias("k"),
+                             F.col("n_nationkey").alias("v")))),
+                lambda s: F.concat(F.lit('"'), s["k"], F.lit('":'),
+                                   s["v"].cast("string")),
+            ), ","),
+        F.lit("}"),
+    )
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(obj.alias("nations_obj"))
+        .orderBy("r_regionkey")
+    )

@@ -814,3 +814,34 @@ def test_load_data_set_exprs_and_escapes(eng, tmp_path):
         "(i, @raw) SET s = CONCAT('v:', @raw), up = UPPER(@raw)")
     got = rows(eng.query("SELECT i, s, up FROM ld_t ORDER BY i"))
     assert got == [(1, "v:raw_a", "RAW_A"), (2, "v:raw_b", "RAW_B")]
+
+
+def test_python_udtf_table_functions(eng):
+    got = rows(eng.query("SELECT * FROM tokenize_text('Alpha Beta Gamma')"))
+    assert got == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+    got = rows(eng.query("SELECT * FROM generate_series_tf(1, 7, 3)"))
+    assert got == [(1,), (4,), (7,)]
+    got = rows(eng.query(
+        'SELECT key, value FROM json_each(\'{"a": 1, "b": [2, 3]}\') ORDER BY key'))
+    assert got == [("a", "1"), ("b", "[2, 3]")]
+    got = rows(eng.query(
+        "SELECT m.i, t.token FROM mytable m, LATERAL tokenize_text(m.s) t "
+        "WHERE m.i = 1 ORDER BY t.pos"))
+    assert got == [(1, "first"), (1, "row")]
+
+
+def test_time_duration_functions(eng):
+    got = rows(eng.query(
+        "SELECT ADDTIME('10:30:00', '01:45:30') AS a, "
+        "SUBTIME('10:30:00', '01:45:30') AS s, "
+        "MAKETIME(9, 5, 7) AS m, "
+        "TIME_TO_SEC('01:00:30') AS ts"))
+    assert got == [("12:15:30", "08:44:30", "09:05:07", 3630)]
+
+
+def test_only_full_group_by_enforced(eng):
+    """ONLY_FULL_GROUP_BY (reference sql/analyzer/rules.go:55): Spark's
+    analyzer is strict by default — selecting a non-grouped, non-aggregated
+    column is rejected, which subsumes the reference's validation rule."""
+    with pytest.raises(Exception, match="(?i)group|aggregate"):
+        eng.query("SELECT s, COUNT(*) FROM mytable GROUP BY i")
