@@ -364,4 +364,9 @@ def transpile_select(sql: str) -> str:
     sql = _SYSDATE.sub("current_timestamp()", sql)
     # MySQL logical XOR on booleans ≡ boolean inequality
     sql = _XOR.sub("!=", sql)
+    # GROUP BY a, b WITH ROLLUP → GROUP BY ROLLUP(a, b)
+    sql = re.sub(
+        r"GROUP\s+BY\s+(.+?)\s+WITH\s+ROLLUP",
+        lambda m: f"GROUP BY ROLLUP({m.group(1)})",
+        sql, flags=re.IGNORECASE | re.DOTALL)
     return unmask_literals(sql, lits)

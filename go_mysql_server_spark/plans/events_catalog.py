@@ -182,3 +182,96 @@ def events_type_pivot(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         ROUND(SUM(value), 4) AS amount
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.purchase_id, p.amount, v.view_id AS view_id_r
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.user_id, p.purchase_id
+""",
+)
+def events_asof_join(spark, sf_dir):
+    """ASOF JOIN: each purchase matched to the same user's most recent view
+    at or before it (operators/asof.py — union + one keyed window, never a
+    quadratic per-key theta join). Oracle is DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+    e = t(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("purchase_id"),
+              F.round(F.sum("value"), 4).alias("amount")))
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("view_id")))
+    return (
+        asof_join(p, v, on="ts", key="user_id")
+        .select("user_id", "purchase_id", "amount", "view_id_r")
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+@query(
+    "events_rollup_totals",
+    oracle="""
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY ROLLUP(event_type, EXTRACT(hour FROM ts))
+ORDER BY event_type NULLS FIRST, hr NULLS FIRST
+""",
+)
+def events_rollup_totals(spark, sf_dir):
+    """GROUP BY ... WITH ROLLUP (MySQL super-aggregate rows; reference
+    planbuilder rollup support) → Spark's native rollup — Catalyst expands
+    to a single Expand + hash aggregate, one shuffle for all grouping
+    levels."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("hr").asc_nulls_first())
+    )
+
+
+@query(
+    "events_exact_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (MySQL 8 lacks percentile functions;
+    the reference corpus uses window tricks — Spark's percentile() is the
+    declarative form; both engines use linear interpolation so the oracle
+    is exact after rounding)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

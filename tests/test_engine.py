@@ -845,3 +845,12 @@ def test_only_full_group_by_enforced(eng):
     column is rejected, which subsumes the reference's validation rule."""
     with pytest.raises(Exception, match="(?i)group|aggregate"):
         eng.query("SELECT s, COUNT(*) FROM mytable GROUP BY i")
+
+
+def test_group_by_with_rollup_sql(eng):
+    eng.query("CREATE TABLE ru (g VARCHAR(5), x BIGINT)")
+    eng.query("INSERT INTO ru VALUES ('a', 1), ('a', 2), ('b', 10)")
+    got = rows(eng.query(
+        "SELECT g, SUM(x) AS s FROM ru GROUP BY g WITH ROLLUP "
+        "ORDER BY g"))
+    assert got == [(None, 13), ("a", 3), ("b", 10)]

@@ -136,3 +136,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS b_orders_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{suffix}")
+
+
+def test_asof_join_has_no_quadratic_join(spark):
+    """The as-of plan must be union+window (one shuffle on the key), never
+    a nested-loop/cartesian theta join."""
+    from go_mysql_server_spark.plans.registry import all_queries
+    df = all_queries()["events_asof_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_contamination_probe_is_broadcast(spark):
+    from go_mysql_server_spark.plans.registry import all_queries
+    df = all_queries()["pipeline_contamination_check"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_neardup_no_nested_loop(spark):
+    from go_mysql_server_spark.plans.registry import all_queries
+    df = all_queries()["pipeline_embedding_neardup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
