@@ -131,3 +131,55 @@ SELECT doc_id,
        ('0x' || substr(md5(text), 11, 15))::BIGINT AS luma_hash
 FROM {table}
 """
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_ord", IntegerType()),
+    StructField("frame_hash", StringType()),
+])
+
+FRAME_LEN = 64
+FRAME_STRIDE = 256
+
+
+def framesample(images: DataFrame, frame_len: int = FRAME_LEN,
+                stride: int = FRAME_STRIDE, id_col: str = "doc_id",
+                bin_col: str = "image") -> DataFrame:
+    """Video-style keyframe sampling: one frame of `frame_len` bytes every
+    `stride` bytes, with ordinality and a per-frame content hash.
+
+    1→N rows per payload, computed partition-local in Arrow batches (no
+    shuffle, no driver). A real codec would replace the byte-slice with an
+    ffmpeg keyframe extraction — the schema, ordinality, and batch shape
+    are already the production ones."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ords, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                for n, i in enumerate(range(0, len(payload), stride)):
+                    ids.append(doc_id)
+                    ords.append(n)
+                    hashes.append(
+                        hashlib.md5(bytes(payload[i:i + frame_len])).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_ord": ords, "frame_hash": hashes})
+
+    return images.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+def framesample_sql(table: str = "documents", frame_len: int = FRAME_LEN,
+                    stride: int = FRAME_STRIDE) -> str:
+    """DuckDB twin: same frames via substr over the text payload (the fake
+    'video' is the UTF-8 bytes, so string slicing = byte slicing)."""
+    return f"""
+SELECT doc_id,
+       CAST(f.i AS INTEGER) AS frame_ord,
+       md5(substr(text, 1 + f.i * {stride}, {frame_len})) AS frame_hash
+FROM {table}
+JOIN LATERAL (
+  SELECT unnest(generate_series(
+    0, CAST(floor((length(text) - 1) / {stride}) AS INTEGER))) AS i
+) f ON length(text) > 0
+"""

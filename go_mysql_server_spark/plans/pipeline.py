@@ -200,3 +200,16 @@ def langid_accuracy_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_framesample",
+    oracle=multimodal.framesample_sql() + " ORDER BY doc_id, frame_ord",
+)
+def multimodal_framesample(spark, sf_dir):
+    """Video-style keyframe sampling over binary payloads — Arrow
+    mapInPandas, 1→N rows with ordinality + per-frame hash, no shuffle
+    (operators/multimodal.py framesample)."""
+    docs = t(spark, sf_dir, "documents")
+    images = multimodal.documents_as_images(docs)
+    return multimodal.framesample(images).orderBy("doc_id", "frame_ord")

@@ -409,3 +409,79 @@ def pipeline_cluster_keep_best(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---- end-to-end corpus build ------------------------------------------------
+
+from ..operators.text import (  # noqa: E402
+    langid, langid_sql, normalize_text, normalize_text_sql,
+    token_count, token_count_sql,
+)
+
+
+@query(
+    "pipeline_end_to_end_corpus",
+    oracle=f"""
+WITH filtered AS (
+  SELECT doc_id, source, text,
+         {quality_score_sql("text")} AS q,
+         {langid_sql("text")} AS lang_pred,
+         {token_count_sql("text")} AS n_tokens
+  FROM documents
+  WHERE {quality_score_sql("text")} >= 0.5
+),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id,
+         MIN(source) AS source,
+         MIN(lang_pred) AS lang_pred,
+         MIN(n_tokens) AS n_tokens
+  FROM filtered
+  GROUP BY md5({normalize_text_sql("text")})
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE ('0x' || substr(md5('corpus#' || doc_id), 1, 15))::BIGINT % 100 < 80
+)
+SELECT source, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM sampled
+GROUP BY source, lang_pred
+ORDER BY source, lang_pred
+""",
+)
+def pipeline_end_to_end_corpus(spark, sf_dir):
+    """The full training-corpus build in one declarative plan:
+    quality-filter → language-ID → exact dedup (md5 canonical-min) →
+    deterministic 80% sample → per-(source, lang) token accounting.
+
+    Shuffle budget at 100 TB: ONE exchange for the dedup groupBy (on the
+    md5 key) + one for the final small aggregate — the filter, langid,
+    token count, and hash-sample are all scan-side projections. This is
+    the query a data team runs nightly; every stage reuses the
+    oracle-checked operator primitives."""
+    docs = t(spark, sf_dir, "documents")
+    filtered = docs.select(
+        "doc_id", "source", "text",
+        quality_score(F.col("text")).alias("q"),
+        langid(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("q") >= 0.5)
+    deduped = (
+        filtered
+        .groupBy(F.md5(normalize_text(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min("source").alias("source"),
+             F.min("lang_pred").alias("lang_pred"),
+             F.min("n_tokens").alias("n_tokens"))
+    )
+    sampled = deduped.filter(
+        md5_int60(F.concat(F.lit("corpus#"), F.col("doc_id"))) % 100 < 80)
+    return (
+        sampled.groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.min("doc_id").alias("first_doc"))
+        .orderBy("source", "lang_pred")
+    )
