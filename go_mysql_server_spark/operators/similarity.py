@@ -187,6 +187,137 @@ def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
     )
 
 
+NCELLS = 8
+NPROBE = 2
+
+
+def ivf_probe_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 5,
+                   ncells: int = NCELLS, nprobe: int = NPROBE,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell, then search only the query's `nprobe` closest cells.
+
+    The coarse quantizer is deterministic — centroids are the first `ncells`
+    vectors by id — so the DuckDB oracle reproduces the identical index. The
+    centroid table is tiny (ncells × dims) and is collected once at plan
+    build and inlined as literals: cell assignment is then a pure scan-side
+    projection (no shuffle, no join), exactly how a production IVF broadcasts
+    its quantizer. At 100 TB the corpus would be written clustered/partitioned
+    BY cell, so probing nprobe cells is partition pruning; here the pruning
+    is the broadcast equi-join on `cell`.
+
+    Mirrors the reference's ANN ORDER BY rewrite surface
+    (reference sql/analyzer/replace_order_by_distance.go) with a real
+    inverted-file index instead of a full scan.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.filter(F.col(id_col) < ncells)
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(v) for v in vals])
+
+    def cell_scores(v: Column) -> list[Column]:
+        vn = norm(v)
+        return [
+            F.round(dot(v, lit_vec(cv)) / (vn * F.lit(math_sqrt_dot(cv))), 6)
+            for _, cv in cents
+        ]
+
+    def math_sqrt_dot(vals: list[float]) -> float:
+        s = 0.0
+        for x in vals:
+            s += x * x
+        return s ** 0.5
+
+    # argmax cell, ties → smallest cell id (array_position = first match)
+    def assigned_cell(v: Column) -> Column:
+        scores = F.array(*cell_scores(v))
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    base = _spread(embeddings, id_col)
+    cand = base.select(
+        F.col(id_col), F.col(vec_col).alias("cvec"),
+        assigned_cell(F.col(vec_col)).alias("cell"),
+    )
+    # probe list: nprobe best cells per query — sort (−score, cell) structs
+    def probe_cells(v: Column) -> Column:
+        structs = F.array(*[
+            F.struct((-s).alias("ns"), F.lit(int(c)).alias("c"))
+            for s, (c, _) in zip(cell_scores(v), cents)
+        ])
+        return F.slice(F.array_sort(structs), 1, nprobe)["c"]
+
+    q = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                F.explode(probe_cells(F.col(vec_col))).alias("cell"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, "cell",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_probe_topk_sql(k: int = 3, n_queries: int = 5,
+                       ncells: int = NCELLS, nprobe: int = NPROBE) -> str:
+    """DuckDB twin: the same deterministic IVF expressed relationally."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec FROM embeddings
+  WHERE vec_id < {ncells}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cellscore AS (
+  SELECT b.vec_id, c.cell,
+         ROUND(list_dot_product(b.vec, c.cvec)
+               / (sqrt(list_dot_product(b.vec, b.vec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS score
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM cellscore) a
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM cellscore WHERE vec_id < {n_queries}) p
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.qid, b.vec_id, a.cell,
+         ROUND(list_dot_product(q.vec, b.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+  FROM assign a
+  JOIN probe p USING (cell)
+  JOIN base b ON b.vec_id = a.vec_id AND b.vec_id <> p.qid
+  JOIN base q ON q.vec_id = p.qid
+)
+SELECT qid, vec_id, cell, cos_sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored) r
+WHERE rank <= {k}
+"""
+
+
 def lsh_topk_sql(k: int = 3, n_queries: int = 5,
                  num_planes: int = NUM_HYPERPLANES, dims: int = 64) -> str:
     return f"""

@@ -1,0 +1,122 @@
+"""Round-2 LLM-pipeline operators, batch 3: IVF-probe ANN search and
+repetition-based quality signals (Gopher-style duplicate-text heuristics).
+
+Same oracle discipline as the rest of the catalog: declarative DataFrame
+plans with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ivf_probe_topk, ivf_probe_topk_sql
+from ..operators.text import tokens, tokens_sql
+from ._util import t
+from .registry import query
+
+# ---- IVF probe ANN ----------------------------------------------------------
+
+
+@query(
+    "similarity_ivf_probe",
+    oracle=ivf_probe_topk_sql() + " ORDER BY qid, rank",
+)
+def similarity_ivf_probe(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (centroids = first 8 vectors),
+    scan-side cell assignment from inlined centroid literals, probe the 2
+    nearest cells per query, exact cosine top-k inside the probed cells
+    (operators/similarity.py ivf_probe_topk). At 100 TB the corpus is
+    written clustered by cell, so the probe is partition pruning."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_probe_topk(emb).orderBy("qid", "rank")
+
+
+# ---- repetition / quality signals -------------------------------------------
+
+
+@query(
+    "pipeline_repetition_signals",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {tokens_sql("text")} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS kind, unnest(ws) AS gram FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS kind,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM base WHERE len(ws) >= 2
+),
+counts AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, kind, gram
+),
+per AS (
+  SELECT doc_id, kind, SUM(cnt) AS n, COUNT(*) AS d, MAX(cnt) AS top
+  FROM counts GROUP BY doc_id, kind
+)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN kind = 1 THEN n END) AS BIGINT) AS n_words,
+       ROUND(MAX(CASE WHEN kind = 1 THEN d END) * 1.0
+             / MAX(CASE WHEN kind = 1 THEN n END), 6) AS uniq_word_frac,
+       ROUND(MAX(CASE WHEN kind = 1 THEN top END) * 1.0
+             / MAX(CASE WHEN kind = 1 THEN n END), 6) AS top_word_frac,
+       ROUND(MAX(CASE WHEN kind = 2 THEN d END) * 1.0
+             / MAX(CASE WHEN kind = 2 THEN n END), 6) AS uniq_bigram_frac,
+       ROUND(MAX(CASE WHEN kind = 2 THEN top END) * 1.0
+             / MAX(CASE WHEN kind = 2 THEN n END), 6) AS top_bigram_frac,
+       (ROUND(MAX(CASE WHEN kind = 2 THEN top END) * 1.0
+              / MAX(CASE WHEN kind = 2 THEN n END), 6) > 0.2
+        OR ROUND(MAX(CASE WHEN kind = 1 THEN d END) * 1.0
+                 / MAX(CASE WHEN kind = 1 THEN n END), 6) < 0.3)
+         AS is_repetitive
+FROM per GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def pipeline_repetition_signals(spark, sf_dir):
+    """Repetition quality signals per document — unique-word fraction,
+    most-frequent-word fraction, and the bigram twins (the Gopher /
+    MassiveText repetition filters). Relational shape: one explode of
+    unigrams+bigrams tagged by kind, a (doc, kind, gram) count with
+    map-side combine, then a per-(doc, kind) rollup — two exchanges,
+    both keyed by doc_id so gram hot keys are bounded by document
+    length, never by corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(0, size(ws) - 2),"
+               " i -> concat(ws[i], ' ', ws[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", F.lit(1).alias("kind"), F.explode("ws").alias("gram")
+    ).unionAll(
+        base.select("doc_id", F.lit(2).alias("kind"),
+                    F.explode(bigrams).alias("gram"))
+    )
+    per = (
+        grams.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "kind")
+        .agg(F.sum("cnt").alias("n"), F.count("*").alias("d"),
+             F.max("cnt").alias("top"))
+    )
+
+    def of(kind: int, col: str):
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    uniq_w = F.round(of(1, "d") / of(1, "n"), 6)
+    top_bi = F.round(of(2, "top") / of(2, "n"), 6)
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            of(1, "n").cast("long").alias("n_words"),
+            uniq_w.alias("uniq_word_frac"),
+            F.round(of(1, "top") / of(1, "n"), 6).alias("top_word_frac"),
+            F.round(of(2, "d") / of(2, "n"), 6).alias("uniq_bigram_frac"),
+            top_bi.alias("top_bigram_frac"),
+            ((top_bi > 0.2) | (uniq_w < 0.3)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
