@@ -34,12 +34,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as long
-        # (nanosAsLong) — rescale to µs timestamp with integer division,
-        # matching DuckDB's ns→µs truncation.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # TIMESTAMP(NANOS) parquet read as long (nanosAsLong) —
+            # rescale to µs timestamp with integer division, matching
+            # DuckDB's ns→µs truncation.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Plain TIMESTAMP parquet: normalize NTZ → session-local
+            # timestamp so window/session functions and the DuckDB
+            # oracle (naive timestamps) agree.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

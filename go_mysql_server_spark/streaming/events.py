@@ -47,7 +47,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = next(
+        (f.dataType.simpleString() for f in raw_schema if f.name == "ts"), "")
+    if ts_type in ("bigint", "long"):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
