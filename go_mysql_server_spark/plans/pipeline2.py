@@ -28,10 +28,10 @@ from .registry import query
 @query(
     "dedup_connected_components",
     oracle=f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {dedup.minhash_candidate_pairs_sql().strip().rstrip()}
 ),
-edges AS (  -- undirected
+edges AS MATERIALIZED (  -- undirected
   SELECT a AS u, b AS v FROM pairs
   UNION ALL SELECT b, a FROM pairs
 ),

@@ -328,10 +328,10 @@ def pipeline_contamination_check(spark, sf_dir):
 @query(
     "pipeline_cluster_keep_best",
     oracle=f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {dedup.minhash_candidate_pairs_sql().strip()}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a AS u, b AS v FROM pairs
   UNION ALL SELECT b, a FROM pairs
 ),

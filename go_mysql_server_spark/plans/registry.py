@@ -35,6 +35,7 @@ _ORACLES: dict[str, str] = {}
 _PLAN_MODULES = (
     "go_mysql_server_spark.plans.tpch",
     "go_mysql_server_spark.plans.tpch2",
+    "go_mysql_server_spark.plans.tpch3",
     "go_mysql_server_spark.plans.relational",
     "go_mysql_server_spark.plans.aggregates",
     "go_mysql_server_spark.plans.windows",

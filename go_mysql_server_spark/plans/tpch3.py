@@ -1,0 +1,268 @@
+"""Final TPC-H batch: q2, q11, q16, q20 — the four queries whose original
+text needs the `partsupp` table, which the driver's reduced schema omits.
+A surrogate part-supplier relation is derived from lineitem (one groupBy):
+
+    partsupp(ps_partkey, ps_suppkey,
+             ps_availqty   = SUM(l_quantity),
+             ps_supplycost = MIN(l_extendedprice / l_quantity))
+
+identical in the Spark builder and the DuckDB oracle, so the planner shapes
+the reference exercises with these queries (enginetest/queries/tpch_plans.go)
+are preserved against the available tables:
+
+- q2  — correlated MIN-subquery against the same relation (min-cost
+        supplier per part), decorrelated into a grouped min + equi-join.
+- q11 — HAVING against an uncorrelated global scalar subquery.
+- q16 — NOT IN subquery + COUNT(DISTINCT) rollup.
+- q20 — doubly-nested IN with a correlated, date-filtered scalar aggregate.
+
+Scale notes: the surrogate build is one exchange keyed by (partkey,
+suppkey); every dimension join below is an explicit broadcast; q2's
+decorrelation turns the per-row subquery into one extra aggregate over the
+same shuffled relation (no re-scan of lineitem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+# Shared CTE text for the DuckDB side — byte-identical math to the builder.
+_PARTSUPP_SQL = """
+partsupp AS MATERIALIZED (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(l_quantity) AS ps_availqty,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """The lineitem-derived part-supplier surrogate (see module docstring)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").alias("ps_availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH {_PARTSUPP_SQL.strip()},
+eu AS MATERIALIZED (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(ps_supplycost, 6) AS supplycost
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN eu ON ps_suppkey = s_suppkey
+WHERE p_size < 10 AND p_type = 'ECONOMY'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2 JOIN eu e2 ON ps2.ps_suppkey = e2.s_suppkey
+    WHERE ps2.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2(spark, sf_dir):
+    """TPC-H q2: cheapest European supplier per qualifying part (reference
+    tpch_plans.go q2). The correlated MIN subquery is decorrelated into a
+    grouped min over the SAME partsupp relation + an equality join — one
+    aggregate instead of a per-row subquery, the plan Catalyst also
+    produces for the SQL form."""
+    ps = _partsupp(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "ECONOMY"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        .join(min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+              (F.col("p_partkey") == F.col("mc_partkey"))
+              & (F.col("ps_supplycost") == F.col("min_cost")))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH {_PARTSUPP_SQL.strip()},
+nat_ps AS MATERIALIZED (
+  -- DECIMAL sum: double += is order-dependent across engines; fixed-point
+  -- addition is exact, so partial-aggregation order can't flip the cents
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(24,6)) AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(ROUND(SUM(v), 2) AS DOUBLE) AS part_value
+FROM nat_ps
+GROUP BY ps_partkey
+HAVING SUM(v) > (SELECT SUM(v) * 0.001 FROM nat_ps)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q11(spark, sf_dir):
+    """TPC-H q11: parts representing a significant share of one nation's
+    stock value — HAVING against an uncorrelated global scalar subquery
+    (reference tpch_plans.go q11). The global total is a second aggregate
+    over the same shuffled relation, joined in as a broadcast scalar."""
+    ps = _partsupp(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_ps = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("ps_partkey",
+                (F.col("ps_supplycost") * F.col("ps_availqty"))
+                .cast("decimal(24,6)").alias("v"))
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    total = nat_ps.agg((F.sum("v") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("sv") > F.col("threshold"))
+        .select("ps_partkey",
+                F.round("sv", 2).cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+WITH partsupp AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 11, 17, 23, 29, 36, 41)
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16(spark, sf_dir):
+    """TPC-H q16: supplier counts per (brand, type, size), excluding a
+    brand/type and suppliers flagged by the NOT IN subquery (reference
+    tpch_plans.go q16; 'complaints' LIKE-predicate adapted to s_acctbal<0
+    on the reduced schema). NOT IN over a non-null key column = anti-join;
+    COUNT(DISTINCT) rides the grouping exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 36, 41))
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=f"""
+WITH {_PARTSUPP_SQL.strip()}
+SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01')
+  )
+ORDER BY s_name
+""",
+)
+def q20(spark, sf_dir):
+    """TPC-H q20: suppliers holding excess stock of promotable parts —
+    doubly-nested IN with a correlated, date-filtered scalar aggregate
+    (reference tpch_plans.go q20). Decorrelated: the inner scalar becomes a
+    grouped aggregate over the filtered lineitem keyed by the correlation
+    columns, left-joined (absent groups ⇒ NULL ⇒ comparison false, exactly
+    the empty-subquery SQL semantics), then a semi-join into supplier."""
+    ps = _partsupp(spark, sf_dir)
+    li = t(spark, sf_dir, "lineitem")
+    promo_parts = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy(F.col("l_partkey").alias("sh_partkey"),
+                 F.col("l_suppkey").alias("sh_suppkey"))
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(promo_parts),
+                ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(shipped,
+              (F.col("ps_partkey") == F.col("sh_partkey"))
+              & (F.col("ps_suppkey") == F.col("sh_suppkey")), "left")
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.ps_suppkey,
+              "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )

@@ -76,7 +76,8 @@ def main() -> None:
     slow = sorted(results.items(), key=lambda kv: -kv[1]["t"])[:15]
     print("\nSlowest:")
     for name, r in slow:
-        print(f"  {r['t']:7.2f}s  {name}")
+        print(f"  {r['t']:7.2f}s  (spark {r['t_spark']:.2f} / oracle "
+              f"{r['t_oracle']:.2f})  {name}")
     bad = {k: v for k, v in results.items() if v["status"] != "ok"}
     if bad:
         print("\nFAILURES:")
