@@ -381,6 +381,11 @@ class Engine:
         masked, lits = mask_literals(sql)
         masked = re.sub(r"\bLAST_INSERT_ID\s*\(\s*\)",
                         self._lit(self.last_insert_id or 0), masked, flags=re.I)
+        if re.search(r"\bLAST_INSERT_UUID\s*\(\s*\)", masked, re.I):
+            from .functions import wkb_fns
+            masked = re.sub(r"\bLAST_INSERT_UUID\s*\(\s*\)",
+                            self._lit(wkb_fns.LAST_INSERT_UUID[0]),
+                            masked, flags=re.I)
         masked = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db),
                         masked, flags=re.I)
         sql = unmask_literals(masked, lits)
@@ -962,7 +967,11 @@ class Engine:
             nullable = "NOT NULL" not in rest_up
             auto_inc = "AUTO_INCREMENT" in rest_up
             default = None
-            dm = re.search(r"DEFAULT\s+('(?:[^']|'')*'|\(.*?\)|[\w.+-]+)", rest, re.I)
+            # one nesting level inside the parenthesized form covers
+            # DEFAULT (uuid()), (now()), ((1+2)*3)-style expressions
+            dm = re.search(
+                r"DEFAULT\s+('(?:[^']|'')*'"
+                r"|\((?:[^()]|\([^()]*\))*\)|[\w.+-]+)", rest, re.I)
             if dm and dm.group(1).upper() != "NULL":
                 default = dm.group(1)
             generated = None
@@ -1005,7 +1014,10 @@ class Engine:
                 dtype, enum_vals, bounds = _parse_type(cm.group(2))
                 rest_up = cm.group(2).upper()
                 nullable = "NOT NULL" not in rest_up
-                dm = re.search(r"DEFAULT\s+('(?:[^']|'')*'|[\w.+-]+)", cm.group(2), re.I)
+                dm = re.search(
+                    r"DEFAULT\s+('(?:[^']|'')*'"
+                    r"|\((?:[^()]|\([^()]*\))*\)|[\w.+-]+)",
+                    cm.group(2), re.I)
                 default = dm.group(1) if dm and dm.group(1).upper() != "NULL" else None
                 generated = None
                 gm = re.search(r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", cm.group(2), re.I)
@@ -1242,6 +1254,16 @@ class Engine:
         self._register(ts)
         if last_id is not None:
             self.last_insert_id = last_id
+        uuid_cols = [c.name for c in ts.columns
+                     if c.default and "uuid" in c.default.lower()
+                     and c.name not in target_cols]
+        if uuid_cols:
+            row = incoming.select(uuid_cols[0]).first()
+            if row is not None:
+                # reference last_insert_uuid.go: the uuid() DEFAULT
+                # materialized by the last insert, session-scoped
+                from .functions import wkb_fns
+                wkb_fns.LAST_INSERT_UUID[0] = row[0]
         self._apply_insert_triggers(ts, incoming, "AFTER")
         return OkResult(max(affected, 0), last_id)
 

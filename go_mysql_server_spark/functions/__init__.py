@@ -18,10 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, SparkSession
 
-from . import datetime_fns, extra_fns, scalar_basic, spatial, special
+from . import datetime_fns, extra_fns, scalar_basic, spatial, special, wkb_fns
 
 REGISTRY: dict[str, object] = {}
-for mod in (scalar_basic, datetime_fns, special, spatial, extra_fns):
+for mod in (scalar_basic, datetime_fns, special, spatial, extra_fns, wkb_fns):
     REGISTRY.update(mod.FUNCTIONS)
 
 

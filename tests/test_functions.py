@@ -171,3 +171,80 @@ def test_spatial_distance_sphere(spark):
     # Paris (2.35, 48.85) ↔ London (-0.13, 51.51): ~343-344 km
     d = val(spark, st_distance_sphere(point(2.35, 48.85), point(-0.13, 51.51)))
     assert 340_000 < d < 348_000
+
+
+def test_wkb_constructors_and_hull(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions import mysql_fn
+
+    pt = struct.pack("<BIdd", 1, 1, 1.5, 2.5)
+    pt_srid = struct.pack("<I", 4326) + pt  # MySQL internal SRID prefix
+    line = (struct.pack("<BII", 1, 2, 3)
+            + struct.pack("<dd", 0, 0) + struct.pack("<dd", 1, 1)
+            + struct.pack("<dd", 2, 0))
+    df = spark.createDataFrame([(pt, pt_srid, line)],
+                               "a binary, b binary, c binary")
+    row = df.select(
+        mysql_fn("st_pointfromwkb", F.col("a")).alias("p"),
+        mysql_fn("st_geomfromwkb", F.col("b")).alias("ps"),
+        mysql_fn("st_convexhull",
+                 mysql_fn("st_linefromwkb", F.col("c"))).alias("hull"),
+    ).collect()[0]
+    assert (row.p.x, row.p.y) == (1.5, 2.5)
+    assert [(p.x, p.y) for p in row.ps] == [(1.5, 2.5)]
+    # hull of the 3-point wedge keeps all three vertices, CCW from min
+    assert {(p.x, p.y) for p in row.hull} == {(0, 0), (2, 0), (1, 1)}
+
+
+def test_multi_geometry_text_and_distance(spark):
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions import mysql_fn
+
+    row = spark.range(1).select(
+        mysql_fn("st_multilinestringfromtext",
+                 F.lit("MULTILINESTRING((0 0, 1 1),(2 2, 3 3))")).alias("ml"),
+        mysql_fn("distance", "L2",
+                 F.array(F.lit(3.0), F.lit(0.0)),
+                 F.array(F.lit(0.0), F.lit(4.0))).alias("l2"),
+        mysql_fn("distance", "COSINE",
+                 F.array(F.lit(1.0), F.lit(0.0)),
+                 F.array(F.lit(1.0), F.lit(0.0))).alias("cos_same"),
+    ).collect()[0]
+    assert [(p.x, p.y) for p in row.ml] == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    assert row.l2 == 5.0
+    assert abs(row.cos_same) < 1e-12
+
+
+def test_gtid_subtract_and_schema_report(spark):
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions import mysql_fn
+
+    row = spark.range(1).select(
+        mysql_fn("gtid_subtract", F.lit("aaa:1-10,bbb:1-3"),
+                 F.lit("aaa:3-5,bbb:1-3")).alias("g"),
+        mysql_fn("json_schema_validation_report",
+                 F.lit('{"type":"object","required":["a"]}'),
+                 F.lit('{"a": 1}')).alias("ok"),
+        mysql_fn("json_schema_validation_report",
+                 F.lit('{"type":"object","required":["a"]}'),
+                 F.lit('{"b": 1}')).alias("bad"),
+    ).collect()[0]
+    assert row.g == "aaa:1-2:6-10"
+    assert '"valid": true' in row.ok
+    assert '"valid": false' in row.bad
+
+
+def test_last_insert_uuid_engine(spark):
+    from go_mysql_server_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.query("CREATE TABLE tu (id VARCHAR(36) DEFAULT (uuid()), x INT)")
+    eng.query("INSERT INTO tu (x) VALUES (7)")
+    got = eng.query("SELECT LAST_INSERT_UUID() AS u").collect()[0]["u"]
+    stored = eng.query("SELECT id FROM tu").collect()[0]["id"]
+    assert got == stored and len(got) == 36

@@ -162,3 +162,21 @@ def test_embedding_neardup_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_decorrelated_min_has_no_nested_loop(spark):
+    """q2's correlated MIN subquery must decorrelate into a grouped min +
+    join — never a per-row nested-loop re-evaluation."""
+    plan = formatted_plan(spark, "tpch_q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dims (nation/region/part) broadcast
+
+
+def test_q20_semi_join_chain(spark):
+    """q20's nested INs become semi-joins; the correlated scalar becomes a
+    grouped aggregate left-joined on the correlation key."""
+    plan = formatted_plan(spark, "tpch_q20_potential_promotion")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
