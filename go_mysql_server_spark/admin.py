@@ -437,4 +437,92 @@ def show_misc(eng, sql: str) -> DataFrame | None:
         return show_grants(eng, sql)
     if up.startswith(("SHOW INDEX", "SHOW INDEXES", "SHOW KEYS")):
         return show_index(eng, sql)
+    if up.startswith("SHOW CREATE PROCEDURE"):
+        name = sql.split()[-1].strip("`").lower()
+        proc = eng.procedures.get(name)
+        if proc is None:
+            from .engine import SqlError
+            raise SqlError(f"PROCEDURE {name} does not exist")
+        params = ", ".join(f"{m} {n} {t}".strip() for m, n, t in proc.params)
+        ddl = f"CREATE PROCEDURE `{proc.name}`({params})\n{proc.body}"
+        return sp.createDataFrame(
+            [(proc.name, "STRICT_TRANS_TABLES", ddl, "utf8mb4",
+              "utf8mb4_0900_ai_ci", "utf8mb4_0900_ai_ci")],
+            "Procedure string, sql_mode string, `Create Procedure` string, "
+            "character_set_client string, collation_connection string, "
+            "`Database Collation` string")
+    if up.startswith("SHOW CREATE FUNCTION"):
+        name = sql.split()[-1].strip("`").lower()
+        ddl = eng.functions.get(name)
+        if ddl is None:
+            from .engine import SqlError
+            raise SqlError(f"FUNCTION {name} does not exist")
+        return sp.createDataFrame(
+            [(name, "STRICT_TRANS_TABLES", ddl, "utf8mb4",
+              "utf8mb4_0900_ai_ci", "utf8mb4_0900_ai_ci")],
+            "Function string, sql_mode string, `Create Function` string, "
+            "character_set_client string, collation_connection string, "
+            "`Database Collation` string")
+    if up.startswith("SHOW CREATE TRIGGER"):
+        name = sql.split()[-1].strip("`")
+        for tbl, trigs in eng.triggers.items():
+            for tr in trigs:
+                if tr.name.lower() == name.lower():
+                    ddl = (f"CREATE TRIGGER `{tr.name}` {tr.timing} "
+                           f"{tr.event} ON `{tbl}` FOR EACH ROW {tr.body}")
+                    return sp.createDataFrame(
+                        [(tr.name, "STRICT_TRANS_TABLES", ddl, "utf8mb4",
+                          "utf8mb4_0900_ai_ci", "utf8mb4_0900_ai_ci")],
+                        "Trigger string, sql_mode string, "
+                        "`SQL Original Statement` string, "
+                        "character_set_client string, "
+                        "collation_connection string, "
+                        "`Database Collation` string")
+        from .engine import SqlError
+        raise SqlError(f"trigger {name} does not exist")
+    if up.startswith("SHOW CREATE EVENT"):
+        name = sql.split()[-1].strip("`").lower()
+        ev = eng.events.get(name)
+        if ev is None:
+            from .engine import SqlError
+            raise SqlError(f"event {name} does not exist")
+        sched = (f"AT '{ev.at_ts}'" if ev.at_ts is not None
+                 else f"EVERY {ev.every_secs} SECOND")
+        ddl = (f"CREATE EVENT `{ev.name}` ON SCHEDULE {sched} "
+               f"ON COMPLETION {'PRESERVE' if ev.preserve else 'NOT PRESERVE'}"
+               f" {'ENABLE' if ev.enabled else 'DISABLE'} DO {ev.body}")
+        return sp.createDataFrame(
+            [(ev.name, "STRICT_TRANS_TABLES", "SYSTEM", ddl, "utf8mb4",
+              "utf8mb4_0900_ai_ci", "utf8mb4_0900_ai_ci")],
+            "Event string, sql_mode string, time_zone string, "
+            "`Create Event` string, character_set_client string, "
+            "collation_connection string, `Database Collation` string")
+    if up.startswith(("SHOW PROCEDURE STATUS", "SHOW FUNCTION STATUS")):
+        kind = "PROCEDURE" if "PROCEDURE" in up else "FUNCTION"
+        names = (sorted(eng.procedures) if kind == "PROCEDURE"
+                 else sorted(eng.functions))
+        return sp.createDataFrame(
+            [(eng.current_db, n, kind, "root@%") for n in names],
+            "Db string, Name string, Type string, Definer string")
+    if up.startswith("SHOW BINARY LOGS"):
+        # no binlog subsystem: empty set, same as a server with logging off
+        return sp.createDataFrame(
+            [], "Log_name string, File_size bigint, Encrypted string")
+    if up.startswith(("SHOW BINLOG STATUS", "SHOW MASTER STATUS")):
+        return sp.createDataFrame(
+            [], "File string, Position bigint, Binlog_Do_DB string, "
+                "Binlog_Ignore_DB string, Executed_Gtid_Set string")
+    if up.startswith(("SHOW REPLICA STATUS", "SHOW SLAVE STATUS",
+                      "SHOW REPLICAS", "SHOW SLAVE HOSTS")):
+        # not a replica: MySQL returns an empty result set
+        return sp.createDataFrame(
+            [], "Replica_IO_State string, Source_Host string, "
+                "Source_User string, Source_Port int, Connect_Retry int")
+    if up.startswith("SHOW PLUGINS"):
+        return sp.createDataFrame(
+            [("InnoDB", "ACTIVE", "STORAGE ENGINE", None, "GPL"),
+             ("mysql_native_password", "ACTIVE", "AUTHENTICATION", None,
+              "GPL")],
+            "Name string, Status string, Type string, Library string, "
+            "License string")
     return None

@@ -854,3 +854,27 @@ def test_group_by_with_rollup_sql(eng):
         "SELECT g, SUM(x) AS s FROM ru GROUP BY g WITH ROLLUP "
         "ORDER BY g"))
     assert got == [(None, 13), ("a", 3), ("b", 10)]
+
+
+def test_show_create_and_status_variants(eng):
+    eng.query("CREATE TABLE sct (a INT PRIMARY KEY, b INT)")
+    eng.query("CREATE PROCEDURE scp(IN x INT) BEGIN SELECT x; END")
+    eng.query("CREATE TRIGGER sctr BEFORE INSERT ON sct FOR EACH ROW "
+              "SET NEW.b = 1")
+    eng.query("CREATE EVENT sce ON SCHEDULE EVERY 1 HOUR DO SELECT 1")
+    eng.query("CREATE FUNCTION scf(x INT) RETURNS INT RETURN x + 1")
+
+    row = eng.query("SHOW CREATE PROCEDURE scp").collect()[0]
+    assert "CREATE PROCEDURE `scp`" in row["Create Procedure"]
+    row = eng.query("SHOW CREATE TRIGGER sctr").collect()[0]
+    assert "BEFORE INSERT ON `sct`" in row["SQL Original Statement"]
+    row = eng.query("SHOW CREATE EVENT sce").collect()[0]
+    assert "EVERY" in row["Create Event"]
+    row = eng.query("SHOW CREATE FUNCTION scf").collect()[0]
+    assert "scf" in row["Create Function"].lower()
+    assert eng.query("SHOW PROCEDURE STATUS").count() >= 1
+    assert eng.query("SHOW FUNCTION STATUS").count() >= 1
+    # replication-less server: empty result sets, correct schemas
+    assert eng.query("SHOW BINARY LOGS").count() == 0
+    assert eng.query("SHOW REPLICA STATUS").count() == 0
+    assert eng.query("SHOW PLUGINS").count() >= 1
