@@ -33,10 +33,17 @@ from pyspark.sql import functions as F
 ACCENT_SRC = (
     "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćĉċčďēĕėęěĝğġģĥĩīĭįĵķĺļľńņňōŏőŕŗřśŝşš"
     "ţťũūŭůűųŵŷźżžſơưǎǐǒǔǖǘǚǜǟǡǧǩǫǭǰǵǹǻȁȃȅȇȉȋȍȏȑȓȕȗșțȟȧȩȫȭȯȱȳ"
+    # Cyrillic: accent-insensitive 0900 weights fold the breve/diaeresis
+    # letters onto their base (й=и, ё=е, ѐ=е, ѝ=и; Macedonian/Serbian ќѓ)
+    "ёйѐѝўќѓґ"
+    # Greek: tonos/dialytika vowels fold onto the bare vowel; final sigma
+    "άέήίόύώϊϋΐΰς"
 )
 ACCENT_DST = (
     "aaaaaaceeeeiiiinooooouuuuyyaaaccccdeeeeegggghiiiijklllnnnooorrrssss"
     "ttuuuuuuwyzzzsouaiouuuuuaagkoojgnaaaeeiioorruusthaeooooy"
+    "еиеиукгг"
+    "αεηιουωιυιυσ"
 )
 assert len(ACCENT_SRC) == len(ACCENT_DST)
 

@@ -95,3 +95,31 @@ def collation_ci_order_by(spark, sf_dir):
         .select("n_nationkey", "name")
         .limit(10)
     )
+
+
+@query(
+    "collation_ci_nonlatin",
+    oracle=f"""
+WITH v(s) AS (VALUES
+  ('Ёлка'), ('елка'), ('ЙОД'), ('иод'), ('Καφές'), ('ΚΑΦΕΣ'),
+  ('café'), ('CAFE'), ('Zürich'), ('zurich')
+)
+SELECT {ci_key_sql("s")} AS folded,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(s) AS sample
+FROM v GROUP BY folded ORDER BY folded
+""",
+)
+def collation_ci_nonlatin(spark, sf_dir):
+    """Non-Latin accent-insensitive folding: Cyrillic ё/й and Greek
+    tonos/final-sigma variants group together under the 0900_ai_ci key,
+    exactly as the accent-insensitive weight tables do (reference
+    sql/encodings/ — utf8mb4_0900_ai_ci treats й=и, ё=е, ά=α, ς=σ)."""
+    rows = [("Ёлка",), ("елка",), ("ЙОД",), ("иод",), ("Καφές",),
+            ("ΚΑΦΕΣ",), ("café",), ("CAFE",), ("Zürich",), ("zurich",)]
+    v = spark.createDataFrame(rows, "s string")
+    return (
+        v.groupBy(ci_key(F.col("s")).alias("folded"))
+        .agg(F.count("*").alias("n"), F.min("s").alias("sample"))
+        .orderBy("folded")
+    )

@@ -120,3 +120,103 @@ def pipeline_repetition_signals(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---- domain / language mixture rebalancing ----------------------------------
+
+_MIX_WEIGHTS = (("en", 0.40), ("zh", 0.20), ("de", 0.15),
+                ("fr", 0.15), ("es", 0.10))
+
+_MIX_WEIGHTS_SQL = ", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)
+
+
+from ..operators.hashing import seeded_sql as _seeded_sql  # noqa: E402
+from ..operators.text import token_count_sql as _tc_sql  # noqa: E402
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""
+WITH w(lang, tw) AS (VALUES {_MIX_WEIGHTS_SQL}),
+avail AS MATERIALIZED (
+  SELECT lang, SUM({_tc_sql("text")}) AS avail_tokens
+  FROM documents GROUP BY lang
+),
+scale AS (
+  -- largest corpus N with tw*N <= avail for every lang (binding domain)
+  SELECT MIN(avail_tokens / tw) AS n_target
+  FROM avail JOIN w USING (lang)
+),
+rates AS (
+  SELECT a.lang, w.tw, a.avail_tokens,
+         LEAST(1.0, w.tw * s.n_target / a.avail_tokens) AS rate
+  FROM avail a JOIN w ON a.lang = w.lang CROSS JOIN scale s
+),
+kept AS (
+  SELECT d.lang,
+         CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM({_tc_sql("d.text")}) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {_seeded_sql("CAST(d.doc_id AS VARCHAR)", 911)} % 1000000
+        < CAST(r.rate * 1000000 AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.tw AS target_weight,
+       CAST(r.avail_tokens AS BIGINT) AS avail_tokens,
+       ROUND(r.rate, 6) AS accept_rate,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+""",
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Token-weighted mixture rebalancing (the Pile / Dolma recipe step):
+    given target language weights, find the largest corpus size whose
+    per-language token needs fit inside availability (the binding-domain
+    min), derive per-language acceptance rates, and keep documents by a
+    deterministic md5-threshold coin so both engines select the identical
+    subset.
+
+    Scale shape: two aggregates over documents (availability, kept) plus a
+    5-row broadcast of weights/rates — no shuffle of the corpus itself; at
+    100 TB the acceptance filter is scan-side and the only exchanges are
+    per-language partial aggregates. Reference has no mixing operator
+    (additive LLM-pipeline surface)."""
+    from ..operators.hashing import seeded
+    from ..operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(list(_MIX_WEIGHTS), "lang string, tw double")
+    avail = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).alias("avail_tokens"))
+    aw = avail.join(F.broadcast(weights), "lang")
+    scale = aw.agg(F.min(F.col("avail_tokens") / F.col("tw")).alias("n_target"))
+    rates = (
+        aw.join(F.broadcast(scale))
+        .select(
+            "lang", "tw", "avail_tokens",
+            F.least(F.lit(1.0),
+                    F.col("tw") * F.col("n_target") / F.col("avail_tokens"))
+            .alias("rate"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(seeded(F.col("doc_id").cast("string"), 911) % 1000000
+                < (F.col("rate") * 1000000).cast("long"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"),
+             F.sum(token_count(F.col("text"))).cast("long")
+             .alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang", F.col("tw").alias("target_weight"),
+            F.col("avail_tokens").cast("long").alias("avail_tokens"),
+            F.round("rate", 6).alias("accept_rate"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
