@@ -35,6 +35,11 @@ HEADLINE = [
     "events_funnel",
     "multimodal_decode",
     "vocab_document_frequency",
+    # round-2 additions (kept after the r1-comparable prefix)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "pipeline_domain_mix",
+    "pipeline_cluster_keep_best",
 ]
 
 

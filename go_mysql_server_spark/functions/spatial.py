@@ -490,9 +490,8 @@ FUNCTIONS = {
     "st_geomfromgeojson": st_geomfromgeojson_point,
     "st_aswkb": st_aswkb,
     "st_asbinary": st_aswkb,
-    "st_geomfromwkb": st_geomfromwkb,
-    "st_pointfromwkb": st_geomfromwkb,
-    "st_geometryfromwkb": st_geomfromwkb,
+    # st_geomfromwkb / st_pointfromwkb / st_geometryfromwkb live in
+    # wkb_fns.py (full multi-geometry WKB parser, array-geometry model)
     # geohash
     "st_geohash": st_geohash,
     "st_pointfromgeohash": st_pointfromgeohash,

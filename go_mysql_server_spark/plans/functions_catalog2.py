@@ -163,7 +163,9 @@ def func_spatial_extended(spark, sf_dir):
         F.round(fn("st_latfromgeohash", "ezs42"), 5).alias("ghlat"),
         F.round(fn("st_longfromgeohash", "ezs42"), 5).alias("ghlon"),
         F.hex(fn("st_aswkb", p)).alias("wkb_hex"),
-        st_astext(fn("st_geomfromwkb", fn("st_aswkb", p))).alias("wkb_roundtrip"),
+        # st_geomfromwkb returns the array-geometry model (like
+        # st_geomfromtext); the point accessor is st_pointfromwkb
+        st_astext(fn("st_pointfromwkb", fn("st_aswkb", p))).alias("wkb_roundtrip"),
         fn("st_asgeojson", p).alias("geojson"),
         st_astext(fn("st_swapxy", line), "linestring").alias("swapped"),
         F.round(fn("st_length", line), 6).alias("linelen"),

@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.pipeline2",
     "go_mysql_server_spark.plans.pipeline3",
     "go_mysql_server_spark.plans.pipeline4",
+    "go_mysql_server_spark.plans.pipeline5",
     "go_mysql_server_spark.plans.semantics",
 )
 

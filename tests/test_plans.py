@@ -180,3 +180,21 @@ def test_q20_semi_join_chain(spark):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_stage(spark):
+    """The salted aggregate must group by (user_id, _salt) before the final
+    user_id combine — two aggregation stages, so the hot key is split."""
+    plan = formatted_plan(spark, "events_salted_user_agg")
+    assert "_salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two stages
+
+
+def test_embedding_quantize_no_corpus_shuffle(spark):
+    """Codes are computed scan-side from broadcast stats: the embeddings
+    relation itself must not be hash-repartitioned for the code projection
+    (the only exchanges belong to the tiny dim-stats aggregate and the
+    final orderBy)."""
+    plan = formatted_plan(spark, "pipeline_embedding_quantize")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
