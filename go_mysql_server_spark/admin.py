@@ -526,3 +526,58 @@ def show_misc(eng, sql: str) -> DataFrame | None:
             "Name string, Status string, Type string, Library string, "
             "License string")
     return None
+
+
+# ---- table maintenance ------------------------------------------------------
+
+def q_checksum(eng, sql: str) -> DataFrame:
+    """CHECKSUM TABLE t1[, t2 ...] — a REAL checksum, not an ack: xor of
+    per-row xxhash64 over every column, which is order-independent (rows
+    are unordered) and distributed (one aggregate, no collect). MySQL's
+    native CHECKSUM is a row-order-dependent CRC and engine-specific, so
+    value parity is impossible by design — determinism-per-engine is the
+    contract (same as InnoDB vs MyISAM differing)."""
+    from .engine import SqlError
+    m = re.match(r"CHECKSUM\s+TABLES?\s+(.+?)(?:\s+QUICK|\s+EXTENDED)?$",
+                 sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse CHECKSUM: {sql[:60]!r}")
+    rows = []
+    for name in (n.strip().strip("`") for n in m.group(1).split(",")):
+        ts = eng._table(name)
+        agg = ts.df.select(
+            F.xxhash64(*ts.df.columns).alias("h")
+        ).agg(F.expr("cast(coalesce(aggregate(collect_list(h), 0L, "
+                     "(acc, x) -> acc ^ x), 0) as bigint)").alias("c"))
+        rows.append((f"{eng.current_db}.{name}", agg.first()["c"]))
+    return eng.spark.createDataFrame(rows, "Table string, Checksum bigint")
+
+
+def q_table_maint(eng, sql: str, kind: str) -> DataFrame:
+    """CHECK / OPTIMIZE / REPAIR TABLE — the status-row protocol shapes
+    (reference analyze.go-family nodes). CHECK actually validates the
+    snapshot is readable (count action); OPTIMIZE reports the InnoDB-style
+    'recreate + analyze' note; REPAIR is a no-op OK (nothing to repair in
+    immutable snapshots)."""
+    from .engine import SqlError
+    m = re.match(rf"{kind}\s+TABLES?\s+(.+?)$", sql, re.I)
+    if not m:
+        raise SqlError(f"cannot parse {kind.upper()}: {sql[:60]!r}")
+    rows = []
+    for name in (n.strip().strip("`") for n in m.group(1).split(",")):
+        name = re.sub(r"\s+(QUICK|FAST|MEDIUM|EXTENDED|CHANGED|USE_FRM)$",
+                      "", name, flags=re.I)
+        ts = eng._table(name)
+        full = f"{eng.current_db}.{name}"
+        if kind == "check":
+            ts.df.count()  # provably readable
+            rows.append((full, "check", "status", "OK"))
+        elif kind == "optimize":
+            rows.append((full, "optimize", "note",
+                         "Table does not support optimize, doing recreate + "
+                         "analyze instead"))
+            rows.append((full, "optimize", "status", "OK"))
+        else:
+            rows.append((full, "repair", "status", "OK"))
+    return eng.spark.createDataFrame(
+        rows, "Table string, Op string, Msg_type string, Msg_text string")

@@ -286,6 +286,10 @@ class Engine:
             "LOCK": lambda s: OkResult(0),          # reference LockSubsystem
             "UNLOCK": lambda s: OkResult(0),
             "DO": self._q_do,
+            "CHECKSUM": lambda s: admin.q_checksum(self, s),
+            "CHECK": lambda s: admin.q_table_maint(self, s, "check"),
+            "OPTIMIZE": lambda s: admin.q_table_maint(self, s, "optimize"),
+            "REPAIR": lambda s: admin.q_table_maint(self, s, "repair"),
         }.get(head)
         if handler is None:
             raise SqlError(f"unsupported statement: {sql[:60]!r}")

@@ -878,3 +878,20 @@ def test_show_create_and_status_variants(eng):
     assert eng.query("SHOW BINARY LOGS").count() == 0
     assert eng.query("SHOW REPLICA STATUS").count() == 0
     assert eng.query("SHOW PLUGINS").count() >= 1
+
+
+def test_table_maintenance_statements(eng):
+    eng.query("CREATE TABLE maint (a INT PRIMARY KEY, b VARCHAR(10))")
+    eng.query("INSERT INTO maint VALUES (1, 'x'), (2, 'y')")
+    c1 = eng.query("CHECKSUM TABLE maint").collect()[0]
+    assert c1["Table"].endswith(".maint") and isinstance(c1["Checksum"], int)
+    # checksum is content-derived: changing a row changes it
+    eng.query("UPDATE maint SET b = 'z' WHERE a = 2")
+    c2 = eng.query("CHECKSUM TABLE maint").collect()[0]
+    assert c2["Checksum"] != c1["Checksum"]
+    chk = eng.query("CHECK TABLE maint").collect()
+    assert chk[0]["Msg_text"] == "OK"
+    opt = eng.query("OPTIMIZE TABLE maint").collect()
+    assert opt[-1]["Msg_text"] == "OK"
+    rep = eng.query("REPAIR TABLE maint").collect()
+    assert rep[0]["Op"] == "repair"
