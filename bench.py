@@ -73,10 +73,16 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # the first 14 entries are the round-1 headline set; report their
+    # subtotal separately so cross-round totals stay comparable after the
+    # set was widened in round 2
+    r1_set = HEADLINE[:14]
     print(json.dumps({
         "metric": f"headline_queries_total_sf{sf}",
         "value": total,
         "unit": "sec",
+        "value_r1_comparable_14q": round(
+            sum(timings[n] for n in r1_set if n in timings), 3),
         "queries": timings,
         "sf": sf,
     }))
