@@ -883,6 +883,31 @@ class Engine:
             return OkResult(0)
         if re.match(r"CREATE\s+(UNIQUE\s+)?INDEX", upper):
             return admin.create_index(self, sql)
+        # CREATE TABLE ... LIKE (reference ddl.go createTableLike: clone
+        # columns, PK, indexes, checks — not the data, not foreign keys)
+        m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+"
+                     r"(?:LIKE\s+([`\w.]+)|\(\s*LIKE\s+([`\w.]+)\s*\))\s*$",
+                     sql, re.I)
+        if m:
+            import copy
+            db, tbl = self._split_name(m.group(2))
+            src = self._table(m.group(3) or m.group(4))
+            tables = self._db(db)
+            if tbl in tables:
+                if m.group(1):
+                    return OkResult(0)
+                raise SqlError(f"table {tbl!r} exists")
+            ts = TableState(
+                tbl, copy.deepcopy(src.columns),
+                df=src.df.limit(0),
+                primary_key=tuple(src.primary_key),
+                checks=list(src.checks),
+                indexes=copy.deepcopy(src.indexes),
+                auto_inc_next=1,
+            )
+            tables[tbl] = ts
+            self._register(ts)
+            return OkResult(0)
         # CREATE TABLE ... AS SELECT
         m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(SELECT.*)$",
                      sql, re.I | re.S)

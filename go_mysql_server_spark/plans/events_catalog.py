@@ -275,3 +275,35 @@ def events_exact_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_rollup_grouping_fn",
+    oracle="""
+SELECT COALESCE(event_type, '(all)') AS etype,
+       CAST(GROUPING(event_type) AS BIGINT) AS is_super,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY ROLLUP(event_type)
+ORDER BY is_super, etype
+""",
+)
+def events_rollup_grouping_fn(spark, sf_dir):
+    """GROUPING() super-aggregate indicator (MySQL 8 GROUPING() over WITH
+    ROLLUP; reference planbuilder grouping support): distinguishes the
+    rollup total row from a genuine NULL group key — same Expand plan as
+    the plain rollup, the indicator is a metadata column, no extra
+    shuffle."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total"),
+             F.grouping("event_type").cast("long").alias("is_super"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("etype"),
+            "is_super", "n", "total",
+        )
+        .orderBy("is_super", "etype")
+    )

@@ -187,8 +187,17 @@ def pipeline_domain_mix(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     weights = spark.createDataFrame(list(_MIX_WEIGHTS), "lang string, tw double")
-    avail = docs.groupBy("lang").agg(
-        F.sum(token_count(F.col("text"))).alias("avail_tokens"))
+    # one pass over the corpus text: checkpoint the 3-column projection
+    # (lang, tokens, coin) so availability AND the kept-subset aggregate
+    # read it instead of re-scanning/re-tokenizing 100 TB of text twice
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        (seeded(F.col("doc_id").cast("string"), 911) % 1000000)
+        .alias("coin"),
+    ).localCheckpoint(eager=False)
+    avail = per_doc.groupBy("lang").agg(
+        F.sum("n_tok").alias("avail_tokens"))
     aw = avail.join(F.broadcast(weights), "lang")
     scale = aw.agg(F.min(F.col("avail_tokens") / F.col("tw")).alias("n_target"))
     rates = (
@@ -201,13 +210,11 @@ def pipeline_domain_mix(spark, sf_dir):
         )
     )
     kept = (
-        docs.join(F.broadcast(rates), "lang")
-        .filter(seeded(F.col("doc_id").cast("string"), 911) % 1000000
-                < (F.col("rate") * 1000000).cast("long"))
+        per_doc.join(F.broadcast(rates), "lang")
+        .filter(F.col("coin") < (F.col("rate") * 1000000).cast("long"))
         .groupBy("lang")
         .agg(F.count("*").alias("kept_docs"),
-             F.sum(token_count(F.col("text"))).cast("long")
-             .alias("kept_tokens"))
+             F.sum("n_tok").cast("long").alias("kept_tokens"))
     )
     return (
         rates.join(kept, "lang", "left")

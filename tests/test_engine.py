@@ -895,3 +895,19 @@ def test_table_maintenance_statements(eng):
     assert opt[-1]["Msg_text"] == "OK"
     rep = eng.query("REPAIR TABLE maint").collect()
     assert rep[0]["Op"] == "repair"
+
+
+def test_create_table_like(eng):
+    eng.query("CREATE TABLE ctl_src (a INT PRIMARY KEY AUTO_INCREMENT, "
+              "b VARCHAR(10) NOT NULL DEFAULT 'x', CHECK (a > 0))")
+    eng.query("INSERT INTO ctl_src (b) VALUES ('p'), ('q')")
+    eng.query("CREATE TABLE ctl_dst LIKE ctl_src")
+    # clone has the schema but not the data
+    assert eng.query("SELECT COUNT(*) AS n FROM ctl_dst").collect()[0]["n"] == 0
+    eng.query("INSERT INTO ctl_dst (b) VALUES ('z')")
+    row = eng.query("SELECT a, b FROM ctl_dst").collect()[0]
+    assert (row["a"], row["b"]) == (1, "z")  # fresh auto_increment
+    ddl = eng.query("SHOW CREATE TABLE ctl_dst").collect()[0]["Create Table"]
+    assert "PRIMARY KEY" in ddl and "DEFAULT 'x'" in ddl and "CHECK" in ddl
+    # IF NOT EXISTS variant is a no-op on the existing clone
+    eng.query("CREATE TABLE IF NOT EXISTS ctl_dst LIKE ctl_src")
