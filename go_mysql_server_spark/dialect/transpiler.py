@@ -369,4 +369,23 @@ def transpile_select(sql: str) -> str:
         r"GROUP\s+BY\s+(.+?)\s+WITH\s+ROLLUP",
         lambda m: f"GROUP BY ROLLUP({m.group(1)})",
         sql, flags=re.IGNORECASE | re.DOTALL)
+    # Locking reads: single-session snapshot engine — the lock request is
+    # trivially satisfied (reference LockSubsystem), the clause is dropped.
+    sql = re.sub(r"\bFOR\s+(UPDATE|SHARE)(\s+OF\s+[`\w,\s]+?)?"
+                 r"(\s+NOWAIT|\s+SKIP\s+LOCKED)?\s*$", "", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bLOCK\s+IN\s+SHARE\s+MODE\s*$", "", sql,
+                 flags=re.IGNORECASE)
+    # Index hints are advisory in MySQL and meaningless under Spark scans
+    # (pushdown replaces index selection) — parse and drop.
+    sql = re.sub(r"\b(USE|FORCE|IGNORE)\s+(INDEX|KEY)"
+                 r"(\s+FOR\s+(JOIN|ORDER\s+BY|GROUP\s+BY))?\s*\([^)]*\)",
+                 "", sql, flags=re.IGNORECASE)
+    # SELECT modifiers: STRAIGHT_JOIN right after SELECT is a join-order
+    # hint (drop; Catalyst reorders); between relations it IS the join.
+    sql = re.sub(r"(SELECT\s+)(?:STRAIGHT_JOIN|SQL_NO_CACHE|SQL_CACHE|"
+                 r"SQL_CALC_FOUND_ROWS|HIGH_PRIORITY|SQL_SMALL_RESULT|"
+                 r"SQL_BIG_RESULT|SQL_BUFFER_RESULT)\s+", r"\1", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", sql, flags=re.IGNORECASE)
     return unmask_literals(sql, lits)

@@ -68,3 +68,22 @@ def test_string_literles_protected_in_datetime_rewrite():
     # commas inside string literals must not split args
     out = transpile_select("SELECT DATE_FORMAT(ts, '%Y, %m') FROM t")
     assert "date_format(ts, 'yyyy, MM')" in out
+
+
+def test_locking_reads_and_index_hints_stripped():
+    from go_mysql_server_spark.dialect.transpiler import transpile_select
+
+    assert transpile_select("SELECT a FROM t FOR UPDATE").rstrip() == \
+        "SELECT a FROM t"
+    assert transpile_select(
+        "SELECT a FROM t LOCK IN SHARE MODE").rstrip() == "SELECT a FROM t"
+    assert "INDEX" not in transpile_select(
+        "SELECT a FROM t USE INDEX (PRIMARY) WHERE a = 1")
+    assert "FORCE" not in transpile_select(
+        "SELECT a FROM t FORCE INDEX FOR GROUP BY (i) GROUP BY a")
+    out = transpile_select(
+        "SELECT STRAIGHT_JOIN t.a FROM t STRAIGHT_JOIN u ON t.a = u.a")
+    assert out.startswith("SELECT t.a") and " JOIN u" in out
+    # literals survive untouched
+    assert transpile_select("SELECT 'USE INDEX (x) FOR UPDATE' AS s") == \
+        "SELECT 'USE INDEX (x) FOR UPDATE' AS s"
