@@ -1,0 +1,83 @@
+"""Streaming corpus ingestion — the LLM-pipeline surface as a live stream.
+
+A production training-data pipeline ingests documents continuously; this is
+the Structured Streaming twin of the batch `pipeline_end_to_end_corpus`
+composition: quality filter → language ID → exact dedup (bounded state) →
+per-(source, lang) accounting. The batch operators from operators/text.py
+are pure Column expressions, so the SAME expressions run on the stream —
+that equivalence is what tests/test_streaming.py asserts.
+
+Scale notes: the only stateful operator is the dedup
+(dropDuplicatesWithinWatermark keyed by content hash — state is bounded by
+the watermark horizon, the standard bound for exact-dup state on an
+unbounded corpus); the final aggregate is an update-mode keyed count, tiny
+per trigger. No reference analogue (go-mysql-server has no streaming);
+additive per the project brief.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    fingerprint_md5, langid, quality_score, token_count,
+)
+from ..session import tune_session
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (file source = replayable
+    stream; same staging-symlink trick as events_stream). An ingest
+    timestamp column drives the dedup watermark — in production this is
+    the landing time."""
+    tune_session(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage = os.path.join(
+        "/tmp/gms_spark_stream_docs", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    return stream.withColumn("ingest_ts", F.current_timestamp())
+
+
+def corpus_ingest(docs: DataFrame, min_quality: float = 0.5,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Quality-gate, language-ID, dedup, and account the incoming stream.
+
+    Returns the per-(source, predicted-lang) accumulator in update mode:
+    docs kept and tokens kept — the numbers a corpus dashboard tracks."""
+    cleaned = (
+        docs.filter(quality_score(F.col("text")) >= min_quality)
+        .withColumn("lang_pred", langid(F.col("text")))
+        .withColumn("fp", fingerprint_md5(F.col("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return (
+        cleaned.groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("kept_docs"),
+             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+    )
+
+
+def corpus_ingest_batch_twin(docs: DataFrame,
+                             min_quality: float = 0.5) -> DataFrame:
+    """The identical computation as a batch plan (dedup keeps one row per
+    fingerprint) — the parity oracle for the stream."""
+    cleaned = (
+        docs.filter(quality_score(F.col("text")) >= min_quality)
+        .withColumn("lang_pred", langid(F.col("text")))
+        .withColumn("fp", fingerprint_md5(F.col("text")))
+        .dropDuplicates(["fp"])
+    )
+    return (
+        cleaned.groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("kept_docs"),
+             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+    )

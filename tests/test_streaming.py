@@ -111,3 +111,16 @@ def test_stream_stream_interval_join_matches_batch(spark):
             "v_ts BETWEEN p_ts - INTERVAL 30 minutes AND p_ts"))
         .select("p_user", "purchase_id", "view_id", "amount"))
     assert got == want and len(got) > 0
+
+
+def test_streaming_corpus_ingest_matches_batch(spark):
+    from go_mysql_server_spark.streaming import corpus as sc
+
+    stream = sc.documents_stream(spark, SF_DIR)
+    se.run_to_memory(sc.corpus_ingest(stream), "t_corpus", "update")
+    got = _rows(spark.table("t_corpus")
+                .select("source", "lang_pred", "kept_docs", "kept_tokens"))
+
+    batch = load(spark, SF_DIR, "documents")
+    want = _rows(sc.corpus_ingest_batch_twin(batch))
+    assert got == want and len(got) > 0
