@@ -484,7 +484,8 @@ class Engine:
     _INFO_SCHEMA = re.compile(
         r"\binformation_schema\.(tables|columns|schemata|views|routines|"
         r"triggers|key_column_usage|table_constraints|statistics|"
-        r"character_sets|collations|events|user_privileges)\b", re.I)
+        r"character_sets|collations|events|user_privileges|"
+        r"column_statistics)\b", re.I)
 
     def _rewrite_information_schema(self, sql: str) -> str:
         needed = {m.group(1).lower() for m in self._INFO_SCHEMA.finditer(sql)}
@@ -633,6 +634,26 @@ class Engine:
                 "STATUS string",
             ).filter("EVENT_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__events")
+        if "column_statistics" in needed:
+            # histograms from ANALYZE ... UPDATE HISTOGRAM (reference
+            # sql/stats; MySQL stores them exactly here)
+            import json as _json
+            rows = []
+            for db, tables in sorted(self.databases.items()):
+                for ts in tables.values():
+                    for col, bounds in ts.histograms.items():
+                        rows.append((db, ts.name, col, _json.dumps({
+                            "buckets": bounds,
+                            "histogram-type": "equi-height",
+                            "number-of-buckets-specified": max(
+                                len(bounds) - 1, 0),
+                        })))
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "SCHEMA_NAME string, TABLE_NAME string, COLUMN_NAME string, "
+                "HISTOGRAM string",
+            ).filter("SCHEMA_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__column_statistics")
         if "user_privileges" in needed:
             rows = []
             for key, grants in self.grants.items():

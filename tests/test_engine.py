@@ -911,3 +911,18 @@ def test_create_table_like(eng):
     assert "PRIMARY KEY" in ddl and "DEFAULT 'x'" in ddl and "CHECK" in ddl
     # IF NOT EXISTS variant is a no-op on the existing clone
     eng.query("CREATE TABLE IF NOT EXISTS ctl_dst LIKE ctl_src")
+
+
+def test_column_statistics_from_analyze(eng):
+    eng.query("CREATE TABLE hstats (a INT PRIMARY KEY, v DOUBLE)")
+    eng.query("INSERT INTO hstats VALUES (1, 1.0), (2, 2.0), (3, 3.0), "
+              "(4, 4.0), (5, 5.0)")
+    eng.query("ANALYZE TABLE hstats UPDATE HISTOGRAM ON v WITH 4 BUCKETS")
+    rows = eng.query(
+        "SELECT TABLE_NAME, COLUMN_NAME, HISTOGRAM "
+        "FROM information_schema.column_statistics "
+        "WHERE TABLE_NAME = 'hstats'").collect()
+    assert len(rows) == 1 and rows[0]["COLUMN_NAME"] == "v"
+    import json
+    h = json.loads(rows[0]["HISTOGRAM"])
+    assert h["histogram-type"] == "equi-height" and len(h["buckets"]) == 5
