@@ -146,3 +146,118 @@ def pipeline_embedding_quantize(spark, sf_dir):
         ).alias("recon_mse"),
     )
     return recon.orderBy("vec_id").limit(50)
+
+
+# ---- time-series gap fill / resample ----------------------------------------
+
+
+@query(
+    "events_resample_forward_fill",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS v
+  FROM events WHERE user_id < 50 GROUP BY user_id, CAST(ts AS DATE)
+),
+spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM spans
+)
+SELECT g.user_id, g.day,
+       d.v IS NOT NULL AS observed,
+       last_value(d.v IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day) AS v_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, g.day
+""",
+)
+def events_resample_forward_fill(spark, sf_dir):
+    """Calendar resampling with forward fill — the gap-filling shape every
+    time-series store exposes (reference has none; TimescaleDB's
+    time_bucket_gapfill+locf is the model): per-user daily grid from a
+    sequence() explode, left join the observed aggregate, then
+    last-non-null carried forward with an IGNORE NULLS window.
+
+    Scale shape: grid generation is per-key sequence (no cross join with a
+    global calendar), the join and the fill window are both keyed by
+    user_id — one shuffle, skew bounded per user's own span."""
+    from pyspark.sql import Window
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---- character-entropy quality signal ---------------------------------------
+
+
+@query(
+    "pipeline_char_entropy",
+    oracle="""
+WITH chars AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE doc_id < 200
+),
+freq AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS alphabet FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars,
+       CAST(t.alphabet AS BIGINT) AS alphabet_size,
+       ROUND(-SUM((f.c * 1.0 / t.n) * LN(f.c * 1.0 / t.n)), 6) AS entropy_nats,
+       ROUND(-SUM((f.c * 1.0 / t.n) * LN(f.c * 1.0 / t.n)), 6) < 2.0
+           AS low_entropy
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id, t.n, t.alphabet
+ORDER BY f.doc_id
+""",
+)
+def pipeline_char_entropy(spark, sf_dir):
+    """Character-distribution entropy per document — the cheap
+    perplexity proxy used to drop mojibake/binary-ish/keyboard-mash text
+    (low entropy = repeated characters, a CCNet-style quality signal).
+    One explode + two aggregates, both keyed by doc_id (gram hot-keys
+    bounded per document)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("alphabet"))
+    ent = -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "alphabet")
+        .agg(F.round(ent, 6).alias("entropy_nats"))
+        .select(
+            "doc_id", F.col("n").cast("long").alias("n_chars"),
+            F.col("alphabet").cast("long").alias("alphabet_size"),
+            "entropy_nats",
+            (F.col("entropy_nats") < 2.0).alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
