@@ -66,6 +66,15 @@ _INTERVAL_SECS = {
 _USER_RE = re.compile(r"'?([\w.%-]+)'?(?:@'?([\w.%-]+)'?)?")
 
 
+def _object_name(sql: str) -> str:
+    """Object name from a SHOW CREATE <KIND> statement: strips a trailing
+    ';' and an optional `db`. qualification (reuses Engine._split_name)."""
+    from .engine import Engine
+    tok = sql.strip().rstrip(";").split()[-1]
+    _, name = Engine._split_name(tok)
+    return name
+
+
 def _parse_user(spec: str) -> tuple[str, str]:
     m = _USER_RE.match(spec.strip().strip("`"))
     return m.group(1), m.group(2) or "%"
@@ -438,7 +447,7 @@ def show_misc(eng, sql: str) -> DataFrame | None:
     if up.startswith(("SHOW INDEX", "SHOW INDEXES", "SHOW KEYS")):
         return show_index(eng, sql)
     if up.startswith("SHOW CREATE PROCEDURE"):
-        name = sql.split()[-1].strip("`").lower()
+        name = _object_name(sql).lower()
         proc = eng.procedures.get(name)
         if proc is None:
             from .engine import SqlError
@@ -452,7 +461,7 @@ def show_misc(eng, sql: str) -> DataFrame | None:
             "character_set_client string, collation_connection string, "
             "`Database Collation` string")
     if up.startswith("SHOW CREATE FUNCTION"):
-        name = sql.split()[-1].strip("`").lower()
+        name = _object_name(sql).lower()
         ddl = eng.functions.get(name)
         if ddl is None:
             from .engine import SqlError
@@ -464,7 +473,7 @@ def show_misc(eng, sql: str) -> DataFrame | None:
             "character_set_client string, collation_connection string, "
             "`Database Collation` string")
     if up.startswith("SHOW CREATE TRIGGER"):
-        name = sql.split()[-1].strip("`")
+        name = _object_name(sql)
         for tbl, trigs in eng.triggers.items():
             for tr in trigs:
                 if tr.name.lower() == name.lower():
@@ -481,7 +490,7 @@ def show_misc(eng, sql: str) -> DataFrame | None:
         from .engine import SqlError
         raise SqlError(f"trigger {name} does not exist")
     if up.startswith("SHOW CREATE EVENT"):
-        name = sql.split()[-1].strip("`").lower()
+        name = _object_name(sql).lower()
         ev = eng.events.get(name)
         if ev is None:
             from .engine import SqlError
@@ -547,8 +556,7 @@ def q_checksum(eng, sql: str) -> DataFrame:
         ts = eng._table(name)
         agg = ts.df.select(
             F.xxhash64(*ts.df.columns).alias("h")
-        ).agg(F.expr("cast(coalesce(aggregate(collect_list(h), 0L, "
-                     "(acc, x) -> acc ^ x), 0) as bigint)").alias("c"))
+        ).agg(F.expr("cast(coalesce(bit_xor(h), 0) as bigint)").alias("c"))
         rows.append((f"{eng.current_db}.{name}", agg.first()["c"]))
     return eng.spark.createDataFrame(rows, "Table string, Checksum bigint")
 

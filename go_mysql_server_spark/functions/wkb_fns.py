@@ -43,58 +43,64 @@ def _wkb_points(buf):
     b = bytes(buf)
 
     # MySQL internal geometry values carry a 4-byte SRID prefix before the
-    # WKB proper; bare OGC WKB starts with the byte-order flag. An SRID of
-    # 0 also starts with a 0 byte, so disambiguate by whether the bytes
-    # decode to a sane (flag, geometry-type 1..7) header at either offset.
-    def _bare(bb):
-        return (len(bb) >= 5 and bb[0] in (0, 1) and 1 <= int.from_bytes(
-            bb[1:5], "little" if bb[0] == 1 else "big") <= 7)
+    # WKB proper; bare OGC WKB starts with the byte-order flag. Header
+    # sniffing alone is ambiguous (SRID 0 = 00 00 00 00 followed by a
+    # little-endian flag *looks* like a bare big-endian header), so accept
+    # whichever interpretation parses AND consumes exactly len(b): try the
+    # bare parse first, fall back to offset 4.
 
-    if not _bare(b) and _bare(b[4:]):
-        b = b[4:]
+    def attempt(bb):
+        pts = []
 
-    out = []
-
-    def parse(off):
-        if off >= len(b):
-            return off
-        bo = "<" if b[off] == 1 else ">"
-        (gtype,) = _struct.unpack_from(bo + "I", b, off + 1)
-        off += 5
-        if gtype == 1:  # Point
-            x, y = _struct.unpack_from(bo + "dd", b, off)
-            out.append((x, y))
-            return off + 16
-        if gtype == 2:  # LineString
-            (n,) = _struct.unpack_from(bo + "I", b, off)
-            off += 4
-            for _ in range(n):
-                x, y = _struct.unpack_from(bo + "dd", b, off)
-                out.append((x, y))
-                off += 16
-            return off
-        if gtype == 3:  # Polygon
-            (nrings,) = _struct.unpack_from(bo + "I", b, off)
-            off += 4
-            for _ in range(nrings):
-                (n,) = _struct.unpack_from(bo + "I", b, off)
+        def parse(off):
+            if off >= len(bb):
+                raise ValueError("truncated WKB")
+            if bb[off] not in (0, 1):
+                raise ValueError("bad byte-order flag")
+            bo = "<" if bb[off] == 1 else ">"
+            (gtype,) = _struct.unpack_from(bo + "I", bb, off + 1)
+            off += 5
+            if gtype == 1:  # Point
+                x, y = _struct.unpack_from(bo + "dd", bb, off)
+                pts.append((x, y))
+                return off + 16
+            if gtype == 2:  # LineString
+                (n,) = _struct.unpack_from(bo + "I", bb, off)
                 off += 4
                 for _ in range(n):
-                    x, y = _struct.unpack_from(bo + "dd", b, off)
-                    out.append((x, y))
+                    x, y = _struct.unpack_from(bo + "dd", bb, off)
+                    pts.append((x, y))
                     off += 16
-            return off
-        if gtype in (4, 5, 6, 7):  # Multi* / GeometryCollection
-            (n,) = _struct.unpack_from(bo + "I", b, off)
-            off += 4
-            for _ in range(n):
-                off = parse(off)
-            return off
-        raise ValueError(f"unsupported WKB geometry type {gtype}")
+                return off
+            if gtype == 3:  # Polygon
+                (nrings,) = _struct.unpack_from(bo + "I", bb, off)
+                off += 4
+                for _ in range(nrings):
+                    (n,) = _struct.unpack_from(bo + "I", bb, off)
+                    off += 4
+                    for _ in range(n):
+                        x, y = _struct.unpack_from(bo + "dd", bb, off)
+                        pts.append((x, y))
+                        off += 16
+                return off
+            if gtype in (4, 5, 6, 7):  # Multi* / GeometryCollection
+                (n,) = _struct.unpack_from(bo + "I", bb, off)
+                off += 4
+                for _ in range(n):
+                    off = parse(off)
+                return off
+            raise ValueError(f"unsupported WKB geometry type {gtype}")
 
-    try:
-        parse(0)
-    except (_struct.error, ValueError):
+        try:
+            end = parse(0)
+        except (_struct.error, ValueError):
+            return None
+        return pts if end == len(bb) else None
+
+    out = attempt(b)
+    if out is None and len(b) > 4:
+        out = attempt(b[4:])
+    if out is None:
         return None
     return [{"x": x, "y": y} for x, y in out]
 
@@ -114,9 +120,15 @@ def st_pointfromwkb(wkb, srid=None) -> Column:
 
 def st_multifromtext(wkt) -> Column:
     """MULTI*/GEOMETRYCOLLECTION WKT → flattened coordinate array. Strips
-    every keyword/paren, then splits the comma-separated pairs — same
-    output model as st_geomfromtext for the single-geometry types."""
-    coords = F.regexp_replace(_c(wkt), r"[A-Za-z]+|\(|\)", "")
+    only geometry keywords and parens (NOT every letter run — scientific-
+    notation coordinates like 1e-5 keep their exponent), then splits the
+    comma-separated pairs — same output model as st_geomfromtext for the
+    single-geometry types."""
+    coords = F.regexp_replace(
+        _c(wkt),
+        r"(?i)\b(MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION"
+        r"|POINT|LINESTRING|POLYGON|EMPTY)\b|\(|\)",
+        "")
     pairs = F.filter(F.split(coords, r"\s*,\s*"), lambda s: F.trim(s) != "")
     return F.transform(
         pairs,
@@ -164,7 +176,13 @@ def distance(metric, a, b) -> Column:
     """DISTANCE(metric, v1, v2) (reference sql/expression/function/vector/
     distance.go NewGenericDistance): metric is a literal string naming the
     measure; vectors are array<double>."""
-    name = metric.upper() if isinstance(metric, str) else "L2_SQUARED"
+    if not isinstance(metric, str):
+        # mirror the reference's literal-only requirement (distance.go
+        # rejects non-literal metric args) instead of silently defaulting
+        raise TypeError(
+            "DISTANCE metric must be a literal string "
+            f"(got {type(metric).__name__}); e.g. 'L2', 'COSINE', 'DOT'")
+    name = metric.upper()
     a, b = _c(a), _c(b)
     diff2 = F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

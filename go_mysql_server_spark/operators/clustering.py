@@ -8,10 +8,13 @@ per-cluster mean — each iteration is one broadcast join + one shuffle on
 the cluster id, the canonical distributed k-means.
 
 Deterministic by construction (no sampling): centroids initialize from the
-k lowest vec_ids; iteration count is fixed. Results are engine-specific in
-the last float ulp (cross-engine float averaging), so the registry entry is
-rows-only checked — properties (cover, k clusters, assignment = nearest
-centroid) are asserted in tests/test_operators.py.
+k lowest vec_ids; iteration count is fixed; each centroid update snaps to a
+6-decimal grid. The grid snap makes the quantizer *cross-engine exact*:
+float summation order (Spark partial aggregation vs a single-threaded
+engine) perturbs the mean only at ~1e-15, which the 1e-6 grid absorbs — so
+the full 3-round assignment is DuckDB-oracle-checkable (the registry entry
+carries an unrolled-Lloyd SQL oracle). Quantization of a quantizer's
+codebook loses nothing material.
 """
 
 from __future__ import annotations
@@ -30,14 +33,17 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism, id_col)
     vecs = vecs.localCheckpoint(eager=True)  # reused every iteration
 
+    # init: the k lowest-id vectors, cluster = rank among them (deterministic;
+    # row_number over the id itself, not physical order after the limit)
     centroids = (
         vecs.orderBy(id_col).limit(k)
-        .select(F.monotonically_increasing_id().alias("c_tmp"), F.col("v").alias("c"))
-        .withColumn("cluster", F.row_number().over(
-            Window.orderBy("c_tmp")) - 1)
-        .select("cluster", "c")
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
     )
 
+    dims = len(vecs.select("v").first()[0])
     assigned = None
     for _ in range(iterations):
         scored = vecs.crossJoin(F.broadcast(centroids)).select(
@@ -49,10 +55,10 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
             .filter(F.col("rn") == 1)
             .select(id_col, "v", "cluster", "d")
         )
-        dims = len(vecs.select("v").first()[0])
         centroids = (
             assigned.groupBy("cluster")
-            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"c{i}") for i in range(dims)])
+            .agg(*[F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"c{i}")
+                   for i in range(dims)])
             .select("cluster", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("c"))
         ).localCheckpoint(eager=True)
 

@@ -241,17 +241,24 @@ def agg_no_groupby_global(spark, sf_dir):
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,
+    oracle="""
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+""",
 )
 def agg_approx_count_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++) — no reference equivalent (GMS has no
-    sketches; SURVEY §2.4 'bonus'), and no DuckDB oracle since sketch
-    estimates are engine-specific. Driver records the weaker rows-only
-    check; tests assert the estimate is within 5% of exact."""
+    sketches; SURVEY §2.4 'bonus'). Sketch estimates are engine-specific,
+    so the oracle-checkable projection is: the exact distinct count plus a
+    boolean asserting the HLL estimate landed within the 5% relative-error
+    bound (rsd configured at 1%, so 5% is a generous deterministic bound)."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (F.abs(F.approx_count_distinct("l_partkey", 0.01)
+               - F.countDistinct("l_partkey"))
+         <= 0.05 * F.countDistinct("l_partkey")).alias("within_bound"),
     )
 
 

@@ -63,8 +63,8 @@ def func_string_suite(spark, sf_dir):
     oracle="""
 SELECT p_partkey,
        ABS(p_retailprice - 1000.0)            AS dist_1k,
-       CEIL(p_retailprice)                    AS up,
-       FLOOR(p_retailprice)                   AS down,
+       CAST(CEIL(p_retailprice) AS DOUBLE)    AS up,
+       CAST(FLOOR(p_retailprice) AS DOUBLE)   AS down,
        ROUND(p_retailprice, 1)                AS r1,
        ROUND(SQRT(p_retailprice), 6)          AS sq,
        ROUND(POW(p_size, 2), 1)               AS size_sq,
@@ -72,7 +72,7 @@ SELECT p_partkey,
        ROUND(LN(p_retailprice), 6)            AS log_e,
        ROUND(LOG10(p_retailprice), 6)         AS log_10,
        CAST(MOD(p_partkey, 7) AS BIGINT)      AS m7,
-       SIGN(p_size - 25)                      AS sgn,
+       CAST(SIGN(p_size - 25) AS DOUBLE)      AS sgn,
        GREATEST(p_size, 10)                   AS g10,
        LEAST(p_size, 10)                      AS l10,
        ROUND(RADIANS(p_size), 6)              AS rad,
@@ -86,8 +86,8 @@ def func_math_suite(spark, sf_dir):
     return p.select(
         "p_partkey",
         F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1k"),
-        F.ceil("p_retailprice").alias("up"),
-        F.floor("p_retailprice").alias("down"),
+        F.ceil("p_retailprice").cast("double").alias("up"),
+        F.floor("p_retailprice").cast("double").alias("down"),
         F.round("p_retailprice", 1).alias("r1"),
         F.round(F.sqrt("p_retailprice"), 6).alias("sq"),
         F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),

@@ -160,11 +160,63 @@ def vocab_document_frequency(spark, sf_dir):
     )
 
 
-@query("similarity_kmeans_ivf", oracle=None)
+def _kmeans_oracle(k: int = 8, dims: int = 64, iterations: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of operators/clustering.kmeans: same init
+    (k lowest vec_ids), same sequential left-to-right L2 accumulation, same
+    ROUND(avg, 6) centroid grid snap — so the assignment matches exactly."""
+    d_expr = ("list_sum(list_transform(range(1, {n}), "
+              "i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))").format(n=dims + 1)
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         e AS c
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+)"""]
+    for r in range(1, iterations + 1):
+        parts.append(f""",
+s{r} AS (
+  SELECT v.vec_id, c.cluster, {d_expr} AS d
+  FROM v CROSS JOIN c{r - 1} c
+),
+a{r} AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM s{r}
+  ) WHERE rn = 1
+)""")
+        if r < iterations:
+            parts.append(f""",
+u{r} AS (
+  SELECT a.cluster,
+         UNNEST(list_transform(range(1, {dims + 1}),
+                               i -> {{'i': i, 'x': v.e[i]}})) AS t
+  FROM a{r} a JOIN v USING (vec_id)
+),
+m{r} AS (
+  SELECT cluster, t.i AS i, ROUND(AVG(t.x), 6) AS m
+  FROM u{r} GROUP BY cluster, t.i
+),
+c{r} AS (
+  SELECT cluster, LIST(m ORDER BY i) AS c FROM m{r} GROUP BY cluster
+)""")
+    parts.append(f"""
+SELECT vec_id, cluster, ROUND(SQRT(d), 6) AS dist
+FROM a{iterations} ORDER BY vec_id
+""")
+    return "".join(parts)
+
+
+@query("similarity_kmeans_ivf", oracle=_kmeans_oracle())
 def similarity_kmeans_ivf(spark, sf_dir):
     """IVF coarse quantizer: k-means over the embedding corpus (3 Lloyd
-    rounds, deterministic init). Rows-only driver check — float averaging
-    is engine-specific; invariants are asserted in tests/test_operators.py."""
+    rounds, deterministic init, 6-dp centroid grid snap). The grid snap
+    absorbs cross-engine float-summation-order noise, so the full
+    assignment is oracle-checked against an unrolled-Lloyd DuckDB twin."""
     emb = t(spark, sf_dir, "embeddings")
     return kmeans(emb, k=8, iterations=3).orderBy("vec_id")
 

@@ -160,9 +160,9 @@ kept AS (
         < CAST(r.rate * 1000000 AS BIGINT)
   GROUP BY d.lang
 )
-SELECT r.lang, r.tw AS target_weight,
+SELECT r.lang, CAST(r.tw AS DOUBLE) AS target_weight,
        CAST(r.avail_tokens AS BIGINT) AS avail_tokens,
-       ROUND(r.rate, 6) AS accept_rate,
+       CAST(ROUND(r.rate, 6) AS DOUBLE) AS accept_rate,
        COALESCE(k.kept_docs, 0) AS kept_docs,
        COALESCE(k.kept_tokens, 0) AS kept_tokens
 FROM rates r LEFT JOIN kept k ON r.lang = k.lang

@@ -51,6 +51,10 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.pipeline4",
     "go_mysql_server_spark.plans.pipeline5",
     "go_mysql_server_spark.plans.semantics",
+    # keep last: dml_* entries queue behind the 45 not-yet-verified catalog
+    # entries so the driver's row budget closes the catalog first (r3),
+    # then picks these up (r3 tail + r4)
+    "go_mysql_server_spark.plans.dml_catalog",
 )
 
 
@@ -98,6 +102,28 @@ DRIVER_VERIFIED = {
     "collation_ci_compare", "null_safe_equality", "agg_basic_stats",
     "agg_count_distinct", "agg_stddev_variance", "agg_bit_ops",
     "agg_arg_min_max", "agg_any_value_single_valued",
+    # round-2 greens (CORRECTNESS_r02.json; the two r2 reds —
+    # func_math_suite, agg_approx_count_distinct — stay out so the driver
+    # re-runs them first with this round's fixes)
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt", "tpch_q20_potential_promotion",
+    "agg_json_arrayagg", "agg_no_groupby_global", "agg_json_objectagg",
+    "window_row_number_topn_per_group", "window_rank_dense_percent",
+    "window_ntile", "window_lag_lead", "window_rows_frame_moving",
+    "window_range_frame", "window_running_total", "window_first_last_value",
+    "subquery_scalar_uncorrelated", "subquery_scalar_correlated",
+    "subquery_exists_correlated", "subquery_in_derived_table",
+    "cte_multi_reference", "recursive_cte_series",
+    "recursive_cte_graph_reachability", "func_string_suite",
+    "func_datetime_suite", "func_conditional_suite", "func_regexp_suite",
+    "func_json_suite", "func_crypto_encoding_suite", "func_vector_distances",
+    "func_json_extended", "func_regexp_flags", "func_network_inet6",
+    "func_tz_misc", "func_spatial_extended", "collation_ci_where_eq",
+    "collation_ci_group_by", "collation_ci_order_by", "collation_ci_nonlatin",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "similarity_topk_cosine", "similarity_lsh_ann",
+    "text_features", "text_fingerprints", "multimodal_decode",
+    "multimodal_patch_stats",
 }
 
 

@@ -167,10 +167,10 @@ def cast_matrix(spark, sf_dir):
     "type_unsigned_cast",
     oracle="""
 SELECT o_orderkey,
-       CAST(CASE WHEN 0 - o_orderkey < 0
+       CAST(CAST(CASE WHEN 0 - o_orderkey < 0
                  THEN 18446744073709551616 + (0 - o_orderkey)
-                 ELSE 0 - o_orderkey END AS DECIMAL(20,0)) AS neg_as_unsigned,
-       CAST(o_orderkey AS DECIMAL(20,0)) AS pos_as_unsigned
+                 ELSE 0 - o_orderkey END AS DECIMAL(20,0)) AS VARCHAR) AS neg_as_unsigned,
+       CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS pos_as_unsigned
 FROM orders
 ORDER BY o_orderkey LIMIT 50
 """,
@@ -183,10 +183,13 @@ def type_unsigned_cast(spark, sf_dir):
     neg = F.lit(0) - F.col("o_orderkey")
     two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(21,0))")
     wrapped = F.when(neg < 0, two64 + neg).otherwise(neg).cast("decimal(20,0)")
+    # Emit as STRING: Decimal cells survive the driver's pandas round-trip
+    # differently per engine (object[Decimal] vs float64, which can't even
+    # hold 2^64 exactly) — the string form is lossless and hash-stable.
     return o.select(
         "o_orderkey",
-        wrapped.alias("neg_as_unsigned"),
-        F.col("o_orderkey").cast("decimal(20,0)").alias("pos_as_unsigned"),
+        wrapped.cast("string").alias("neg_as_unsigned"),
+        F.col("o_orderkey").cast("decimal(20,0)").cast("string").alias("pos_as_unsigned"),
     ).orderBy("o_orderkey").limit(50)
 
 
@@ -229,11 +232,11 @@ def type_enum_ordinal_sort(spark, sf_dir):
     # rounded half-up = (2*num + den) // (2*den).
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CAST(
+       CAST(CAST(
          ((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000 * 2
            + CAST(l_quantity AS BIGINT) * 100)
           // (CAST(l_quantity AS BIGINT) * 100 * 2))
-         / 1000000.0 AS DECIMAL(26,6)) AS unit_price
+         / 1000000.0 AS DECIMAL(26,6)) AS VARCHAR) AS unit_price
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber LIMIT 100
 """,
@@ -249,7 +252,7 @@ def type_decimal_div_scale(spark, sf_dir):
             "l_orderkey", "l_linenumber",
             (F.col("l_extendedprice").cast("decimal(15,2)")
              / F.col("l_quantity").cast("decimal(15,2)"))
-            .cast("decimal(26,6)").alias("unit_price"),
+            .cast("decimal(26,6)").cast("string").alias("unit_price"),
         )
         .orderBy("l_orderkey", "l_linenumber")
         .limit(100)

@@ -866,6 +866,11 @@ def test_show_create_and_status_variants(eng):
 
     row = eng.query("SHOW CREATE PROCEDURE scp").collect()[0]
     assert "CREATE PROCEDURE `scp`" in row["Create Procedure"]
+    # db-qualified names and trailing semicolons resolve too
+    row = eng.query("SHOW CREATE PROCEDURE mydb.scp;").collect()[0]
+    assert "CREATE PROCEDURE `scp`" in row["Create Procedure"]
+    row = eng.query("SHOW CREATE TRIGGER `mydb`.`sctr`").collect()[0]
+    assert "BEFORE INSERT ON `sct`" in row["SQL Original Statement"]
     row = eng.query("SHOW CREATE TRIGGER sctr").collect()[0]
     assert "BEFORE INSERT ON `sct`" in row["SQL Original Statement"]
     row = eng.query("SHOW CREATE EVENT sce").collect()[0]

@@ -199,6 +199,47 @@ def test_wkb_constructors_and_hull(spark):
     assert {(p.x, p.y) for p in row.hull} == {(0, 0), (2, 0), (1, 1)}
 
 
+def test_wkb_srid_zero_prefix(spark):
+    """SRID 0 (MySQL's default) prefix must be stripped: 00 00 00 00 | 01 |
+    type bytes sniffs as a *bare big-endian* header, so the parser must
+    fall back to the interpretation that consumes the whole buffer."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions import mysql_fn
+
+    pt = struct.pack("<BIdd", 1, 1, 7.25, -3.5)
+    pt_srid0 = struct.pack("<I", 0) + pt
+    df = spark.createDataFrame([(pt_srid0,)], "b binary")
+    row = df.select(mysql_fn("st_pointfromwkb", F.col("b")).alias("p")).collect()[0]
+    assert (row.p.x, row.p.y) == (7.25, -3.5)
+
+
+def test_multifromtext_scientific_notation(spark):
+    """Coordinates like 1e-5 keep their exponent (only geometry keywords
+    are stripped, not every letter run)."""
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions import mysql_fn
+
+    df = spark.createDataFrame(
+        [("MULTILINESTRING((1e-5 2.5, 3E2 -4e-1))",)], "w string")
+    row = df.select(
+        mysql_fn("st_mlinefromtext", F.col("w")).alias("g")).collect()[0]
+    assert [(p.x, p.y) for p in row.g] == [(1e-5, 2.5), (300.0, -0.4)]
+
+
+def test_distance_rejects_non_literal_metric():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.functions.wkb_fns import distance
+
+    with pytest.raises(TypeError, match="literal string"):
+        distance(F.lit("L2"), F.lit([1.0]), F.lit([2.0]))
+
+
 def test_multi_geometry_text_and_distance(spark):
     from pyspark.sql import functions as F
 
