@@ -7,6 +7,12 @@ Prints ONE JSON line:
 
 Every query runs end-to-end (plan + execute + collect); the first query is
 preceded by a session warm-up so JVM/codegen startup isn't billed to it.
+
+Measurement discipline (r2 showed ±30% run-to-run noise when the set
+widened): fixed query order, SPARK_GRAFT_BENCH_REPS repetitions (default 3),
+per-query *min* reported (the least-contended run is the plan's cost; means
+absorb GC/compilation hiccups), per-query spread recorded in "spread" so
+regressions can be told apart from noise.
 """
 
 from __future__ import annotations
@@ -60,18 +66,24 @@ def main() -> None:
 
     import gc
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     queries = all_queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        start = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
-        # release checkpointed RDD blocks between queries so one query's
-        # cached state doesn't distort the next measurement
-        gc.collect()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(reps):
+        for name in HEADLINE:  # fixed order every repetition
+            fn = queries[name]
+            start = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - start, 3)
+            samples[name].append(dt)
+            print(f"# rep{rep} {name}: {dt:.3f}s ({len(rows)} rows)",
+                  file=sys.stderr)
+            # release checkpointed RDD blocks between queries so one query's
+            # cached state doesn't distort the next measurement
+            gc.collect()
 
+    timings = {name: min(ts) for name, ts in samples.items()}
+    spread = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     # the first 14 entries are the round-1 headline set; report their
     # subtotal separately so cross-round totals stay comparable after the
@@ -84,6 +96,8 @@ def main() -> None:
         "value_r1_comparable_14q": round(
             sum(timings[n] for n in r1_set if n in timings), 3),
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
         "sf": sf,
     }))
     spark.stop()

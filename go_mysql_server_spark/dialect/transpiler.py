@@ -68,6 +68,9 @@ FUNC_ALIASES = {
     "localtimestamp": "current_timestamp",
     "day": "dayofmonth",
     "lengthb": "octet_length",
+    # MySQL LENGTH() counts BYTES (CHAR_LENGTH counts characters); Spark's
+    # length() counts characters → map to octet_length
+    "length": "octet_length",
     "rand": "rand",
     "char_length": "char_length",
     "power": "power",
@@ -149,7 +152,8 @@ def _literal_of(arg: str, lits: list[str]) -> str | None:
 _LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
 
 _DATE_FMT_CALL = re.compile(
-    r"\b(DATE_FORMAT|TIME_FORMAT|STR_TO_DATE)\s*\(", re.IGNORECASE
+    r"\b(DATE_FORMAT|TIME_FORMAT|STR_TO_DATE|FROM_UNIXTIME)\s*\(",
+    re.IGNORECASE
 )
 
 _GROUP_CONCAT = re.compile(r"\bGROUP_CONCAT\s*\(", re.IGNORECASE)
@@ -251,13 +255,18 @@ def _rewrite_datetime_formats(sql: str, lits: list[str]) -> str:
             lits.append("'" + java + "'")
             if fname == "STR_TO_DATE":
                 repl = f"to_timestamp({args[0]}, {ph})"
+            elif fname == "FROM_UNIXTIME":
+                repl = f"from_unixtime({args[0]}, {ph})"
             else:
                 repl = f"date_format({args[0]}, {ph})"
         elif len(args) == 2:
             # dynamic format — translate the tokens at runtime, and keep
             # parse vs format straight (ADVICE r1: STR_TO_DATE must parse)
-            fn = "to_timestamp" if fname == "STR_TO_DATE" else "date_format"
+            fn = {"STR_TO_DATE": "to_timestamp",
+                  "FROM_UNIXTIME": "from_unixtime"}.get(fname, "date_format")
             repl = f"{fn}({args[0]}, mysql_datefmt_to_java({args[1]}))"
+        elif fname == "FROM_UNIXTIME":
+            repl = f"from_unixtime({', '.join(args)})"  # 1-arg passthrough
         else:
             repl = f"date_format({', '.join(args)})"
         sql = sql[:m.start()] + repl + sql[close + 1:]
@@ -324,6 +333,149 @@ def _rewrite_group_concat(sql: str, lits: list[str]) -> str:
         sql = sql[:m.start()] + repl + sql[close + 1:]
 
 
+def _rewrite_calls(sql: str, pattern: re.Pattern, repl_fn) -> str:
+    """Generic call-site rewriter: find `NAME(`, parse top-level args, and
+    substitute repl_fn(match, args) (None = leave this site untouched).
+    Advances past each replacement so generated text containing the same
+    function name is never re-matched."""
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            return sql
+        open_paren = m.end() - 1
+        close = _find_close(sql, open_paren)
+        args = _split_args(sql[open_paren + 1:close])
+        repl = repl_fn(m, args)
+        if repl is None:
+            pos = m.end()
+            continue
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
+_MISC_FN = re.compile(
+    r"\b(DAYNAME|MONTHNAME|CEILING|CEIL|FLOOR|SIGN|GREATEST|LEAST|STRCMP|"
+    r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
+    r"INTERVAL)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_misc_fns(sql: str) -> str:
+    """MySQL functions whose Spark twin differs in name, signature, or
+    semantics (reference sql/expression/function/*.go):
+
+    - DAYNAME/MONTHNAME → date_format 'EEEE'/'MMMM' (full names)
+    - CEIL/CEILING/FLOOR/SIGN → CAST(... AS BIGINT): MySQL returns integers
+      where Spark returns the input type / DOUBLE
+    - GREATEST/LEAST: MySQL propagates NULL from ANY argument; Spark's
+      greatest/least skip NULLs → wrap in a CASE
+    - STRCMP → three-way CASE; FIELD → array_position (0 when absent)
+    - CHAR(a, b, …) → CONCAT(CHAR(a), CHAR(b), …) (MySQL is variadic)
+    - INSERT(s, pos, len, new) → CONCAT/SUBSTRING splice
+    - FORMAT(n, d) → format_number
+    - MAKEDATE(y, doy) → date_add(make_date(y,1,1), doy-1)
+    - DATE_ADD/DATE_SUB/ADDDATE/SUBDATE with INTERVAL → +/- INTERVAL
+      (Spark's date_add only takes day counts)
+    - INTERVAL(n, a, b, …) → count of thresholds ≤ n (-1 for NULL n)
+    """
+    def repl(m: re.Match, args: list[str]) -> str | None:
+        name = m.group(1).upper()
+        if name == "DAYNAME":
+            return f"date_format({args[0]}, 'EEEE')"
+        if name == "MONTHNAME":
+            return f"date_format({args[0]}, 'MMMM')"
+        if name in ("CEIL", "CEILING", "FLOOR"):
+            fn = "CEIL" if name == "CEILING" else name
+            if len(args) != 1:
+                return None  # CEIL(x, scale) Spark extension — passthrough
+            return f"CAST({fn}({args[0]}) AS BIGINT)"
+        if name == "SIGN":
+            return f"CAST(SIGN({args[0]}) AS BIGINT)"
+        if name in ("GREATEST", "LEAST"):
+            nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+            return (f"(CASE WHEN {nulls} THEN NULL "
+                    f"ELSE {name}({', '.join(args)}) END)")
+        if name == "STRCMP":
+            a, b = args
+            return (f"(CASE WHEN ({a}) < ({b}) THEN -1 "
+                    f"WHEN ({a}) > ({b}) THEN 1 ELSE 0 END)")
+        if name == "FIELD":
+            x, rest = args[0], ", ".join(args[1:])
+            return (f"COALESCE(CAST(array_position(array({rest}), {x}) "
+                    f"AS INT), 0)")
+        if name == "CHAR":
+            # not the CAST(x AS CHAR) type keyword
+            if sql[:m.start()].rstrip().upper().endswith(" AS"):
+                return None
+            return "CONCAT(" + ", ".join(f"CHAR({a})" for a in args) + ")"
+        if name == "INSERT":
+            if len(args) != 4:
+                return None
+            s, p, ln, new = args
+            return (f"CONCAT(SUBSTRING({s}, 1, ({p}) - 1), {new}, "
+                    f"SUBSTRING({s}, ({p}) + ({ln})))")
+        if name == "FORMAT":
+            if len(args) != 2:
+                return None
+            return f"format_number({args[0]}, {args[1]})"
+        if name == "MAKEDATE":
+            y, doy = args
+            return f"date_add(make_date({y}, 1, 1), CAST(({doy}) AS INT) - 1)"
+        if name in ("DATE_ADD", "ADDDATE", "DATE_SUB", "SUBDATE"):
+            if len(args) != 2 or not args[1].upper().startswith("INTERVAL"):
+                if name in ("ADDDATE", "SUBDATE"):
+                    fn = "date_add" if name == "ADDDATE" else "date_sub"
+                    return f"{fn}({', '.join(args)})"
+                return None  # day-count form is Spark-native
+            op = "+" if name in ("DATE_ADD", "ADDDATE") else "-"
+            return f"(({args[0]}) {op} {args[1]})"
+        if name == "INTERVAL":
+            n, rest = args[0], ", ".join(args[1:])
+            return (f"(CASE WHEN ({n}) IS NULL THEN -1 ELSE "
+                    f"size(filter(array({rest}), __x -> __x <= ({n}))) END)")
+        return None
+
+    return _rewrite_calls(sql, _MISC_FN, repl)
+
+
+_ANYALL = re.compile(r"(>=|<=|<>|!=|>|<|=)\s*(ANY|SOME|ALL)\s*\(",
+                     re.IGNORECASE)
+
+
+def _rewrite_any_all(sql: str) -> str:
+    """Quantified comparisons (reference sql/expression/comparison.go
+    AnyCmp/AllCmp): Spark has no ANY/ALL operator, but each form reduces to
+    IN / NOT IN / a MIN-MAX scalar subquery. Caveat (documented): for the
+    inequality forms an empty subquery yields NULL here where MySQL yields
+    FALSE (ANY) / TRUE (ALL). The subquery text is substituted whole (no
+    _split_args — its SELECT list may contain top-level commas)."""
+    pos = 0
+    while True:
+        m = _ANYALL.search(sql, pos)
+        if not m:
+            return sql
+        open_paren = m.end() - 1
+        close = _find_close(sql, open_paren)
+        sub = sql[open_paren + 1:close]
+        rep = _any_all_repl(m.group(1), m.group(2).upper(), sub)
+        sql = sql[:m.start()] + rep + sql[close + 1:]
+        pos = m.start() + len(rep)
+
+
+def _any_all_repl(op: str, kw: str, sub: str) -> str:
+    if kw in ("ANY", "SOME"):
+        if op == "=":
+            return f" IN ({sub})"
+        agg = {"<": "MAX", "<=": "MAX", ">": "MIN", ">=": "MIN"}.get(op)
+    else:  # ALL
+        if op in ("!=", "<>"):
+            return f" NOT IN ({sub})"
+        agg = {"<": "MIN", "<=": "MIN", ">": "MAX", ">=": "MAX"}.get(op)
+    if agg is None:
+        raise ValueError(f"unsupported quantified comparison: {op} {kw}")
+    return f"{op} (SELECT {agg}(__v) FROM ({sub}) AS __anyall(__v))"
+
+
 def _rewrite_truncate(sql: str) -> str:
     """TRUNCATE(x, d) → toward-zero truncation expression (reference
     sql/expression/function/math.go Truncate). Pure Column math, no UDF."""
@@ -350,8 +502,22 @@ def transpile_select(sql: str) -> str:
     sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     sql = _rewrite_datetime_formats(sql, lits)
     sql = _rewrite_group_concat(sql, lits)
+    # misc fn rewrites BEFORE truncate: the truncate expansion generates
+    # FLOOR/CEIL that must keep Spark semantics (no BIGINT cast)
+    sql = _rewrite_misc_fns(sql)
     sql = _rewrite_truncate(sql)
+    sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
+    # MySQL CAST target types with no Spark spelling
+    sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"AS\s+UNSIGNED(\s+INTEGER)?\s*\)", "AS DECIMAL(20,0))", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"AS\s+CHAR\s*\)", "AS STRING)", sql, flags=re.IGNORECASE)
+    # MySQL's default collation (utf8mb4_0900_ai_ci) makes LIKE
+    # case-insensitive → Spark ILIKE ("ILIKE" itself never re-matches:
+    # no word boundary between I and L)
+    sql = re.sub(r"\bLIKE\b", "ILIKE", sql, flags=re.IGNORECASE)
     for myname, sparkname in FUNC_ALIASES.items():
         if myname == sparkname:
             continue

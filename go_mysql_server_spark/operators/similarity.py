@@ -118,42 +118,46 @@ WHERE rank <= {k}
 """
 
 
-def hyperplane_signs(spark, dims: int,
-                     num_planes: int = NUM_HYPERPLANES) -> DataFrame:
-    """Deterministic ±1 hyperplane matrix: sign(p,d) from md5 parity.
+def hyperplane_signs_py(dims: int,
+                        num_planes: int = NUM_HYPERPLANES) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: sign(p,d) from md5 parity —
+    the same value the DuckDB oracle derives in SQL (lsh_topk_sql), computed
+    driver-side so it can be inlined as literals."""
+    import hashlib
 
-    (p, d, s) rows; tiny (planes × dims) → always broadcast.
-    """
-    return (
-        spark.range(num_planes).selectExpr("id AS p")
-        .crossJoin(spark.range(dims).selectExpr("id AS d"))
-        .selectExpr(
-            "p", "d",
-            "CASE WHEN CAST(conv(substr(md5(concat('plane#', p, '#', d)), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
-            " THEN 1 ELSE -1 END AS s",
+    return [
+        [1 if int(hashlib.md5(f"plane#{p}#{d}".encode()).hexdigest()[:15],
+                  16) % 2 == 0 else -1
+         for d in range(dims)]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_signature(embeddings: DataFrame, dims: int,
+                  num_planes: int = NUM_HYPERPLANES,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  keep_cols: bool = False) -> DataFrame:
+    """(id, sig): sig bit p = [Σ_d sign(p,d)·v_d > 0], packed into a long.
+
+    Scan-side: the planes×dims ±1 matrix is tiny and deterministic, so it is
+    inlined as literal arrays and each projection is a per-row zip_with +
+    aggregate — zero explode, zero join, zero shuffle (the earlier design
+    exploded to rows×dims and shuffled twice on (id, p)/(id), ~8× the corpus
+    in exchange volume at scale). Same pattern as ivf_probe_topk's inlined
+    centroids."""
+    signs = hyperplane_signs_py(dims, num_planes)
+    v = _to_double(F.col(vec_col))
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        lit_s = F.array(*[F.lit(float(s)) for s in signs[p]])
+        proj = F.aggregate(
+            F.zip_with(v, lit_s, lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x,
         )
-    )
-
-
-def lsh_signature(embeddings: DataFrame, signs: DataFrame,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, sig): sig bit p = [Σ_d sign(p,d)·v_d > 0], packed into a long."""
-    elems = embeddings.select(
-        F.col(id_col),
-        F.posexplode(_to_double(F.col(vec_col))).alias("d", "v"),
-    )
-    return (
-        elems.join(F.broadcast(signs), "d")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT)"
-                       " ELSE CAST(0 AS BIGINT) END")
-            ).alias("sig")
-        )
-    )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    cols = ["*"] if keep_cols else [F.col(id_col)]
+    return embeddings.select(*cols, sig.alias("sig"))
 
 
 def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
@@ -162,9 +166,10 @@ def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,
     """ANN: rank by cosine only within the query's LSH bucket."""
     dims = len(embeddings.select(vec_col).first()[0])
     embeddings = _spread(embeddings, id_col)
-    signs = hyperplane_signs(spark, dims, num_planes)
-    sigs = lsh_signature(embeddings, signs, id_col, vec_col)
-    with_sig = embeddings.join(sigs, id_col)
+    # signature is a pure projection now — no join back, no exchange
+    # before the bucket equi-join below
+    with_sig = lsh_signature(embeddings, dims, num_planes,
+                             id_col, vec_col, keep_cols=True)
     q = (
         with_sig.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators.hashing import md5_int60
-from ..operators.similarity import cosine, hyperplane_signs, lsh_signature
+from ..operators.similarity import cosine, lsh_signature
 from ..operators.text import quality_score, quality_score_sql
 from ._util import t
 from .registry import query
@@ -237,8 +237,8 @@ def pipeline_embedding_neardup(spark, sf_dir):
     corpus scale."""
     emb = t(spark, sf_dir, "embeddings")
     dims = len(emb.select("embedding").first()[0])
-    signs = hyperplane_signs(spark, dims)
-    sigs = lsh_signature(emb, signs).localCheckpoint(eager=True)
+    # scan-side signature (inlined ±1 matrix) — no pre-bucket exchange
+    sigs = lsh_signature(emb, dims).localCheckpoint(eager=True)
     cand = (
         sigs.groupBy("sig")
         .agg(F.collect_list("vec_id").alias("ids"))

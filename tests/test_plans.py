@@ -198,3 +198,26 @@ def test_embedding_quantize_no_corpus_shuffle(spark):
     plan = formatted_plan(spark, "pipeline_embedding_quantize")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_signature_is_pure_projection(spark):
+    """The LSH signature must be a scan-side projection of the inlined ±1
+    hyperplane matrix: no Exchange, no Generate (posexplode), no join —
+    the earlier design shuffled rows×dims twice before bucketing."""
+    from pyspark.sql import functions as F
+
+    from go_mysql_server_spark.operators.similarity import lsh_signature
+    from go_mysql_server_spark.sources import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    df = lsh_signature(emb, dims)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    # and the value is bit-packed into one long per row
+    row = df.orderBy(F.col("vec_id")).first()
+    assert 0 <= row["sig"] < (1 << 8)
