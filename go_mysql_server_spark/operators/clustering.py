@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import iter_checkpoint
 from .similarity import _to_double, l2_squared
 
 
@@ -31,7 +32,7 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
     vecs = embeddings.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("v")
     ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism, id_col)
-    vecs = vecs.localCheckpoint(eager=True)  # reused every iteration
+    vecs = iter_checkpoint(vecs, eager=True)  # reused every iteration
 
     # init: the k lowest-id vectors, cluster = rank among them (deterministic;
     # row_number over the id itself, not physical order after the limit)
@@ -60,7 +61,8 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
             .agg(*[F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"c{i}")
                    for i in range(dims)])
             .select("cluster", F.array(*[F.col(f"c{i}") for i in range(dims)]).alias("c"))
-        ).localCheckpoint(eager=True)
+        )
+        centroids = iter_checkpoint(centroids, eager=True)
 
     return assigned.select(
         id_col, "cluster", F.round(F.sqrt("d"), 6).alias("dist")

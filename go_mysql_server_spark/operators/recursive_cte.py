@@ -10,8 +10,10 @@ Scale notes:
 - UNION DISTINCT semantics dedups the delta against the accumulator each
   round (subtract = shuffle on all columns) — same asymptotics as the
   reference's working-table dedup, but distributed.
-- localCheckpoint() every few rounds truncates the lineage so plan size and
-  scheduler overhead stay O(1) in iteration count instead of O(n).
+- iter_checkpoint() every few rounds truncates the lineage so plan size and
+  scheduler overhead stay O(1) in iteration count instead of O(n); set
+  spark.gms.reliableCheckpoint=true for cluster runs (session.py) so loop
+  state survives executor loss.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+from ..session import iter_checkpoint
 
 CHECKPOINT_EVERY = 4
 
@@ -34,17 +38,17 @@ def recursive_cte(
     `distinct=True` = UNION (stop when no *new* rows); False = UNION ALL
     (stop when step yields no rows — caller must guarantee termination).
     """
-    acc = seed.localCheckpoint(eager=True)
+    acc = iter_checkpoint(seed, eager=True)
     delta = acc
     for i in range(max_iterations):
         new = step(delta)
         if distinct:
             new = new.subtract(acc)
-        new = new.localCheckpoint(eager=True)
+        new = iter_checkpoint(new, eager=True)
         if new.isEmpty():
             return acc
         acc = acc.unionAll(new)
         delta = new
         if (i + 1) % CHECKPOINT_EVERY == 0:
-            acc = acc.localCheckpoint(eager=True)
+            acc = iter_checkpoint(acc, eager=True)
     raise RecursionError(f"recursive CTE did not converge in {max_iterations} iterations")

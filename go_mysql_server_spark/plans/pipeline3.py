@@ -15,6 +15,7 @@ from ..operators import dedup
 from ..operators.hashing import md5_int60
 from ..operators.similarity import cosine, lsh_signature
 from ..operators.text import quality_score, quality_score_sql
+from ..session import iter_checkpoint
 from ._util import t
 from .registry import query
 
@@ -378,10 +379,10 @@ def pipeline_cluster_keep_best(spark, sf_dir):
             .filter(F.col("label") < F.col("u"))
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = iter_checkpoint(
             labels.select("node", "label").unionAll(prop)
-            .groupBy("node").agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .groupBy("node").agg(F.min("label").alias("label")),
+            eager=True,
         )
         if new_labels.join(
             labels, ["node", "label"], "left_anti"

@@ -53,6 +53,33 @@ def build_session(app_name: str = "go-mysql-server-spark",
     return builder.getOrCreate()
 
 
+def iter_checkpoint(df, eager: bool = True):
+    """Lineage truncation for iterative operators (connected components,
+    recursive CTE fixpoint, k-means rounds).
+
+    Default: `localCheckpoint` — blocks live in executor memory/disk, which
+    is fast but is LOST if an executor dies; on a single-node session that
+    is fine. For multi-hour cluster jobs set
+    `spark.gms.reliableCheckpoint=true` AND a `spark.checkpoint.dir`
+    (sc.setCheckpointDir) — the loop state is then written to the reliable
+    store so executor loss only re-reads, not re-derives, prior rounds.
+    (Reference has no analogue: go-mysql-server's recursive CTE iterates in
+    one process, sql/plan/recursive_cte.go.)
+    """
+    spark = df.sparkSession
+    try:
+        reliable = spark.conf.get("spark.gms.reliableCheckpoint", "false")
+    except Exception:
+        reliable = "false"
+    if str(reliable).lower() == "true":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import tempfile
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="gms_ckpt_"))
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session.
 

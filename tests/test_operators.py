@@ -63,3 +63,34 @@ def test_format_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(g" in plan, plan[:500]
     assert back.count() == 10
+
+
+# ---- round 3: reliable checkpointing for iterative operators ----------------
+
+
+def test_iter_checkpoint_both_paths(spark):
+    """iter_checkpoint: localCheckpoint by default; with
+    spark.gms.reliableCheckpoint=true it writes to a reliable checkpoint
+    dir (survives executor loss on a cluster). Both paths must produce the
+    same fixpoint result."""
+    from go_mysql_server_spark.operators.recursive_cte import recursive_cte
+
+    def run():
+        seed = spark.createDataFrame([(1,)], "n int")
+        return sorted(
+            r["n"] for r in recursive_cte(
+                seed,
+                lambda d: d.selectExpr("n + 1 AS n").filter("n <= 6"),
+            ).collect()
+        )
+
+    try:
+        spark.conf.set("spark.gms.reliableCheckpoint", "false")
+        local = run()
+        spark.conf.set("spark.gms.reliableCheckpoint", "true")
+        reliable = run()
+    finally:
+        spark.conf.set("spark.gms.reliableCheckpoint", "false")
+    assert local == reliable == [1, 2, 3, 4, 5, 6]
+    # the reliable path must have registered a checkpoint dir
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
