@@ -521,12 +521,21 @@ def show_misc(eng, sql: str) -> DataFrame | None:
         return sp.createDataFrame(
             [], "File string, Position bigint, Binlog_Do_DB string, "
                 "Binlog_Ignore_DB string, Executed_Gtid_Set string")
-    if up.startswith(("SHOW REPLICA STATUS", "SHOW SLAVE STATUS",
-                      "SHOW REPLICAS", "SHOW SLAVE HOSTS")):
-        # not a replica: MySQL returns an empty result set
+    if up.startswith(("SHOW REPLICA STATUS", "SHOW SLAVE STATUS")):
+        # configured → one status row (streaming/replication.py); not a
+        # replica → empty result set, MySQL behavior
         return sp.createDataFrame(
-            [], "Replica_IO_State string, Source_Host string, "
-                "Source_User string, Source_Port int, Connect_Retry int")
+            eng.replica.status_rows(),
+            "Replica_IO_State string, Source_Host string, "
+            "Source_User string, Source_Port int, Connect_Retry int, "
+            "Replica_IO_Running string, Replica_SQL_Running string, "
+            "Exec_Source_Gtid bigint, Events_Applied bigint, "
+            "Last_Error string")
+    if up.startswith(("SHOW REPLICAS", "SHOW SLAVE HOSTS")):
+        # this engine never acts as a *source* with connected replicas
+        return sp.createDataFrame(
+            [], "Server_Id bigint, Host string, Port int, "
+                "Source_Id bigint, Replica_UUID string")
     if up.startswith("SHOW PLUGINS"):
         return sp.createDataFrame(
             [("InnoDB", "ACTIVE", "STORAGE ENGINE", None, "GPL"),

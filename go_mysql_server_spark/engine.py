@@ -252,6 +252,8 @@ class Engine:
         from .admin import UserEntry
         self.users["root@localhost"] = UserEntry("root", "localhost")
         self.prepared: dict[str, object] = {}     # name → PreparedStatement
+        from .streaming.replication import ReplicaController
+        self.replica = ReplicaController(self)    # binlog-replica analogue
 
     # ---- public API --------------------------------------------------------
 
@@ -273,9 +275,11 @@ class Engine:
             "SHOW": self._q_show, "LOAD": self._q_load_data,
             "DESCRIBE": self._q_describe, "DESC": self._q_describe,
             "EXPLAIN": self._q_explain,
-            "BEGIN": self._q_txn, "START": self._q_txn,
+            "BEGIN": self._q_txn, "START": self._q_start,
             "COMMIT": self._q_txn, "ROLLBACK": self._q_txn,
             "SAVEPOINT": self._q_txn, "RELEASE": self._q_txn,
+            "STOP": self._q_replica_admin, "RESET": self._q_replica_admin,
+            "CHANGE": self._q_replica_admin,
             "PREPARE": self._q_prepare, "EXECUTE": self._q_execute,
             "DEALLOCATE": self._q_deallocate, "CALL": self._q_call,
             "GRANT": lambda s: admin.q_grant(self, s),
@@ -2057,6 +2061,27 @@ class Engine:
                 ts.df = s["df"]
                 if ts.df is not None:
                     ts.df.createOrReplaceTempView(tname)
+
+    def _q_start(self, sql: str) -> OkResult:
+        """START TRANSACTION → txn; START REPLICA|SLAVE → replication
+        (reference sql/plan/replication_commands.go StartReplica)."""
+        if re.match(r"START\s+(REPLICA|SLAVE)\b", sql, re.I):
+            return self.replica.start()
+        return self._q_txn(sql)
+
+    def _q_replica_admin(self, sql: str) -> OkResult:
+        """STOP/RESET REPLICA, CHANGE REPLICATION SOURCE TO (reference
+        sql/plan/replication_commands.go:1-379)."""
+        up = sql.strip().upper()
+        if re.match(r"STOP\s+(REPLICA|SLAVE)\b", up):
+            return self.replica.stop()
+        if re.match(r"RESET\s+(REPLICA|SLAVE)\b", up):
+            return self.replica.reset()
+        if re.match(r"RESET\s+(MASTER|BINARY\s+LOGS)\b", up):
+            return OkResult(0)  # no binlog writer: ack
+        if re.match(r"CHANGE\s+(REPLICATION\s+SOURCE|MASTER)\s+TO\b", up):
+            return self.replica.change_source(sql)
+        raise SqlError(f"unsupported statement: {sql[:60]!r}")
 
     def _q_txn(self, sql: str) -> OkResult:
         """BEGIN/COMMIT/ROLLBACK + SAVEPOINT/ROLLBACK TO/RELEASE

@@ -931,3 +931,71 @@ def test_column_statistics_from_analyze(eng):
     import json
     h = json.loads(rows[0]["HISTOGRAM"])
     assert h["histogram-type"] == "equi-height" and len(h["buckets"]) == 5
+
+
+# ---- round 3: binlog-replica analogue (streaming change-stream consumer) ----
+
+
+def test_replica_change_stream(eng, tmp_path):
+    """CHANGE REPLICATION SOURCE / START REPLICA consume a JSON-lines
+    change stream via Structured Streaming; the streaming checkpoint is the
+    replication position, so a second START only applies new files
+    (reference sql/binlogreplication/binlog_replication.go:42-57,
+    sql/plan/replication_commands.go)."""
+    import json
+
+    eng.query("CREATE TABLE repl_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def emit(name, events):
+        (src / name).write_text("\n".join(json.dumps(e) for e in events))
+
+    emit("000001.json", [
+        {"gtid": 1, "table": "repl_t", "op": "insert",
+         "row": {"id": "1", "v": "a"}},
+        {"gtid": 2, "table": "repl_t", "op": "insert",
+         "row": {"id": "2", "v": "b"}},
+        {"gtid": 3, "table": "repl_t", "op": "update",
+         "row": {"id": "2", "v": "b2"}, "key": {"id": "2"}},
+    ])
+    eng.query(f"CHANGE REPLICATION SOURCE TO SOURCE_DIR='{src}', "
+              "SOURCE_HOST='upstream', SOURCE_PORT=3306")
+    eng.query("RESET REPLICA")  # clear any stale checkpoint for this dir
+    eng.query("START REPLICA")
+    assert rows(eng.query("SELECT id, v FROM repl_t ORDER BY id")) == [
+        (1, "a"), (2, "b2")]
+
+    st = eng.query("SHOW REPLICA STATUS").collect()[0]
+    assert st["Replica_IO_Running"] == "Yes"
+    assert st["Exec_Source_Gtid"] == 3
+    assert st["Events_Applied"] == 3
+
+    # new file: delete 1, insert 3 — resume applies ONLY the new file
+    emit("000002.json", [
+        {"gtid": 4, "table": "repl_t", "op": "delete", "key": {"id": "1"}},
+        {"gtid": 5, "table": "repl_t", "op": "insert",
+         "row": {"id": "3", "v": "c"}},
+    ])
+    eng.query("START REPLICA")
+    assert rows(eng.query("SELECT id, v FROM repl_t ORDER BY id")) == [
+        (2, "b2"), (3, "c")]
+    st = eng.query("SHOW REPLICA STATUS").collect()[0]
+    assert st["Exec_Source_Gtid"] == 5 and st["Events_Applied"] == 5
+
+    eng.query("STOP REPLICA")
+    st = eng.query("SHOW REPLICA STATUS").collect()[0]
+    assert st["Replica_IO_Running"] == "No"
+
+
+def test_replica_unconfigured_errors_and_empty_status(eng):
+    import pytest
+
+    from go_mysql_server_spark.engine import SqlError
+
+    assert eng.query("SHOW REPLICA STATUS").count() == 0
+    with pytest.raises(SqlError, match="not configured"):
+        eng.query("START REPLICA")
+    # START TRANSACTION still routes to the txn path
+    eng.query("START TRANSACTION")
+    eng.query("ROLLBACK")
