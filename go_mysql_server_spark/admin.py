@@ -260,6 +260,36 @@ def run_due_events(eng) -> None:
         eng._in_event = False
 
 
+def set_event_scheduler(eng, enabled: bool) -> None:
+    """SET GLOBAL event_scheduler = ON|OFF — background scheduler thread
+    (the async analogue of the reference's eventscheduler goroutine,
+    eventscheduler/event_scheduler.go; wired engine.go:722-729). OFF keeps
+    the default deterministic statement-boundary execution. The thread
+    takes the engine's statement lock, so event bodies serialize with user
+    statements exactly like the reference's single applier."""
+    import threading
+
+    current = getattr(eng, "_event_scheduler", None)
+    if enabled and current is None:
+        stop = threading.Event()
+
+        def loop() -> None:
+            while not stop.wait(0.2):
+                try:
+                    with eng._stmt_lock:
+                        run_due_events(eng)
+                except Exception:  # noqa: BLE001 — scheduler must survive
+                    pass           # bad event bodies (logged via last run)
+
+        th = threading.Thread(target=loop, daemon=True,
+                              name="gms-event-scheduler")
+        eng._event_scheduler = (th, stop)
+        th.start()
+    elif not enabled and current is not None:
+        current[1].set()
+        eng._event_scheduler = None
+
+
 def show_events(eng) -> DataFrame:
     rows = []
     for ev in eng.events.values():

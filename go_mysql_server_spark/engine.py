@@ -254,6 +254,11 @@ class Engine:
         self.prepared: dict[str, object] = {}     # name → PreparedStatement
         from .streaming.replication import ReplicaController
         self.replica = ReplicaController(self)    # binlog-replica analogue
+        import threading
+        # serializes user statements with the async event-scheduler thread
+        # (reentrant: event bodies run eng.query on the scheduler thread)
+        self._stmt_lock = threading.RLock()
+        self._event_scheduler = None
 
     # ---- public API --------------------------------------------------------
 
@@ -262,7 +267,6 @@ class Engine:
         sql = sql.strip().rstrip(";").strip()
         head = sql.split(None, 1)[0].upper() if sql else ""
         self._query_count += 1
-        admin.run_due_events(self)
         handler = {
             "SELECT": self._q_select, "WITH": self._q_select,
             "TABLE": self._q_select, "VALUES": self._q_select,
@@ -297,7 +301,9 @@ class Engine:
         }.get(head)
         if handler is None:
             raise SqlError(f"unsupported statement: {sql[:60]!r}")
-        return handler(sql)
+        with self._stmt_lock:
+            admin.run_due_events(self)
+            return handler(sql)
 
     def _q_do(self, sql: str) -> OkResult:
         """DO expr: evaluate and discard (reference sql/plan/do.go)."""
@@ -1774,6 +1780,14 @@ class Engine:
     def _q_set(self, sql: str) -> OkResult:
         body = sql.split(None, 1)[1]
         if body.upper().startswith(("NAMES", "CHARACTER SET", "CHARSET")):
+            return OkResult(0)
+        m = re.match(r"(?:GLOBAL\s+|@@global\.|@@)?event_scheduler\s*=\s*(\w+)",
+                     body, re.I)
+        if m:
+            from . import admin
+            on = m.group(1).upper() in ("ON", "1", "TRUE")
+            self.sys_vars["event_scheduler"] = "ON" if on else "OFF"
+            admin.set_event_scheduler(self, on)
             return OkResult(0)
         for assign in _split_top_level(body):
             m = re.match(r"@@(?:session\.|global\.)?(\w+)\s*:?=\s*(.*)$", assign, re.I)

@@ -999,3 +999,27 @@ def test_replica_unconfigured_errors_and_empty_status(eng):
     # START TRANSACTION still routes to the txn path
     eng.query("START TRANSACTION")
     eng.query("ROLLBACK")
+
+
+def test_async_event_scheduler(eng):
+    """SET GLOBAL event_scheduler = ON runs due events on a background
+    thread (reference eventscheduler/event_scheduler.go goroutine) — the
+    event fires with NO intervening statement to trigger the synchronous
+    statement-boundary path."""
+    import time
+
+    eng.query("CREATE TABLE evta (i BIGINT PRIMARY KEY)")
+    eng.query("CREATE EVENT bg_oneshot ON SCHEDULE AT CURRENT_TIMESTAMP "
+              "+ INTERVAL 1 SECOND DO INSERT INTO evta VALUES (1)")
+    eng.query("SET GLOBAL event_scheduler = ON")
+    try:
+        deadline = time.time() + 10
+        # poll engine STATE directly — no eng.query() calls, so only the
+        # scheduler thread can have executed the event
+        while time.time() < deadline and "bg_oneshot" in eng.events:
+            time.sleep(0.1)
+        assert "bg_oneshot" not in eng.events, "scheduler thread never fired"
+        assert eng._db(None)["evta"].df.count() == 1
+    finally:
+        eng.query("SET GLOBAL event_scheduler = OFF")
+    assert eng.sys_vars["event_scheduler"] == "OFF"
