@@ -29,6 +29,52 @@ _MACROS = [
      "format_string('%02d:%02d:%02d', h, m, s)"),
     # MySQL TO_DAYS('2020-01-01') = 737790 (matches functions/datetime_fns)
     ("to_days", "(d DATE)", "BIGINT", "datediff(d, DATE '0000-01-01')"),
+    # ORD: code point of the first character as its UTF-8 byte sequence read
+    # as a big-endian integer (MySQL's multibyte definition, string.go Ord)
+    ("ord", "(s STRING)", "BIGINT",
+     "CAST(conv(hex(encode(substring(s, 1, 1), 'UTF-8')), 16, 10) AS BIGINT)"),
+    # WEEK mode 0 (Sunday-start, days before the first Sunday are week 0):
+    # floor((doy-1 + weekday0(jan1)) / 7) with Sunday=0 weekday index
+    ("week", "(d DATE)", "INT",
+     "CAST(FLOOR((dayofyear(d) - 1 + (dayofweek(make_date(year(d), 1, 1)) - 1))"
+     " / 7) AS INT)"),
+    ("yearweek", "(d DATE)", "BIGINT",
+     # week 0 belongs to the previous year (MySQL YEARWEEK mode 0)
+     "CAST(CASE WHEN FLOOR((dayofyear(d) - 1 + (dayofweek(make_date(year(d), 1, 1)) - 1)) / 7) = 0 "
+     "THEN (year(d) - 1) * 100 + FLOOR((dayofyear(make_date(year(d) - 1, 12, 31)) - 1 "
+     "     + (dayofweek(make_date(year(d) - 1, 1, 1)) - 1)) / 7) "
+     "ELSE year(d) * 100 + FLOOR((dayofyear(d) - 1 + (dayofweek(make_date(year(d), 1, 1)) - 1)) / 7) "
+     "END AS BIGINT)"),
+    # PERIOD_ADD/PERIOD_DIFF: YYYYMM arithmetic (date_and_time.go)
+    ("period_add", "(p BIGINT, n BIGINT)", "BIGINT",
+     "((CAST(p / 100 AS BIGINT) * 12 + p % 100 - 1 + n) DIV 12) * 100 "
+     "+ (CAST(p / 100 AS BIGINT) * 12 + p % 100 - 1 + n) % 12 + 1"),
+    ("period_diff", "(a BIGINT, b BIGINT)", "BIGINT",
+     "(CAST(a / 100 AS BIGINT) * 12 + a % 100) "
+     "- (CAST(b / 100 AS BIGINT) * 12 + b % 100)"),
+    # JSON read family (same get_json_object approximation as the Column
+    # registry, functions/special.py — numbers/strings come back unquoted)
+    ("json_extract", "(doc STRING, p STRING)", "STRING",
+     "get_json_object(doc, p)"),
+    ("json_value", "(doc STRING, p STRING)", "STRING",
+     "get_json_object(doc, p)"),
+    ("json_unquote", "(s STRING)", "STRING",
+     "IF(left(s, 1) = '\"' AND right(s, 1) = '\"', "
+     "substring(s, 2, char_length(s) - 2), s)"),
+    ("json_valid", "(s STRING)", "INT",
+     "CAST(get_json_object(s, '$') IS NOT NULL AS INT)"),
+    # object → #keys, array → #elements, scalar → 1 (json.go JsonLength)
+    ("json_length", "(s STRING)", "BIGINT",
+     "CAST(CASE WHEN left(ltrim(s), 1) = '[' THEN json_array_length(s) "
+     "WHEN left(ltrim(s), 1) = '{' THEN size(json_object_keys(s)) "
+     "ELSE 1 END AS BIGINT)"),
+    ("json_keys", "(s STRING)", "STRING", "to_json(json_object_keys(s))"),
+    # EXPORT_SET, 5-arg form (the 3/4-arg forms are padded by the
+    # transpiler with ',' and 64)
+    ("export_set", "(bits BIGINT, onv STRING, offv STRING, sep STRING, n INT)",
+     "STRING",
+     "array_join(transform(sequence(0, n - 1), "
+     "i -> IF(shiftright(bits, i) & 1 = 1, onv, offv)), sep)"),
 ]
 
 

@@ -74,6 +74,8 @@ FUNC_ALIASES = {
     "rand": "rand",
     "char_length": "char_length",
     "power": "power",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
 }
 
 
@@ -357,7 +359,17 @@ def _rewrite_calls(sql: str, pattern: re.Pattern, repl_fn) -> str:
 _MISC_FN = re.compile(
     r"\b(DAYNAME|MONTHNAME|CEILING|CEIL|FLOOR|SIGN|GREATEST|LEAST|STRCMP|"
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
-    r"INTERVAL)\s*\(", re.IGNORECASE)
+    r"INTERVAL|JSON_ARRAY|JSON_OBJECT|MAKE_SET|EXPORT_SET)\s*\(",
+    re.IGNORECASE)
+
+
+def _json_frag(arg: str) -> str:
+    """One argument → its JSON-fragment text, any type: serialize through a
+    one-field struct and strip the wrapper. NULL handled explicitly
+    (to_json drops null struct fields)."""
+    return (f"(CASE WHEN ({arg}) IS NULL THEN 'null' ELSE "
+            f"regexp_replace(to_json(struct(({arg}) AS v)), "
+            f"'^\\\\{{\"v\":|\\\\}}$', '') END)")
 
 
 def _rewrite_misc_fns(sql: str) -> str:
@@ -433,6 +445,31 @@ def _rewrite_misc_fns(sql: str) -> str:
             n, rest = args[0], ", ".join(args[1:])
             return (f"(CASE WHEN ({n}) IS NULL THEN -1 ELSE "
                     f"size(filter(array({rest}), __x -> __x <= ({n}))) END)")
+        if name == "JSON_ARRAY":
+            frags = ", ".join(_json_frag(a) for a in args)
+            return f"CONCAT('[', concat_ws(',', {frags}), ']')"
+        if name == "JSON_OBJECT":
+            if len(args) % 2:
+                return None
+            pairs = ", ".join(
+                f"CONCAT('\"', CAST({args[i]} AS STRING), '\":', "
+                f"{_json_frag(args[i + 1])})"
+                for i in range(0, len(args), 2))
+            return f"CONCAT('{{', concat_ws(',', {pairs}), '}}')"
+        if name == "MAKE_SET":
+            bits, rest = args[0], ", ".join(args[1:])
+            return (f"array_join(filter(transform(array({rest}), "
+                    f"(__x, __i) -> IF(shiftright({bits}, __i) & 1 = 1, "
+                    f"__x, NULL)), __x -> __x IS NOT NULL), ',')")
+        if name == "EXPORT_SET":
+            # pad the 3/4-arg forms to the 5-arg SQL macro
+            if len(args) == 3:
+                args = args + ["','", "64"]
+            elif len(args) == 4:
+                args = args + ["64"]
+            if len(args) != 5:
+                return None
+            return f"export_set({', '.join(args)})"
         return None
 
     return _rewrite_calls(sql, _MISC_FN, repl)

@@ -337,6 +337,11 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_remove", lambda d, p: _mutate(d, p, None, "remove"),
                        T.StringType())
     spark.udf.register("json_merge_patch", _merge_patch, T.StringType())
+    spark.udf.register(
+        "json_contains",
+        lambda doc, cand: None if doc is None or cand is None
+        else int(_contains(json.loads(doc), json.loads(cand))),
+        T.IntegerType())
     # Runtime MySQL-%-token → Java DateTimeFormatter translation for the
     # dynamic-format branch of DATE_FORMAT/STR_TO_DATE (dialect/transpiler.py)
     from ..dialect.transpiler import translate_datetime_format as _tdf

@@ -421,6 +421,144 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT COUNT(*) AS c FROM region r JOIN nation n ON n.n_nationkey < r.r_regionkey",
      "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM region r JOIN nation n "
      "ON n.n_nationkey < r.r_regionkey"),
+    # ---- string/encoding breadth -----------------------------------------
+    ("bin_oct_hex_num", "SELECT BIN(10) AS b, HEX(255) AS h",
+     "SELECT '1010' AS b, 'FF' AS h"),
+    ("conv_roundtrip", "SELECT CONV(CONV('1010', 2, 10), 10, 16) AS c",
+     "SELECT 'A' AS c"),
+    ("unhex_fn", "SELECT CAST(UNHEX('4142') AS CHAR) AS c", "SELECT 'AB' AS c"),
+    ("to_from_base64",
+     "SELECT FROM_BASE64(TO_BASE64('spark')) AS c", "SELECT CAST('spark' AS BLOB) AS c"),
+    ("md5_fn", "SELECT MD5('abc') AS c",
+     "SELECT '900150983cd24fb0d6963f7d28e17f72' AS c"),
+    ("sha1_fn", "SELECT SHA1('abc') AS c",
+     "SELECT 'a9993e364706816aba3e25717850c26c9cd0d89d' AS c"),
+    ("crc32_fn", "SELECT CRC32('abc') AS c", "SELECT 891568578 AS c"),
+    ("soundex_fn", "SELECT SOUNDEX('Robert') AS c", "SELECT 'R163' AS c"),
+    ("quote_fn", "SELECT QUOTE('O''hi') AS c", "SELECT '''O\\''hi''' AS c"),
+    ("export_set_fn", "SELECT EXPORT_SET(5, 'Y', 'N', ',', 4) AS c",
+     "SELECT 'Y,N,Y,N' AS c"),
+    ("make_set_fn", "SELECT MAKE_SET(5, 'a', 'b', 'c', 'd') AS c",
+     "SELECT 'a,c' AS c"),
+    ("ord_fn", "SELECT ORD('A') AS c", "SELECT 65 AS c"),
+    ("find_in_set_fn", "SELECT FIND_IN_SET('b', 'a,b,c') AS c", "SELECT 2 AS c"),
+    ("substring_index_all", "SELECT SUBSTRING_INDEX('a.b.c', '.', 10) AS c",
+     "SELECT 'a.b.c' AS c"),
+    ("rpad_truncates", "SELECT RPAD('abcdef', 3, 'x') AS c", "SELECT 'abc' AS c"),
+    ("repeat_zero", "SELECT REPEAT('ab', 0) AS c", "SELECT '' AS c"),
+    ("trim_leading", "SELECT TRIM(LEADING 'x' FROM 'xxabcxx') AS c",
+     "SELECT 'abcxx' AS c"),
+    ("trim_trailing", "SELECT TRIM(TRAILING 'x' FROM 'xxabcxx') AS c",
+     "SELECT 'xxabc' AS c"),
+    ("trim_both_char", "SELECT TRIM(BOTH 'x' FROM 'xxabcxx') AS c",
+     "SELECT 'abc' AS c"),
+    ("concat_int_float", "SELECT CONCAT(1, '.', 5) AS c", "SELECT '1.5' AS c"),
+    # ---- JSON breadth ----------------------------------------------------
+    ("json_extract_path",
+     "SELECT JSON_EXTRACT('{\"a\": {\"b\": 7}}', '$.a.b') AS c",
+     "SELECT '7' AS c"),
+    ("json_unquote_extract",
+     "SELECT JSON_UNQUOTE(JSON_EXTRACT('{\"s\": \"hi\"}', '$.s')) AS c",
+     "SELECT 'hi' AS c"),
+    ("json_array_fn", "SELECT JSON_ARRAY(1, 'a', NULL) AS c",
+     "SELECT '[1,\"a\",null]' AS c"),
+    ("json_object_fn", "SELECT JSON_OBJECT('k', 1) AS c",
+     "SELECT '{\"k\":1}' AS c"),
+    ("json_length_fn", "SELECT JSON_LENGTH('[1,2,3]') AS c",
+     "SELECT CAST(3 AS BIGINT) AS c"),
+    ("json_valid_fn", "SELECT JSON_VALID('{\"a\":1}') AS a, JSON_VALID('nope{') AS b",
+     "SELECT 1 AS a, 0 AS b"),
+    ("json_contains_fn",
+     "SELECT JSON_CONTAINS('[1,2,3]', '2') AS c", "SELECT 1 AS c"),
+    ("json_keys_fn", "SELECT JSON_KEYS('{\"a\":1,\"b\":2}') AS c",
+     "SELECT '[\"a\",\"b\"]' AS c"),
+    ("json_array_length_nested",
+     "SELECT JSON_LENGTH('{\"a\":1,\"b\":2}') AS c",
+     "SELECT CAST(2 AS BIGINT) AS c"),
+    # ---- date/time breadth -----------------------------------------------
+    ("week_default_mode", "SELECT WEEK(DATE '2024-01-01') AS c",
+     "SELECT 0 AS c"),
+    ("yearweek_fn", "SELECT YEARWEEK(DATE '2024-03-15') AS c",
+     "SELECT 202410 AS c"),
+    ("period_add_fn", "SELECT PERIOD_ADD(202412, 2) AS c", "SELECT 202502 AS c"),
+    ("period_diff_fn", "SELECT PERIOD_DIFF(202502, 202412) AS c", "SELECT 2 AS c"),
+    ("time_to_sec_fn", "SELECT TIME_TO_SEC('01:30:45') AS c",
+     "SELECT CAST(5445 AS BIGINT) AS c"),
+    ("sec_to_time_fn", "SELECT SEC_TO_TIME(5445) AS c", "SELECT '01:30:45' AS c"),
+    ("addtime_fn", "SELECT ADDTIME('10:00:00', '01:30:00') AS c",
+     "SELECT '11:30:00' AS c"),
+    ("timestampdiff_month",
+     "SELECT TIMESTAMPDIFF(MONTH, DATE '2024-01-15', DATE '2024-06-20') AS c",
+     "SELECT CAST(5 AS BIGINT) AS c"),
+    ("timestampadd_fn",
+     "SELECT CAST(TIMESTAMPADD(HOUR, 26, TIMESTAMP '2024-03-01 00:00:00') AS TIMESTAMP) AS c",
+     "SELECT TIMESTAMP '2024-03-02 02:00:00' AS c"),
+    ("extract_hour_minute",
+     "SELECT EXTRACT(HOUR FROM TIMESTAMP '2024-03-01 17:45:30') AS h, "
+     "EXTRACT(MINUTE FROM TIMESTAMP '2024-03-01 17:45:30') AS m",
+     "SELECT CAST(17 AS INTEGER) AS h, CAST(45 AS INTEGER) AS m"),
+    ("date_vs_string_compare",
+     "SELECT (DATE '2024-03-15' = '2024-03-15') AS c", "SELECT TRUE AS c"),
+    ("leap_year_feb", "SELECT DAY(LAST_DAY(DATE '2023-02-10')) AS a, "
+     "DAY(LAST_DAY(DATE '2024-02-10')) AS b",
+     "SELECT CAST(28 AS INTEGER) AS a, CAST(29 AS INTEGER) AS b"),
+    # ---- numeric edge ----------------------------------------------------
+    ("round_to_tens", "SELECT ROUND(1234.5678, -2) AS c",
+     "SELECT CAST(1200 AS DECIMAL(8,0)) AS c"),
+    ("truncate_to_tens", "SELECT TRUNCATE(1299.99, -2) AS c",
+     "SELECT 1200.0 AS c"),
+    ("mod_decimal", "SELECT MOD(10.5, 3) AS c",
+     "SELECT CAST(1.5 AS DECIMAL(4,1)) AS c"),
+    ("abs_min_bigint_edge", "SELECT ABS(-9223372036854775807) AS c",
+     "SELECT CAST(9223372036854775807 AS BIGINT) AS c"),
+    ("float_sum_assoc", "SELECT ROUND(0.1 + 0.2, 10) AS c",
+     "SELECT CAST(0.3 AS DECIMAL(11,10)) AS c"),
+    ("pow_neg_base", "SELECT POW(-2, 3) AS c", "SELECT CAST(-8.0 AS DOUBLE) AS c"),
+    ("sqrt_negative_null", "SELECT SQRT(-1) AS c",
+     "SELECT CAST('nan' AS DOUBLE) AS c"),
+    ("log_nonpositive_null", "SELECT LN(0) AS c",
+     "SELECT CAST(NULL AS DOUBLE) AS c"),
+    ("greatest_mixed_num", "SELECT GREATEST(1, 2.5, 2) AS c",
+     "SELECT CAST(2.5 AS DECIMAL(11,1)) AS c"),
+    ("bit_count_fn", "SELECT BIT_COUNT(255) AS c", "SELECT 8 AS c"),
+    # ---- aggregates / grouping breadth -----------------------------------
+    ("rollup_totals",
+     "SELECT n_regionkey, COUNT(*) AS n FROM nation "
+     "GROUP BY n_regionkey WITH ROLLUP ORDER BY n_regionkey NULLS LAST",
+     "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation "
+     "GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS LAST"),
+    ("agg_var_pop",
+     "SELECT ROUND(VAR_POP(n_nationkey), 6) AS c FROM nation",
+     "SELECT CAST(ROUND(VAR_POP(n_nationkey), 6) AS DOUBLE) AS c FROM nation"),
+    ("agg_bit_and_or",
+     "SELECT BIT_AND(n_nationkey) AS a, BIT_OR(n_nationkey) AS o "
+     "FROM nation WHERE n_nationkey IN (12, 13)",
+     "SELECT CAST(12 AS BIGINT) AS a, CAST(13 AS BIGINT) AS o"),
+    ("agg_min_max_date",
+     "SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders", None),
+    ("having_without_group",
+     "SELECT COUNT(*) AS c FROM nation HAVING COUNT(*) > 10",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation HAVING COUNT(*) > 10"),
+    ("count_distinct_two_cols",
+     "SELECT COUNT(DISTINCT n_regionkey, n_nationkey % 5) AS c FROM nation",
+     "SELECT CAST(COUNT(DISTINCT (n_regionkey, n_nationkey % 5)) AS BIGINT) AS c "
+     "FROM nation"),
+    ("group_by_null_bucket",
+     "SELECT CASE WHEN n_nationkey < 5 THEN NULL ELSE n_regionkey END AS g, "
+     "COUNT(*) AS n FROM nation GROUP BY g ORDER BY g NULLS FIRST",
+     "SELECT CASE WHEN n_nationkey < 5 THEN NULL ELSE n_regionkey END AS g, "
+     "CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY g "
+     "ORDER BY g NULLS FIRST"),
+    # ---- distinct / union type edges -------------------------------------
+    ("distinct_nulls_collapse",
+     "SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE 1 END AS c "
+     "FROM nation ORDER BY c NULLS FIRST",
+     "SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE 1 END AS c "
+     "FROM nation ORDER BY c NULLS FIRST"),
+    ("union_null_typing",
+     "SELECT NULL AS c UNION ALL SELECT 1 ORDER BY c NULLS FIRST",
+     "SELECT CAST(NULL AS INTEGER) AS c UNION ALL SELECT 1 ORDER BY c NULLS FIRST"),
+    ("in_mixed_num_types", "SELECT 2 IN (2.0, 3) AS c", "SELECT TRUE AS c"),
 ]
 
 IDS = [c[0] for c in CORPUS]
