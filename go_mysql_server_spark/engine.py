@@ -1443,18 +1443,63 @@ class Engine:
             if counts[i]:
                 raise SqlError(msg)
 
+    _DML_ORDER_LIMIT = re.compile(
+        r"(?:\s+ORDER\s+BY\s+([^()]+?))?\s+LIMIT\s+(\d+)\s*$", re.I | re.S)
+
+    def _strip_order_limit(self, sql: str) -> tuple[str, str | None, int | None]:
+        """UPDATE/DELETE ... [ORDER BY o] [LIMIT n] (reference
+        sql/plan/update.go / delete.go carry SortFields+Limit): split the
+        trailing clauses off so WHERE parsing stays clean."""
+        m = self._DML_ORDER_LIMIT.search(sql)
+        if not m:
+            return sql, None, None
+        return sql[:m.start()], m.group(1), int(m.group(2))
+
+    def _limit_victims_where(self, ts: TableState, where: str,
+                             order_sql: str | None, n: int) -> str:
+        """Refine `where` to the first n matching rows in the given order:
+        pick victim keys (PK, else all columns) with one bounded job, then
+        pin them as an IN-list — n is the statement's own LIMIT, so the
+        collect is user-bounded exactly like MySQL's applier."""
+        key = list(ts.primary_key) or [c.name for c in ts.columns]
+        vict = ts.df.filter(where)
+        if order_sql:
+            order_cols = []
+            for item in _split_top_level(order_sql):
+                it = item.strip()
+                desc = bool(re.search(r"\s+DESC$", it, re.I))
+                expr = F.expr(transpile_select(
+                    re.sub(r"\s+(ASC|DESC)$", "", it, flags=re.I)))
+                order_cols.append(expr.desc() if desc else expr.asc())
+            vict = vict.orderBy(*order_cols)
+        rows = vict.select(*key).limit(n).collect()
+        if not rows:
+            return "false"
+        if len(key) == 1:
+            vals = ", ".join(self._lit(r[0]) for r in rows)
+            extra = f"`{key[0]}` IN ({vals})"
+        else:
+            tuples = ", ".join(
+                "(" + ", ".join(self._lit(v) for v in r) + ")" for r in rows)
+            cols = ", ".join(f"`{k}`" for k in key)
+            extra = f"({cols}) IN ({tuples})"
+        return f"({where}) AND {extra}"
+
     def _q_update(self, sql: str) -> OkResult:
         sql = self._substitute_vars(sql)
         if re.search(r"UPDATE\s+IGNORE\s+", sql, re.I) is None and re.search(
             r"\bJOIN\b", sql.split(" SET ")[0] if " SET " in sql else sql, re.I
         ):
             return self._q_update_join(sql)
+        sql, order_sql, limit_n = self._strip_order_limit(sql)
         m = re.match(r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
             raise SqlError(f"cannot parse UPDATE: {sql[:60]!r}")
         ts = self._table(m.group(2))
         where = transpile_select(m.group(4)) if m.group(4) else "true"
+        if limit_n is not None:
+            where = self._limit_victims_where(ts, where, order_sql, limit_n)
         assigns = {
             a.split("=", 1)[0].strip().strip("`"): a.split("=", 1)[1].strip()
             for a in _split_top_level(m.group(3))
@@ -1613,12 +1658,15 @@ class Engine:
             if n:
                 self._run_old_triggers(ts, doomed, "DELETE")
             return OkResult(n)
+        sql, order_sql, limit_n = self._strip_order_limit(sql)
         m = re.match(r"DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$", sql,
                      re.I | re.S)
         if not m:
             raise SqlError(f"cannot parse DELETE: {sql[:60]!r}")
         ts = self._table(m.group(1))
         where = transpile_select(m.group(2)) if m.group(2) else "true"
+        if limit_n is not None:
+            where = self._limit_victims_where(ts, where, order_sql, limit_n)
         deleted = ts.df.filter(where)
         n = deleted.count()
         if n:

@@ -261,3 +261,30 @@ def ddl_ctas_alter_default(spark, sf_dir):
     eng.query("UPDATE ddl_ctas SET flag = 1 WHERE k < 5")
     eng.query("ALTER TABLE ddl_ctas DROP COLUMN name")
     return eng.query("SELECT k, flag FROM ddl_ctas ORDER BY k")
+
+
+@query(
+    "dml_update_delete_order_limit",
+    oracle="""
+WITH bumped AS (
+  -- UPDATE ... ORDER BY n_nationkey DESC LIMIT 5: the 5 highest keys
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(CASE WHEN n_nationkey >= 20 THEN n_regionkey + 100
+                   ELSE n_regionkey END AS BIGINT) AS v
+  FROM nation
+)
+-- DELETE ... ORDER BY k LIMIT 3: drops keys 0, 1, 2
+SELECT k, v FROM bumped WHERE k >= 3 ORDER BY k
+""",
+)
+def dml_update_delete_order_limit(spark, sf_dir):
+    """UPDATE/DELETE with ORDER BY + LIMIT touch only the first n rows in
+    order (reference sql/plan/update.go / delete.go SortFields+Limit);
+    nation has keys 0..24, so the update hits 20..24 and the delete 0..2."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS dml_obl")
+    eng.query("CREATE TABLE dml_obl (k BIGINT PRIMARY KEY, v BIGINT)")
+    eng.query("INSERT INTO dml_obl SELECT n_nationkey, n_regionkey FROM nation")
+    eng.query("UPDATE dml_obl SET v = v + 100 ORDER BY k DESC LIMIT 5")
+    eng.query("DELETE FROM dml_obl ORDER BY k LIMIT 3")
+    return eng.query("SELECT k, v FROM dml_obl ORDER BY k")

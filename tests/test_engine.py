@@ -1023,3 +1023,33 @@ def test_async_event_scheduler(eng):
     finally:
         eng.query("SET GLOBAL event_scheduler = OFF")
     assert eng.sys_vars["event_scheduler"] == "OFF"
+
+
+def test_update_delete_order_by_limit(eng):
+    """UPDATE/DELETE ... ORDER BY ... LIMIT n touch only the first n rows
+    in the given order (reference sql/plan/update.go / delete.go carry
+    SortFields + Limit)."""
+    eng.query("CREATE TABLE obl (i BIGINT PRIMARY KEY, v BIGINT)")
+    eng.query("INSERT INTO obl VALUES (1,10),(2,20),(3,30),(4,40)")
+    res = eng.query("UPDATE obl SET v = v + 1 ORDER BY i DESC LIMIT 2")
+    assert res.rows_affected == 2
+    assert rows(eng.query("SELECT i, v FROM obl ORDER BY i")) == [
+        (1, 10), (2, 20), (3, 31), (4, 41)]
+    res = eng.query("DELETE FROM obl ORDER BY i LIMIT 1")
+    assert res.rows_affected == 1
+    assert rows(eng.query("SELECT i FROM obl ORDER BY i")) == [(2,), (3,), (4,)]
+    # bare LIMIT without ORDER BY still bounds the count
+    res = eng.query("DELETE FROM obl WHERE i > 0 LIMIT 2")
+    assert res.rows_affected == 2
+    assert eng.query("SELECT COUNT(*) AS c FROM obl").collect()[0]["c"] == 1
+
+
+def test_window_clause_named_windows(eng):
+    """MySQL 8 WINDOW clause (named windows) — Spark 4 parses it natively;
+    pin it so a transpiler change never breaks it."""
+    eng.query("CREATE TABLE wc (i BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+    eng.query("INSERT INTO wc VALUES (1,1,10),(2,1,20),(3,2,30),(4,2,40)")
+    got = rows(eng.query(
+        "SELECT i, SUM(v) OVER w AS s FROM wc "
+        "WINDOW w AS (PARTITION BY g ORDER BY i) ORDER BY i"))
+    assert got == [(1, 10), (2, 30), (3, 30), (4, 70)]
