@@ -1,0 +1,301 @@
+"""Round-3 training-data pipeline batch: rule-based quality filtering,
+training-sequence packing, and a model-based (char-bigram LM) fluency score.
+
+Three more stages of the 100 TB corpus-build story, each with an exact
+DuckDB twin:
+
+- pipeline_quality_rules: the Gopher/C4-style *rule suite* as per-rule
+  failure accounting. Every rule is a pure Column expression over one scan;
+  the only shuffle is the per-source aggregate (20 groups).
+- pipeline_sequence_packing: concat-and-chunk packing of documents into
+  fixed token-budget training sequences. The window is partitioned by
+  (source, lang) — never a global sort — so packing parallelizes across
+  partitions at any corpus size; all arithmetic is integer-exact.
+- pipeline_char_lm_score: a tiny character-bigram language model trained
+  on one source, broadcast as a literal map, scoring the whole corpus
+  scan-side. The "perplexity filter" shape (CCNet's KenLM stage) with a
+  deterministic integer formulation: frequencies-per-million are floored
+  ints, so sums are associative and the hash can't drift cross-engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ..operators.text import normalize_text, normalize_text_sql, tokens, tokens_sql
+from ._util import t
+from .registry import query
+
+_QR_STOPWORDS = ("the", "of", "and", "to", "in", "a", "is", "for")
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_quality_rules",
+    oracle=f"""
+WITH feat AS (
+  SELECT source,
+         len({tokens_sql('text')}) AS n_tok,
+         length(regexp_replace(lower(trim(text)), ' +', '', 'g'))
+           / CAST(len({tokens_sql('text')}) AS DOUBLE) AS mean_wlen,
+         len(list_distinct({tokens_sql('text')}))
+           / CAST(len({tokens_sql('text')}) AS DOUBLE) AS distinct_ratio,
+         len(list_filter({tokens_sql('text')},
+             x -> x IN ({', '.join(f"'{w}'" for w in _QR_STOPWORDS)}))) AS n_sw
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok < 15 THEN 1 ELSE 0 END) AS BIGINT) AS r_too_short,
+       CAST(SUM(CASE WHEN n_tok > 90 THEN 1 ELSE 0 END) AS BIGINT) AS r_too_long,
+       CAST(SUM(CASE WHEN mean_wlen < 2 OR mean_wlen > 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS r_word_len,
+       CAST(SUM(CASE WHEN distinct_ratio < 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS r_repetitive,
+       CAST(SUM(CASE WHEN n_sw < 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_no_stopword,
+       CAST(SUM(CASE WHEN n_tok BETWEEN 15 AND 90
+                      AND mean_wlen BETWEEN 2 AND 12
+                      AND distinct_ratio >= 0.4
+                      AND n_sw >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM feat
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_quality_rules(spark, sf_dir):
+    """Gopher-style quality-rule suite (Rae et al. 2021 §A1.1 shape): word
+    count band, mean word length band, distinct-token repetition ratio,
+    stopword presence — reported as per-rule failure counts per source plus
+    the all-rules 'kept' count. One scan, pure Column expressions, one
+    20-group aggregate; at 100 TB this is scan-bound with a trivial shuffle.
+    (No reference analogue — GMS has no corpus operators; LLM-pipeline
+    requirement.)"""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    mean_wlen = (
+        F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", ""))
+        / n_tok.cast("double")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok.cast("double")
+    n_sw = F.size(F.filter(toks, lambda x: x.isin(*_QR_STOPWORDS)))
+    feat = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        mean_wlen.alias("mean_wlen"),
+        distinct_ratio.alias("distinct_ratio"),
+        n_sw.alias("n_sw"),
+    )
+    c = F.col
+    flag = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            flag(c("n_tok") < 15).alias("r_too_short"),
+            flag(c("n_tok") > 90).alias("r_too_long"),
+            flag((c("mean_wlen") < 2) | (c("mean_wlen") > 12)).alias("r_word_len"),
+            flag(c("distinct_ratio") < 0.4).alias("r_repetitive"),
+            flag(c("n_sw") < 1).alias("r_no_stopword"),
+            flag(
+                c("n_tok").between(15, 90)
+                & c("mean_wlen").between(2, 12)
+                & (c("distinct_ratio") >= 0.4)
+                & (c("n_sw") >= 1)
+            ).alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, lang, doc_id,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+offs AS (
+  SELECT source, lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source, lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS start_off
+  FROM toks
+),
+seqs AS (
+  SELECT source, lang, start_off // {SEQ_BUDGET} AS seq_no,
+         CAST(COUNT(*) AS BIGINT) AS docs_in_seq,
+         CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+  FROM offs
+  GROUP BY source, lang, seq_no
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(docs_in_seq) AS BIGINT) AS n_docs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(docs_in_seq) AS BIGINT) AS max_docs_per_seq,
+       ROUND(SUM(seq_tokens) / (COUNT(*) * {SEQ_BUDGET}.0), 6) AS fill_ratio
+FROM seqs
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def pipeline_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing of documents into {SEQ_BUDGET}-token
+    training sequences (the GPT-style pretraining tokenizer-sharding step):
+    within each (source, lang) stream ordered by doc_id, a document belongs
+    to the sequence its starting token offset falls in. One window cumsum
+    partitioned by (source, lang) — no global sort, so the packing
+    parallelizes across stream partitions at 100 TB — then two small
+    aggregates. All token arithmetic is integer-exact. (No reference
+    analogue; LLM-pipeline requirement.)"""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = docs.select(
+        "source", "lang", "doc_id", n_tok.alias("n_tok")
+    ).withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    seqs = (
+        offs.withColumn(
+            "seq_no", F.floor(F.col("start_off") / F.lit(SEQ_BUDGET))
+        )
+        .groupBy("source", "lang", "seq_no")
+        .agg(
+            F.count("*").alias("docs_in_seq"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+    return (
+        seqs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("docs_in_seq").cast("long").alias("n_docs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.max("docs_in_seq").cast("long").alias("max_docs_per_seq"),
+            F.round(
+                F.sum("seq_tokens") / (F.count("*") * float(SEQ_BUDGET)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_BIGRAMS_SQL_TMPL = (
+    "list_transform(range(1, length({norm})), i -> substr({norm}, i, 2))"
+)
+
+
+def _bigrams_col(norm):
+    # length >= 2 always holds here (min doc is 10 tokens), but guard anyway:
+    # Spark's sequence(1, 0) would produce a DESCENDING [1, 0] rather than
+    # an empty list, silently fabricating bigrams for 1-char docs.
+    return F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: F.substring(norm, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "pipeline_char_lm_score",
+    oracle=f"""
+WITH train AS (
+  SELECT unnest({_BIGRAMS_SQL_TMPL.format(norm='norm')}) AS g
+  FROM (SELECT {normalize_text_sql('text')} AS norm
+        FROM documents WHERE source = 'src0')
+),
+counts AS (SELECT g, COUNT(*) AS c FROM train GROUP BY g),
+tot AS (SELECT SUM(c) AS s FROM counts),
+fpm AS (
+  SELECT g, CAST(FLOOR(c * 1000000.0 / s) AS BIGINT) AS fpm
+  FROM counts, tot
+),
+doc_g AS (
+  SELECT doc_id, source, unnest({_BIGRAMS_SQL_TMPL.format(norm='norm')}) AS g
+  FROM (SELECT doc_id, source, {normalize_text_sql('text')} AS norm
+        FROM documents)
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(COALESCE(f.fpm, 0)) AS BIGINT) AS score_sum
+  FROM doc_g LEFT JOIN fpm f USING (g)
+  GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_bigrams, score_sum,
+       CAST(FLOOR(score_sum * 1.0 / n_bigrams) AS BIGINT) AS avg_fpm
+FROM scored
+ORDER BY doc_id
+""",
+)
+def pipeline_char_lm_score(spark, sf_dir):
+    """Model-based fluency scoring (the CCNet/KenLM 'perplexity filter'
+    stage): train a character-bigram frequency model on one source (src0),
+    inline the ~114-entry frequency table as a literal map, and score every
+    document scan-side as the sum of its bigrams' frequencies-per-million.
+
+    Determinism: fpm values are FLOOR'd integers, so per-doc sums are
+    associative (no float summation-order drift) and avg_fpm is an exact
+    integer division. Scale: the trained model is tiny by construction
+    (|charset|² entries) regardless of corpus size — the training aggregate
+    shuffles only distinct bigrams, the driver collect is O(charset²), and
+    the scoring pass is a zero-shuffle projection inside whole-stage
+    codegen. (No reference analogue; LLM-pipeline requirement.)"""
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+
+    counts = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(_bigrams_col(norm)).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    # identical IEEE-double formula to the oracle's FLOOR(c * 1e6 / s)
+    fpm = {r["g"]: int(math.floor(r["count"] * 1000000.0 / total)) for r in counts}
+    pairs = []
+    for g in sorted(fpm):
+        pairs.append(F.lit(g))
+        pairs.append(F.lit(fpm[g]).cast("long"))
+    fpm_map = F.create_map(*pairs)
+
+    # Materialize the model map ONCE PER ROW as a column and reference it
+    # from inside the lambda: Catalyst does not constant-fold a CreateMap
+    # that sits inside a higher-order-function body, so inlining `fpm_map`
+    # directly in the aggregate rebuilds the 114-entry map per array
+    # element (measured 70× slower on this exact query).
+    bigrams = _bigrams_col(norm)
+    score_sum = F.aggregate(
+        F.col("_bg"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.coalesce(F.element_at(F.col("_fpm"), g), F.lit(0).cast("long")),
+    )
+    return (
+        docs.withColumn("_fpm", fpm_map)
+        .withColumn("_bg", bigrams)
+        .select(
+            "doc_id",
+            "source",
+            F.size("_bg").cast("long").alias("n_bigrams"),
+            score_sum.alias("score_sum"),
+        )
+        .withColumn(
+            "avg_fpm",
+            F.floor(F.col("score_sum") / F.col("n_bigrams")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

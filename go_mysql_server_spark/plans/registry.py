@@ -55,6 +55,9 @@ _PLAN_MODULES = (
     # entries so the driver's row budget closes the catalog first (r3),
     # then picks these up (r3 tail + r4)
     "go_mysql_server_spark.plans.dml_catalog",
+    # round-3 additions queue last: the driver budget should close the 43
+    # never-verified entries and the dml_* batch first; these follow in r4
+    "go_mysql_server_spark.plans.pipeline6",
 )
 
 
