@@ -46,6 +46,10 @@ HEADLINE = [
     "tpch_q9_product_type_profit",
     "pipeline_domain_mix",
     "pipeline_cluster_keep_best",
+    # round-3 additions (kept after the r1/r2-comparable prefix)
+    "pipeline_quality_rules",
+    "pipeline_sequence_packing",
+    "pipeline_char_lm_score",
 ]
 
 

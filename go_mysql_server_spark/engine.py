@@ -35,7 +35,17 @@ from .session import tune_session
 
 
 class SqlError(Exception):
-    """Statement-level error (mirrors the reference's sql errors)."""
+    """Statement-level error (mirrors the reference's sql errors).
+
+    Carries the MySQL diagnostics-area identity (SQLSTATE + errno) so stored
+    programs can match handlers on it and SIGNAL/RESIGNAL can re-raise it
+    (reference sql/plan/signal.go:25-60, declare_handler.go:25-80)."""
+
+    def __init__(self, msg: str = "", sqlstate: str | None = None,
+                 errno: int | None = None):
+        super().__init__(msg)
+        self.sqlstate = sqlstate or "HY000"
+        self.errno = errno or 1105
 
 
 @dataclass

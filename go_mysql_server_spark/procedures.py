@@ -2,8 +2,9 @@
 
 The reference interprets procedure bodies over its plan executor
 (reference sql/procedures/interpreter_*.go, rule 'interpreter'
-sql/analyzer/rules.go:98; nodes block.go / if_else.go / while.go …) and
-rewrites triggers into the DML plan (reference sql/plan/trigger.go:1-96,
+sql/analyzer/rules.go:98; nodes block.go / if_else.go / while.go /
+repeat.go / case.go / signal.go / declare_handler.go / declare_condition.go)
+and rewrites triggers into the DML plan (reference sql/plan/trigger.go:1-96,
 rules triggers.go/load_triggers.go). Prepared statements cache the parsed
 statement and rebind on execute (reference engine.go:174,
 PrepareParsedQuery).
@@ -44,6 +45,75 @@ class PreparedStatement:
     n_params: int
 
 
+@dataclass
+class Handler:
+    """DECLARE CONTINUE|EXIT HANDLER FOR <conditions> <stmt>
+    (reference sql/plan/declare_handler.go:25-80)."""
+
+    action: str                      # CONTINUE | EXIT
+    conds: list                      # ('not_found'|'sqlexception'|'sqlwarning'
+                                     #  |('sqlstate', s)|('errno', n))
+    stmt: str
+    frame_id: int = 0
+    active: bool = False  # True while the handler body runs — a handler is
+                          # not eligible for conditions it raises itself
+                          # (else RESIGNAL inside it would recurse forever)
+
+
+_OPENER_RE = r"(BEGIN|IF|WHILE|REPEAT|CASE|LOOP)\b"
+_CLOSER_RE = r"END\s*(IF|WHILE|REPEAT|CASE|LOOP)?\b"
+
+
+def _top_level_spans(body: str, pattern: str) -> list[re.Match]:
+    """Matches of `pattern` at nesting depth 0, outside string literals.
+
+    Depth is tracked with the same BEGIN/IF/WHILE/REPEAT/CASE/LOOP openers
+    as split_statements, so a WHEN inside a nested CASE (or inside a SQL
+    CASE *expression*) is never treated as a branch of the outer statement.
+    """
+    out, depth, i, n = [], 0, 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "'":
+            i += 1
+            while i < n and body[i] != "'":
+                i += 1
+            i += 1
+            continue
+        at_word_start = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        if at_word_start:
+            m_end = re.match(_CLOSER_RE, body[i:], re.I)
+            if m_end and depth > 0:
+                depth -= 1
+                i += m_end.end()
+                continue
+            m_open = re.match(_OPENER_RE, body[i:], re.I)
+            if m_open:
+                depth += 1
+                i += m_open.end()
+                continue
+            if depth == 0:
+                m = re.match(pattern, body[i:], re.I)
+                if m:
+                    out.append((i, i + m.end(), m))
+                    i += m.end()
+                    continue
+        i += 1
+    return out
+
+
+def _split_on_keywords(body: str, pattern: str) -> list[tuple[str | None, str]]:
+    """Split `body` on top-level keyword matches → [(None, head), (kw, chunk)…]."""
+    spans = _top_level_spans(body, pattern)
+    parts: list[tuple[str | None, str]] = []
+    prev_end, prev_kw = 0, None
+    for start, end, m in spans:
+        parts.append((prev_kw, body[prev_end:start]))
+        prev_kw, prev_end = m.group(0).strip().upper(), end
+    parts.append((prev_kw, body[prev_end:]))
+    return parts
+
+
 def split_statements(body: str) -> list[str]:
     """Split a BEGIN...END body on ';' at top nesting level (respects
     nested BEGIN/END, IF/END IF, WHILE/END WHILE and string literals)."""
@@ -64,10 +134,8 @@ def split_statements(body: str) -> list[str]:
                 i += 1
         else:
             at_word_start = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
-            m = re.match(r"(BEGIN|IF|WHILE|REPEAT|CASE|LOOP)\b", body[i:], re.I) \
-                if at_word_start else None
-            m_end = re.match(r"END\s*(IF|WHILE|REPEAT|CASE|LOOP)?\b", body[i:], re.I) \
-                if at_word_start else None
+            m = re.match(_OPENER_RE, body[i:], re.I) if at_word_start else None
+            m_end = re.match(_CLOSER_RE, body[i:], re.I) if at_word_start else None
             if m_end and depth > 0:
                 depth -= 1
                 cur.append(body[i:i + m_end.end()])
@@ -107,6 +175,14 @@ class _Iterate(Exception):
         self.label = label
 
 
+class _ExitBlock(Exception):
+    """An EXIT handler fired: unwind to the block whose frame declared it
+    (reference declare_handler.go DeclareHandlerAction_Exit)."""
+
+    def __init__(self, frame_id: int):
+        self.frame_id = frame_id
+
+
 class _Cursor:
     """Materialized cursor over a SELECT's rows (reference fetch.go).
 
@@ -126,12 +202,24 @@ class _Cursor:
         return row
 
 
+# SQLSTATE for a condition spec token (reference declare_condition.go).
+_COND_TOKEN_RE = re.compile(
+    r"NOT\s+FOUND|SQLEXCEPTION|SQLWARNING|SQLSTATE(?:\s+VALUE)?\s+'([0-9A-Z]{5})'"
+    r"|(\d+)|([A-Za-z_]\w*)",
+    re.I,
+)
+
+
 class ProcedureInterpreter:
     """Executes a procedure body statement-by-statement through the engine.
 
-    Supported control flow (reference block.go/if_else.go/while.go/loop.go/
-    fetch.go subset): DECLARE (vars, CURSOR FOR, CONTINUE HANDLER FOR NOT
-    FOUND), SET, IF/ELSEIF/ELSE, WHILE, [label:] LOOP with LEAVE/ITERATE,
+    Supported control flow (reference block.go/if_else.go/while.go/repeat.go/
+    case.go/loop.go/fetch.go/signal.go/declare_handler.go): DECLARE (vars,
+    CURSOR FOR, named CONDITIONs, CONTINUE/EXIT HANDLER FOR NOT FOUND /
+    SQLEXCEPTION / SQLWARNING / SQLSTATE / errno / condition name), SET,
+    IF/ELSEIF/ELSE, [label:] WHILE / REPEAT..UNTIL / LOOP with
+    LEAVE/ITERATE, CASE statements (both searched and value forms), nested
+    BEGIN..END blocks with block-scoped handlers, SIGNAL/RESIGNAL,
     OPEN/FETCH/CLOSE, SELECT (last SELECT is the CALL result), any DML/DDL.
     """
 
@@ -140,7 +228,9 @@ class ProcedureInterpreter:
     def __init__(self, engine):
         self.engine = engine
         self.cursors: dict[str, _Cursor | str] = {}
-        self.not_found_handler: str | None = None
+        self.frames: list[dict] = []        # [{"id", "handlers", "conditions"}]
+        self._next_frame = 0
+        self._handling: list = []           # stack of errors being handled
 
     def call(self, proc: Procedure, args: list):
         if len(args) != len(proc.params):
@@ -148,83 +238,225 @@ class ProcedureInterpreter:
             raise SqlError(
                 f"procedure {proc.name} expects {len(proc.params)} args, got {len(args)}")
         scope = {p[1].lower(): a for p, a in zip(proc.params, args)}
+        return self._exec_block(split_statements(proc.body), scope)
+
+    # ---- block / handler machinery ------------------------------------------
+
+    def _push_frame(self) -> dict:
+        frame = {"id": self._next_frame, "handlers": [], "conditions": {}}
+        self._next_frame += 1
+        self.frames.append(frame)
+        return frame
+
+    def _exec_block(self, stmts: list[str], scope: dict):
+        """Run a statement list inside a fresh handler scope; EXIT handlers
+        declared here unwind to exactly this block."""
+        frame = self._push_frame()
         result = None
-        for stmt in split_statements(proc.body):
-            result = self._exec(stmt, scope) or result
+        try:
+            for stmt in stmts:
+                result = self._exec_guarded(stmt, scope) or result
+        except _ExitBlock as ex:
+            if ex.frame_id != frame["id"]:
+                raise
+        finally:
+            self.frames.pop()
         return result
 
+    def _exec_guarded(self, stmt: str, scope: dict):
+        """Execute one statement; on SqlError, dispatch to the innermost
+        matching handler (reference declare_handler.go matching order:
+        specific errno/sqlstate, then class handlers)."""
+        from .engine import SqlError
+        try:
+            return self._exec(stmt, scope)
+        except (_Leave, _Iterate, _ExitBlock):
+            raise
+        except SqlError as e:
+            handler = self._find_handler(e)
+            if handler is None:
+                raise
+            self._handling.append(e)
+            handler.active = True
+            try:
+                self._exec_guarded(handler.stmt, scope)
+            finally:
+                handler.active = False
+                self._handling.pop()
+            if handler.action == "EXIT":
+                raise _ExitBlock(handler.frame_id)
+            return None  # CONTINUE: resume after the failed statement
+
+    def _find_handler(self, e) -> Handler | None:
+        def rank(h: Handler):
+            best = None
+            for c in h.conds:
+                if isinstance(c, tuple) and c[0] == "errno" and c[1] == e.errno:
+                    best = min(best or 9, 0)
+                elif isinstance(c, tuple) and c[0] == "sqlstate" and c[1] == e.sqlstate:
+                    best = min(best or 9, 1)
+                elif c == "not_found" and e.sqlstate.startswith("02"):
+                    best = min(best or 9, 2)
+                elif c == "sqlwarning" and e.sqlstate.startswith("01"):
+                    best = min(best or 9, 2)
+                elif c == "sqlexception" and not (
+                    e.sqlstate.startswith("01") or e.sqlstate.startswith("02")
+                ):
+                    best = min(best or 9, 3)
+            return best
+        # innermost frame first, most specific condition wins within a frame
+        for frame in reversed(self.frames):
+            matches = [(rank(h), h) for h in frame["handlers"] if not h.active]
+            matches = [(r, h) for r, h in matches if r is not None]
+            if matches:
+                return min(matches, key=lambda rh: rh[0])[1]
+        return None
+
+    def _parse_conditions(self, text: str, frame: dict) -> tuple[list, str]:
+        """Parse the comma-separated condition list of a DECLARE HANDLER,
+        returning (conditions, remaining statement text)."""
+        conds = []
+        rest = text.lstrip()
+        while True:
+            m = _COND_TOKEN_RE.match(rest)
+            if not m:
+                break
+            tok = m.group(0).upper()
+            if tok.startswith("NOT"):
+                conds.append("not_found")
+            elif tok == "SQLEXCEPTION":
+                conds.append("sqlexception")
+            elif tok == "SQLWARNING":
+                conds.append("sqlwarning")
+            elif tok.startswith("SQLSTATE"):
+                conds.append(("sqlstate", m.group(1).upper()))
+            elif m.group(2):
+                conds.append(("errno", int(m.group(2))))
+            else:
+                named = self._lookup_condition(m.group(3))
+                if named is None:
+                    break  # not a condition name → start of the handler stmt
+                conds.append(named)
+            rest = rest[m.end():].lstrip()
+            if rest.startswith(","):
+                rest = rest[1:].lstrip()
+                continue
+            break
+        return conds, rest
+
+    def _lookup_condition(self, name: str):
+        for frame in reversed(self.frames):
+            if name.lower() in frame["conditions"]:
+                return frame["conditions"][name.lower()]
+        return None
+
+    # ---- statement dispatch -------------------------------------------------
+
     def _exec(self, stmt: str, scope: dict):
-        up = stmt.strip().upper()
-        m = re.match(r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*)$", stmt.strip(),
+        from .engine import SqlError
+        stripped = stmt.strip()
+        up = stripped.upper()
+        if re.match(r"^BEGIN\b", up):
+            return self._exec_block(split_statements(stripped), scope)
+        m = re.match(r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*)$", stripped,
                      re.I | re.S)
         if m:
             self.cursors[m.group(1).lower()] = m.group(2)  # SELECT bound at OPEN
             return None
-        if re.match(r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+NOT\s+FOUND",
-                    stmt.strip(), re.I):
-            m = re.search(r"NOT\s+FOUND\s+(.*)$", stmt.strip(), re.I | re.S)
-            self.not_found_handler = m.group(1).strip()
+        m = re.match(
+            r"DECLARE\s+(\w+)\s+CONDITION\s+FOR\s+"
+            r"(?:SQLSTATE(?:\s+VALUE)?\s+'([0-9A-Za-z]{5})'|(\d+))\s*$",
+            stripped, re.I)
+        if m:
+            cond = (("sqlstate", m.group(2).upper()) if m.group(2)
+                    else ("errno", int(m.group(3))))
+            self.frames[-1]["conditions"][m.group(1).lower()] = cond
+            return None
+        m = re.match(r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+(.*)$",
+                     stripped, re.I | re.S)
+        if m:
+            conds, hstmt = self._parse_conditions(m.group(2), self.frames[-1])
+            if not conds:
+                raise SqlError(f"cannot parse handler conditions: {stmt[:60]!r}")
+            self.frames[-1]["handlers"].append(Handler(
+                m.group(1).upper(), conds, hstmt.strip(),
+                self.frames[-1]["id"]))
             return None
         if up.startswith("DECLARE"):
             m = re.match(r"DECLARE\s+(\w+)\s+\S+(?:\s+DEFAULT\s+(.*))?$",
-                         stmt.strip(), re.I | re.S)
+                         stripped, re.I | re.S)
             if m:
                 scope[m.group(1).lower()] = (
                     self._eval(m.group(2), scope) if m.group(2) else None
                 )
             return None
+        if up.startswith("SIGNAL") or up.startswith("RESIGNAL"):
+            return self._exec_signal(stripped, scope)
         if up.startswith("OPEN "):
-            name = stmt.split()[1].strip().lower()
+            name = stripped.split()[1].strip().lower()
             sel = self.cursors.get(name)
             if not isinstance(sel, str):
-                from .engine import SqlError
                 raise SqlError(f"cursor {name!r} not declared")
             df = self.engine.query(self._bind(sel, scope))
             self.cursors[name] = _Cursor([tuple(r) for r in df.collect()])
             return None
         if up.startswith("FETCH"):
             m = re.match(r"FETCH\s+(?:NEXT\s+FROM\s+|FROM\s+)?(\w+)\s+INTO\s+(.*)$",
-                         stmt.strip(), re.I | re.S)
+                         stripped, re.I | re.S)
             cur = self.cursors.get(m.group(1).lower())
             targets = [v.strip().lstrip("@").lower() for v in m.group(2).split(",")]
             row = cur.fetch() if isinstance(cur, _Cursor) else None
             if row is None:
-                if self.not_found_handler:
-                    self._exec(self.not_found_handler, scope)
-                return None
+                # MySQL error 1329 / SQLSTATE 02000 — a NOT FOUND (or
+                # SQLSTATE '02000') handler intercepts it via _exec_guarded
+                raise SqlError("No data - zero rows fetched, selected, or processed",
+                               sqlstate="02000", errno=1329)
             for name, value in zip(targets, row):
                 scope[name] = value
             return None
         if up.startswith("CLOSE "):
-            self.cursors.pop(stmt.split()[1].strip().lower(), None)
+            self.cursors.pop(stripped.split()[1].strip().lower(), None)
             return None
         m = re.match(r"(?:(\w+)\s*:\s*)?LOOP\b(.*)\bEND\s+LOOP\s*(\w+)?$",
-                     stmt.strip(), re.I | re.S)
+                     stripped, re.I | re.S)
         if m:
             return self._exec_loop(m.group(1) or "", m.group(2), scope)
+        m = re.match(r"(?:(\w+)\s*:\s*)?REPEAT\b(.*)\bEND\s+REPEAT\s*(\w+)?$",
+                     stripped, re.I | re.S)
+        if m:
+            return self._exec_repeat(m.group(1) or "", m.group(2), scope)
         if up.startswith("LEAVE"):
-            raise _Leave(stmt.split()[1].strip().lower() if len(stmt.split()) > 1 else "")
+            raise _Leave(stripped.split()[1].strip().lower()
+                         if len(stripped.split()) > 1 else "")
         if up.startswith("ITERATE"):
-            raise _Iterate(stmt.split()[1].strip().lower() if len(stmt.split()) > 1 else "")
+            raise _Iterate(stripped.split()[1].strip().lower()
+                           if len(stripped.split()) > 1 else "")
         if up.startswith("SET "):
-            for assign in stmt.strip()[4:].split(","):
+            for assign in stripped[4:].split(","):
                 name, expr = assign.split("=", 1)
                 name = name.strip().lstrip("@").lower()
                 scope[name] = self._eval(expr, scope)
             return None
         if up.startswith("IF"):
             return self._exec_if(stmt, scope)
-        if up.startswith("WHILE"):
-            return self._exec_while(stmt, scope)
+        m = re.match(r"(?:(\w+)\s*:\s*)?WHILE\b", stripped, re.I)
+        if m and re.search(r"\bEND\s+WHILE\s*(\w+)?$", stripped, re.I):
+            return self._exec_while(m.group(1) or "", stripped, scope)
+        if up.startswith("CASE"):
+            return self._exec_case(stripped, scope)
         return self.engine.query(self._bind(stmt, scope))
 
-    def _exec_loop(self, label: str, body: str, scope: dict):
+    # ---- control-flow statements --------------------------------------------
+
+    def _run_loop(self, label: str, body_fn):
+        """Shared LEAVE/ITERATE label protocol for LOOP/WHILE/REPEAT."""
         result = None
         label = label.lower()
         for _ in range(self.MAX_LOOP):
             try:
-                for s in split_statements(body):
-                    result = self._exec(s, scope) or result
+                done, result = body_fn(result)
+                if done:
+                    return result
             except _Leave as lv:
                 if lv.label in ("", label):
                     return result
@@ -234,7 +466,35 @@ class ProcedureInterpreter:
                     continue
                 raise
         from .engine import SqlError
-        raise SqlError("LOOP exceeded iteration limit")
+        raise SqlError("loop exceeded iteration limit")
+
+    def _exec_loop(self, label: str, body: str, scope: dict):
+        stmts = split_statements(body)
+
+        def once(result):
+            for s in stmts:
+                result = self._exec_guarded(s, scope) or result
+            return False, result
+
+        return self._run_loop(label, once)
+
+    def _exec_repeat(self, label: str, inner: str, scope: dict):
+        """REPEAT body UNTIL cond END REPEAT (reference sql/plan/repeat.go):
+        body runs at least once; the condition is tested after each pass."""
+        spans = _top_level_spans(inner, r"UNTIL\b")
+        if not spans:
+            from .engine import SqlError
+            raise SqlError(f"cannot parse REPEAT (missing UNTIL): {inner[:60]!r}")
+        start, end, _ = spans[-1]
+        body, cond = inner[:start], inner[end:].strip()
+        stmts = split_statements(body)
+
+        def once(result):
+            for s in stmts:
+                result = self._exec_guarded(s, scope) or result
+            return self._truthy(self._eval(cond, scope)), result
+
+        return self._run_loop(label, once)
 
     def _exec_if(self, stmt: str, scope: dict):
         m = re.match(r"IF\s+(.*?)\s+THEN\s+(.*)\s+END\s+IF$", stmt.strip(),
@@ -243,43 +503,135 @@ class ProcedureInterpreter:
             from .engine import SqlError
             raise SqlError(f"cannot parse IF: {stmt[:60]!r}")
         cond, rest = m.group(1), m.group(2)
-        # split on top-level ELSEIF/ELSE
-        branches: list[tuple[str | None, str]] = [(cond, "")]
-        parts = re.split(r"\b(ELSEIF|ELSE)\b", rest, flags=re.I)
-        body_acc = parts[0]
-        branches[0] = (cond, body_acc)
-        i = 1
-        while i < len(parts):
-            kw = parts[i].upper()
+        branches: list[tuple[str | None, str]] = []
+        parts = _split_on_keywords(rest, r"(ELSEIF|ELSE)\b")
+        branches.append((cond, parts[0][1]))
+        for kw, chunk in parts[1:]:
             if kw == "ELSEIF":
-                m2 = re.match(r"\s*(.*?)\s+THEN\s+(.*)$", parts[i + 1], re.S | re.I)
+                m2 = re.match(r"\s*(.*?)\s+THEN\s+(.*)$", chunk, re.S | re.I)
                 branches.append((m2.group(1), m2.group(2)))
             else:
-                branches.append((None, parts[i + 1]))
-            i += 2
+                branches.append((None, chunk))
         result = None
         for cond, body in branches:
             if cond is None or self._truthy(self._eval(cond, scope)):
                 for s in split_statements(body):
-                    result = self._exec(s, scope) or result
+                    result = self._exec_guarded(s, scope) or result
                 break
         return result
 
-    def _exec_while(self, stmt: str, scope: dict):
-        m = re.match(r"WHILE\s+(.*?)\s+DO\s+(.*)\s+END\s+WHILE$", stmt.strip(),
-                     re.I | re.S)
+    def _exec_while(self, label: str, stmt: str, scope: dict):
+        m = re.match(r"(?:\w+\s*:\s*)?WHILE\s+(.*?)\s+DO\s+(.*)\s+END\s+WHILE\s*(\w+)?$",
+                     stmt.strip(), re.I | re.S)
         if not m:
             from .engine import SqlError
             raise SqlError(f"cannot parse WHILE: {stmt[:60]!r}")
         cond, body = m.group(1), m.group(2)
-        result = None
-        for _ in range(self.MAX_LOOP):
+        stmts = split_statements(body)
+
+        def once(result):
             if not self._truthy(self._eval(cond, scope)):
-                return result
-            for s in split_statements(body):
-                result = self._exec(s, scope) or result
+                return True, result
+            for s in stmts:
+                result = self._exec_guarded(s, scope) or result
+            return False, result
+
+        return self._run_loop(label, once)
+
+    def _exec_case(self, stmt: str, scope: dict):
+        """CASE statement, both forms (reference sql/plan/case.go):
+        CASE [expr] WHEN v THEN stmts… [ELSE stmts…] END CASE."""
         from .engine import SqlError
-        raise SqlError("WHILE loop exceeded iteration limit")
+        m = re.match(r"CASE\b(.*)\bEND\s+CASE$", stmt.strip(), re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse CASE: {stmt[:60]!r}")
+        parts = _split_on_keywords(m.group(1), r"(WHEN|ELSE)\b")
+        subject = parts[0][1].strip()  # empty → searched CASE
+        branches: list[tuple[str | None, str]] = []
+        for kw, chunk in parts[1:]:
+            if kw == "WHEN":
+                m2 = re.match(r"\s*(.*?)\s+THEN\s+(.*)$", chunk, re.S | re.I)
+                if not m2:
+                    raise SqlError(f"cannot parse CASE WHEN: {chunk[:60]!r}")
+                branches.append((m2.group(1), m2.group(2)))
+            else:
+                branches.append((None, chunk))
+        result = None
+        for cond, body in branches:
+            if cond is None:
+                fire = True
+            elif subject:
+                fire = self._truthy(
+                    self._eval(f"({subject}) <=> ({cond})", scope))
+            else:
+                fire = self._truthy(self._eval(cond, scope))
+            if fire:
+                for s in split_statements(body):
+                    result = self._exec_guarded(s, scope) or result
+                return result
+        if branches and branches[-1][0] is not None:
+            # no branch matched and no ELSE → MySQL error 1339 (case.go)
+            raise SqlError("Case not found for CASE statement",
+                           sqlstate="20000", errno=1339)
+        return result
+
+    def _exec_signal(self, stmt: str, scope: dict):
+        """SIGNAL / RESIGNAL (reference sql/plan/signal.go): raise (or
+        re-raise, inside a handler) a condition with SQLSTATE + items."""
+        from .engine import SqlError
+        m = re.match(
+            r"(SIGNAL|RESIGNAL)\s*"
+            r"(?:SQLSTATE(?:\s+VALUE)?\s+'([0-9A-Za-z]{5})'|(?!SET\b)([A-Za-z_]\w*))?"
+            r"\s*(?:SET\s+(.*))?$",
+            stmt.strip(), re.I | re.S)
+        if not m:
+            raise SqlError(f"cannot parse SIGNAL: {stmt[:60]!r}")
+        kind = m.group(1).upper()
+        sqlstate, errno, message = None, None, None
+        if m.group(2):
+            sqlstate = m.group(2).upper()
+        elif m.group(3):
+            cond = self._lookup_condition(m.group(3))
+            if cond is None:
+                raise SqlError(f"Undefined CONDITION: {m.group(3)}",
+                               sqlstate="42000", errno=1319)
+            if cond[0] == "sqlstate":
+                sqlstate = cond[1]
+            else:
+                errno = cond[1]
+        if kind == "RESIGNAL":
+            if not self._handling:
+                raise SqlError(
+                    "RESIGNAL when handler not active",
+                    sqlstate="0K000", errno=1645)
+            prev = self._handling[-1]
+            sqlstate = sqlstate or prev.sqlstate
+            errno = errno or prev.errno
+            message = str(prev)
+        elif sqlstate is None and errno is None:
+            raise SqlError(f"SIGNAL requires SQLSTATE or condition: {stmt[:60]!r}")
+        # split items on commas outside string literals
+        for assign in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", m.group(4) or ""):
+            if not assign.strip():
+                continue
+            name, expr = assign.split("=", 1)
+            name = name.strip().upper()
+            val = self._eval(expr, scope)
+            if name == "MESSAGE_TEXT":
+                message = str(val)
+            elif name == "MYSQL_ERRNO":
+                errno = int(val)
+        if sqlstate is None:
+            sqlstate = "HY000"
+        if message is None:
+            message = ("Unhandled user-defined exception condition"
+                       if sqlstate.startswith("45") else
+                       f"Signal condition {sqlstate}")
+        if errno is None:
+            errno = 1644 if sqlstate.startswith("45") else 1105
+        raise SqlError(message, sqlstate=sqlstate, errno=errno)
+
+    # ---- expression / binding helpers ---------------------------------------
 
     def _bind(self, stmt: str, scope: dict) -> str:
         """Substitute scope variables (bare identifiers) with literals."""

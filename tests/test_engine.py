@@ -1053,3 +1053,169 @@ def test_window_clause_named_windows(eng):
         "SELECT i, SUM(v) OVER w AS s FROM wc "
         "WINDOW w AS (PARTITION BY g ORDER BY i) ORDER BY i"))
     assert got == [(1, 10), (2, 30), (3, 30), (4, 70)]
+
+
+# ---- stored-program control flow: REPEAT / CASE / SIGNAL / handlers ---------
+# (reference sql/plan/repeat.go, case.go, signal.go, declare_handler.go,
+#  declare_condition.go)
+
+
+def test_procedure_repeat_until(eng):
+    eng.query("CREATE TABLE rpt (n BIGINT PRIMARY KEY)")
+    eng.query(
+        "CREATE PROCEDURE fill_rpt() "
+        "BEGIN "
+        "  DECLARE x INT DEFAULT 1; "
+        "  REPEAT "
+        "    INSERT INTO rpt VALUES (x); "
+        "    SET x = x + 1; "
+        "  UNTIL x > 3 END REPEAT; "
+        "END")
+    eng.query("CALL fill_rpt()")
+    assert rows(eng.query("SELECT n FROM rpt ORDER BY n")) == [(1,), (2,), (3,)]
+
+
+def test_procedure_labeled_repeat_leave(eng):
+    eng.query("CREATE TABLE rpt2 (n BIGINT PRIMARY KEY)")
+    eng.query(
+        "CREATE PROCEDURE fill_rpt2() "
+        "BEGIN "
+        "  DECLARE x INT DEFAULT 1; "
+        "  lp: REPEAT "
+        "    INSERT INTO rpt2 VALUES (x); "
+        "    SET x = x + 1; "
+        "    IF x = 3 THEN LEAVE lp; END IF; "
+        "  UNTIL x > 100 END REPEAT lp; "
+        "END")
+    eng.query("CALL fill_rpt2()")
+    assert rows(eng.query("SELECT n FROM rpt2 ORDER BY n")) == [(1,), (2,)]
+
+
+def test_procedure_case_statement_value_form(eng):
+    eng.query("CREATE TABLE cs (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    eng.query(
+        "CREATE PROCEDURE classify(IN x INT) "
+        "BEGIN "
+        "  CASE x "
+        "    WHEN 1 THEN INSERT INTO cs VALUES (x, 'one'); "
+        "    WHEN 2 THEN INSERT INTO cs VALUES (x, 'two'); "
+        "    ELSE INSERT INTO cs VALUES (x, 'many'); "
+        "  END CASE; "
+        "END")
+    eng.query("CALL classify(1)")
+    eng.query("CALL classify(2)")
+    eng.query("CALL classify(9)")
+    assert rows(eng.query("SELECT k, v FROM cs ORDER BY k")) == [
+        (1, "one"), (2, "two"), (9, "many")]
+
+
+def test_procedure_case_statement_searched_no_match_errors(eng):
+    eng.query(
+        "CREATE PROCEDURE pick(IN x INT) "
+        "BEGIN "
+        "  CASE WHEN x > 10 THEN SELECT 'big'; END CASE; "
+        "END")
+    # searched CASE with no matching branch and no ELSE → MySQL error 1339
+    with pytest.raises(SqlError, match="Case not found"):
+        eng.query("CALL pick(1)")
+    assert rows(eng.query("CALL pick(11)")) == [("big",)]
+
+
+def test_procedure_signal_sqlstate(eng):
+    eng.query(
+        "CREATE PROCEDURE guard(IN x INT) "
+        "BEGIN "
+        "  IF x < 0 THEN "
+        "    SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'negative not allowed', "
+        "      MYSQL_ERRNO = 1644; "
+        "  END IF; "
+        "  SELECT x * 2 AS doubled; "
+        "END")
+    assert rows(eng.query("CALL guard(21)")) == [(42,)]
+    with pytest.raises(SqlError, match="negative not allowed") as ei:
+        eng.query("CALL guard(-1)")
+    assert ei.value.sqlstate == "45000"
+    assert ei.value.errno == 1644
+
+
+def test_procedure_handler_catches_signal_continue(eng):
+    eng.query("CREATE TABLE log45 (msg VARCHAR(40))")
+    eng.query(
+        "CREATE PROCEDURE trysig() "
+        "BEGIN "
+        "  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "    INSERT INTO log45 VALUES ('caught'); "
+        "  SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'boom'; "
+        "  INSERT INTO log45 VALUES ('after'); "
+        "END")
+    eng.query("CALL trysig()")
+    # CONTINUE → handler ran, then execution resumed after the SIGNAL
+    assert sorted(rows(eng.query("SELECT msg FROM log45"))) == [
+        ("after",), ("caught",)]
+
+
+def test_procedure_exit_handler_leaves_inner_block_only(eng):
+    eng.query("CREATE TABLE log46 (msg VARCHAR(40))")
+    eng.query(
+        "CREATE PROCEDURE nested() "
+        "BEGIN "
+        "  BEGIN "
+        "    DECLARE EXIT HANDLER FOR SQLSTATE '45000' "
+        "      INSERT INTO log46 VALUES ('inner caught'); "
+        "    SIGNAL SQLSTATE '45000'; "
+        "    INSERT INTO log46 VALUES ('unreached'); "
+        "  END; "
+        "  INSERT INTO log46 VALUES ('outer continues'); "
+        "END")
+    eng.query("CALL nested()")
+    assert sorted(rows(eng.query("SELECT msg FROM log46"))) == [
+        ("inner caught",), ("outer continues",)]
+
+
+def test_procedure_named_condition_and_resignal(eng):
+    eng.query(
+        "CREATE PROCEDURE named_cond() "
+        "BEGIN "
+        "  DECLARE bad_thing CONDITION FOR SQLSTATE '45002'; "
+        "  DECLARE CONTINUE HANDLER FOR bad_thing RESIGNAL SET "
+        "    MESSAGE_TEXT = 'wrapped'; "
+        "  SIGNAL bad_thing SET MESSAGE_TEXT = 'original'; "
+        "END")
+    with pytest.raises(SqlError, match="wrapped") as ei:
+        eng.query("CALL named_cond()")
+    assert ei.value.sqlstate == "45002"
+
+
+def test_procedure_handler_specificity(eng):
+    eng.query("CREATE TABLE log47 (msg VARCHAR(40))")
+    eng.query(
+        "CREATE PROCEDURE specif() "
+        "BEGIN "
+        "  DECLARE CONTINUE HANDLER FOR SQLEXCEPTION "
+        "    INSERT INTO log47 VALUES ('generic'); "
+        "  DECLARE CONTINUE HANDLER FOR SQLSTATE '45003' "
+        "    INSERT INTO log47 VALUES ('specific'); "
+        "  SIGNAL SQLSTATE '45003'; "
+        "END")
+    eng.query("CALL specif()")
+    # the SQLSTATE-specific handler outranks the SQLEXCEPTION class handler
+    assert rows(eng.query("SELECT msg FROM log47")) == [("specific",)]
+
+
+def test_procedure_fetch_past_end_without_handler_errors(eng):
+    eng.query("CREATE TABLE one_row (i BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO one_row VALUES (1)")
+    eng.query(
+        "CREATE PROCEDURE overfetch() "
+        "BEGIN "
+        "  DECLARE v BIGINT; "
+        "  DECLARE cur CURSOR FOR SELECT i FROM one_row; "
+        "  OPEN cur; "
+        "  FETCH cur INTO v; "
+        "  FETCH cur INTO v; "
+        "  CLOSE cur; "
+        "END")
+    # MySQL error 1329 (SQLSTATE 02000) when no NOT FOUND handler exists
+    with pytest.raises(SqlError, match="No data") as ei:
+        eng.query("CALL overfetch()")
+    assert ei.value.errno == 1329
