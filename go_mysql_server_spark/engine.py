@@ -1560,6 +1560,45 @@ class Engine:
             self._run_old_triggers(ts, matched, "UPDATE")
         return OkResult(n_match)
 
+    _TRIG_SIGNAL_RE = re.compile(
+        r"IF\s+(.*?)\s+THEN\s+SIGNAL\s+SQLSTATE(?:\s+VALUE)?\s+"
+        r"'([0-9A-Za-z]{5})'\s*(?:SET\s+(.*?))?\s*;?\s*END\s+IF$",
+        re.I | re.S)
+
+    def _trigger_signal_guard(self, stmt: str, df: DataFrame,
+                              matched_col: str | None = None) -> bool:
+        """Set-based validation trigger: `IF <cond(NEW)> THEN SIGNAL SQLSTATE
+        … END IF` (reference plan/trigger.go + signal.go — the canonical
+        constraint-trigger pattern). Instead of a per-row callback, the
+        condition runs as ONE filter+limit(1) job over the whole incoming
+        batch; any violating row aborts the statement with the signal's
+        SQLSTATE/errno/message. Returns True when `stmt` was this form."""
+        m = self._TRIG_SIGNAL_RE.match(stmt.strip())
+        if not m:
+            return False
+        cond = re.sub(r"\bNEW\.(\w+)", r"\1", m.group(1), flags=re.I)
+        pred = F.expr(cond)
+        if matched_col is not None:
+            pred = F.col(matched_col) & pred
+        if df.filter(pred).limit(1).count():
+            sqlstate = m.group(2).upper()
+            message, errno = None, None
+            for assign in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)",
+                                   m.group(3) or ""):
+                if "=" not in assign:
+                    continue
+                k, v = assign.split("=", 1)
+                k, v = k.strip().upper(), v.strip()
+                if k == "MESSAGE_TEXT":
+                    message = v.strip("'")
+                elif k == "MYSQL_ERRNO":
+                    errno = int(v)
+            raise SqlError(
+                message or "Unhandled user-defined exception condition",
+                sqlstate=sqlstate,
+                errno=errno or (1644 if sqlstate.startswith("45") else 1105))
+        return True
+
     def _apply_before_update_triggers(self, ts: TableState,
                                       updated: DataFrame) -> DataFrame:
         """BEFORE UPDATE `SET NEW.c = expr`: one more projection over rows
@@ -1571,9 +1610,12 @@ class Engine:
             if trig.event != "UPDATE" or trig.timing != "BEFORE":
                 continue
             for stmt in split_statements(trig.body):
+                if self._trigger_signal_guard(stmt, updated, "__matched"):
+                    continue
                 if not stmt.strip().upper().startswith("SET NEW."):
                     raise SqlError(
-                        "BEFORE UPDATE triggers support SET NEW.col = expr only")
+                        "BEFORE UPDATE triggers support SET NEW.col = expr "
+                        "and IF…SIGNAL validation only")
                 cols = {c.name: F.col(c.name) for c in ts.columns}
                 for assign in _split_top_level(stmt.strip()[4:]):
                     mm = re.match(r"NEW\.(\w+)\s*=\s*(.*)$", assign.strip(),
@@ -2048,6 +2090,9 @@ class Engine:
                 continue
             for stmt in split_statements(trig.body):
                 up = stmt.strip().upper()
+                if timing == "BEFORE" and self._trigger_signal_guard(
+                        stmt, incoming):
+                    continue
                 if timing == "BEFORE" and up.startswith("SET NEW."):
                     cols = {c.name: F.col(c.name) for c in ts.columns}
                     for assign in _split_top_level(stmt.strip()[4:]):

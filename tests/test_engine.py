@@ -1219,3 +1219,37 @@ def test_procedure_fetch_past_end_without_handler_errors(eng):
     with pytest.raises(SqlError, match="No data") as ei:
         eng.query("CALL overfetch()")
     assert ei.value.errno == 1329
+
+
+def test_validation_trigger_before_insert_signal(eng):
+    eng.query("CREATE TABLE accounts (id BIGINT PRIMARY KEY, balance BIGINT)")
+    eng.query(
+        "CREATE TRIGGER chk_balance BEFORE INSERT ON accounts FOR EACH ROW "
+        "BEGIN "
+        "  IF NEW.balance < 0 THEN "
+        "    SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'negative balance'; "
+        "  END IF; "
+        "END")
+    eng.query("INSERT INTO accounts VALUES (1, 100)")
+    with pytest.raises(SqlError, match="negative balance") as ei:
+        eng.query("INSERT INTO accounts VALUES (2, -5)")
+    assert ei.value.sqlstate == "45000"
+    # the failed statement inserted nothing
+    assert rows(eng.query("SELECT COUNT(*) AS c FROM accounts")) == [(1,)]
+
+
+def test_validation_trigger_before_update_signal(eng):
+    eng.query("CREATE TABLE accts2 (id BIGINT PRIMARY KEY, balance BIGINT)")
+    eng.query("INSERT INTO accts2 VALUES (1, 100), (2, 50)")
+    eng.query(
+        "CREATE TRIGGER chk_upd BEFORE UPDATE ON accts2 FOR EACH ROW "
+        "IF NEW.balance < 0 THEN "
+        "  SIGNAL SQLSTATE '45001' SET MESSAGE_TEXT = 'overdraft', MYSQL_ERRNO = 1690; "
+        "END IF")
+    eng.query("UPDATE accts2 SET balance = balance - 10 WHERE id = 1")
+    assert rows(eng.query("SELECT balance FROM accts2 WHERE id = 1")) == [(90,)]
+    with pytest.raises(SqlError, match="overdraft") as ei:
+        eng.query("UPDATE accts2 SET balance = balance - 100 WHERE id = 2")
+    assert ei.value.errno == 1690
+    # untouched rows keep their values after the aborted statement
+    assert rows(eng.query("SELECT balance FROM accts2 WHERE id = 2")) == [(50,)]
