@@ -29,6 +29,9 @@ _MACROS = [
      "format_string('%02d:%02d:%02d', h, m, s)"),
     # MySQL TO_DAYS('2020-01-01') = 737790 (matches functions/datetime_fns)
     ("to_days", "(d DATE)", "BIGINT", "datediff(d, DATE '0000-01-01')"),
+    # inverse: FROM_DAYS(to_days(d)) = d; 719528 = TO_DAYS('1970-01-01')
+    ("from_days", "(n BIGINT)", "DATE",
+     "date_add(DATE '1970-01-01', CAST(n - 719528 AS INT))"),
     # ORD: code point of the first character as its UTF-8 byte sequence read
     # as a big-endian integer (MySQL's multibyte definition, string.go Ord)
     ("ord", "(s STRING)", "BIGINT",

@@ -79,12 +79,26 @@ FUNC_ALIASES = {
 }
 
 
-def translate_datetime_format(fmt: str) -> str:
-    """'%Y-%m-%d %H:%i:%s' → 'yyyy-MM-dd HH:mm:ss'."""
+# Parse-direction overrides: MySQL accepts non-zero-padded fields when
+# PARSING ('15,3,2024' with '%d,%m,%Y'), and Java's single-letter patterns
+# accept 1-n digits while the doubled forms require exact width. Formatting
+# keeps the zero-padded doubled forms.
+_PARSE_OVERRIDES = {
+    "%m": "M", "%d": "d", "%H": "H", "%h": "h", "%I": "h",
+    "%i": "m", "%s": "s", "%S": "s", "%Y": "y",
+}
+
+
+def translate_datetime_format(fmt: str, parse: bool = False) -> str:
+    """'%Y-%m-%d %H:%i:%s' → 'yyyy-MM-dd HH:mm:ss' (format direction) or
+    'y-M-d H:m:s' (parse direction, lenient field widths)."""
     out, i = [], 0
     while i < len(fmt):
         tok = fmt[i:i + 2]
-        if tok in MYSQL_TO_JAVA_FMT:
+        if parse and tok in _PARSE_OVERRIDES:
+            out.append(_PARSE_OVERRIDES[tok])
+            i += 2
+        elif tok in MYSQL_TO_JAVA_FMT:
             out.append(MYSQL_TO_JAVA_FMT[tok])
             i += 2
         elif fmt[i] == "%" and i + 1 < len(fmt):
@@ -185,6 +199,45 @@ def _rewrite_collate(sql: str) -> str:
 
 _SYSDATE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 
+_HEX_LITERAL = re.compile(r"\b0x([0-9A-Fa-f]+)\b")
+
+_CAST_CALL = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+
+# MySQL's lax string→integer cast: the longest numeric prefix parses (with
+# HALF_UP rounding of a fractional prefix), anything else is 0 — never NULL
+# and never an error (reference sql/types/number.go convertToInt64).
+# `p` (the extracted prefix) is empty for non-numeric strings; TRY_CAST
+# keeps native numeric/boolean inputs exact (TRUE→1) before the 0 fallback.
+_LAX_PREFIX_RE = "'^[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?'"
+
+
+def _lax_signed_expr(x: str) -> str:
+    p = f"regexp_extract(TRIM(CAST({x} AS STRING)), {_LAX_PREFIX_RE}, 0)"
+    return (
+        f"(CASE WHEN {p} = '' THEN COALESCE(TRY_CAST({x} AS BIGINT), 0) "
+        f"WHEN regexp_like({p}, '^[+-]?[0-9]+$') THEN CAST({p} AS BIGINT) "
+        f"ELSE CAST(ROUND(CAST({p} AS DOUBLE), 0) AS BIGINT) END)"
+    )
+
+
+def _rewrite_cast_signed(sql: str) -> str:
+    """CAST(x AS SIGNED) → MySQL lax numeric-prefix parse (never NULL)."""
+    pos = 0
+    while True:
+        m = _CAST_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        body = sql[m.end():close]
+        mm = re.search(r"\s+AS\s+SIGNED(\s+INTEGER)?\s*$", body, re.IGNORECASE)
+        if not mm:
+            pos = m.end()
+            continue
+        inner = _rewrite_cast_signed(body[:mm.start()])
+        repl = _lax_signed_expr(inner)
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
 
 def _find_close(s: str, start: int) -> int:
     """Index of the ')' matching the '(' at start. Operates on masked SQL
@@ -252,23 +305,33 @@ def _rewrite_datetime_formats(sql: str, lits: list[str]) -> str:
         args = _split_args(sql[open_paren + 1:close])
         fmt_lit = _literal_of(args[1], lits) if len(args) == 2 else None
         if fmt_lit is not None:
-            java = translate_datetime_format(fmt_lit)
+            java = translate_datetime_format(fmt_lit,
+                                             parse=fname == "STR_TO_DATE")
             ph = _PH.format(len(lits))
             lits.append("'" + java + "'")
             if fname == "STR_TO_DATE":
-                repl = f"to_timestamp({args[0]}, {ph})"
+                # MySQL returns DATE when the format has no time fields
+                has_time = re.search(r"%[HhIiklSsTrfp]", fmt_lit) is not None
+                repl = (f"to_timestamp({args[0]}, {ph})" if has_time
+                        else f"CAST(to_timestamp({args[0]}, {ph}) AS DATE)")
             elif fname == "FROM_UNIXTIME":
                 repl = f"from_unixtime({args[0]}, {ph})"
             else:
                 repl = f"date_format({args[0]}, {ph})"
         elif len(args) == 2:
             # dynamic format — translate the tokens at runtime, and keep
-            # parse vs format straight (ADVICE r1: STR_TO_DATE must parse)
-            fn = {"STR_TO_DATE": "to_timestamp",
-                  "FROM_UNIXTIME": "from_unixtime"}.get(fname, "date_format")
-            repl = f"{fn}({args[0]}, mysql_datefmt_to_java({args[1]}))"
+            # parse vs format straight (ADVICE r1: STR_TO_DATE must parse;
+            # the parse direction uses lenient field widths)
+            if fname == "STR_TO_DATE":
+                repl = (f"to_timestamp({args[0]}, "
+                        f"mysql_datefmt_to_java_parse({args[1]}))")
+            else:
+                fn = ("from_unixtime" if fname == "FROM_UNIXTIME"
+                      else "date_format")
+                repl = f"{fn}({args[0]}, mysql_datefmt_to_java({args[1]}))"
         elif fname == "FROM_UNIXTIME":
-            repl = f"from_unixtime({', '.join(args)})"  # 1-arg passthrough
+            # 1-arg form returns DATETIME in MySQL, not a formatted string
+            repl = f"CAST(from_unixtime({', '.join(args)}) AS TIMESTAMP)"
         else:
             repl = f"date_format({', '.join(args)})"
         sql = sql[:m.start()] + repl + sql[close + 1:]
@@ -536,6 +599,10 @@ def transpile_select(sql: str) -> str:
     """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
     text so quoted strings and backtick identifiers pass through verbatim."""
     sql, lits = mask_literals(sql)
+    # MySQL hex literals (0x41) used in numeric context → decimal; Spark
+    # has no 0x spelling (its x'41' form is a binary string, which wouldn't
+    # participate in arithmetic)
+    sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
     sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     sql = _rewrite_datetime_formats(sql, lits)
     sql = _rewrite_group_concat(sql, lits)
@@ -546,6 +613,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
     # MySQL CAST target types with no Spark spelling
+    sql = _rewrite_cast_signed(sql)
     sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
                  flags=re.IGNORECASE)
     sql = re.sub(r"AS\s+UNSIGNED(\s+INTEGER)?\s*\)", "AS DECIMAL(20,0))", sql,

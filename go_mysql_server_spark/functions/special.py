@@ -348,3 +348,6 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "mysql_datefmt_to_java",
         lambda f: None if f is None else _tdf(f), T.StringType())
+    spark.udf.register(
+        "mysql_datefmt_to_java_parse",
+        lambda f: None if f is None else _tdf(f, parse=True), T.StringType())

@@ -37,7 +37,9 @@ def test_date_format_call_rewrite():
 
 def test_str_to_date_rewrite():
     out = transpile_select("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
-    assert "to_timestamp(s, 'dd/MM/yyyy')" in out
+    # parse direction: lenient single-letter field widths ('15/3/2024' must
+    # parse), and a date-only format returns DATE (MySQL semantics)
+    assert "CAST(to_timestamp(s, 'd/M/y') AS DATE)" in out
 
 
 def test_nested_date_format_does_not_loop():

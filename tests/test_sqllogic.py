@@ -192,7 +192,8 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT DATE_FORMAT(DATE '2024-03-05', '%Y/%m/%d') AS c",
      "SELECT '2024/03/05' AS c"),
     ("str_to_date", "SELECT STR_TO_DATE('15/03/2024', '%d/%m/%Y') AS c",
-     "SELECT TIMESTAMP '2024-03-15 00:00:00' AS c"),
+     # date-only format → MySQL returns DATE, not DATETIME
+     "SELECT DATE '2024-03-15' AS c"),
     ("to_days_diff",
      "SELECT TO_DAYS(DATE '2024-03-15') - TO_DAYS(DATE '2024-03-01') AS c",
      "SELECT CAST(14 AS INTEGER) AS c"),
@@ -559,6 +560,183 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT NULL AS c UNION ALL SELECT 1 ORDER BY c NULLS FIRST",
      "SELECT CAST(NULL AS INTEGER) AS c UNION ALL SELECT 1 ORDER BY c NULLS FIRST"),
     ("in_mixed_num_types", "SELECT 2 IN (2.0, 3) AS c", "SELECT TRUE AS c"),
+    # ---- bit operators & literals ----------------------------------------
+    ("bit_and_op", "SELECT 12 & 10 AS c", "SELECT CAST(8 AS BIGINT) AS c"),
+    ("bit_or_op", "SELECT 12 | 10 AS c", "SELECT CAST(14 AS BIGINT) AS c"),
+    ("bit_xor_op", "SELECT 12 ^ 10 AS c", "SELECT CAST(xor(12, 10) AS BIGINT) AS c"),
+    ("bit_shift_left", "SELECT 1 << 10 AS c", "SELECT CAST(1024 AS BIGINT) AS c"),
+    ("bit_shift_right", "SELECT 1024 >> 3 AS c", "SELECT CAST(128 AS BIGINT) AS c"),
+    ("bit_invert", "SELECT ~0 AS c",
+     # MySQL ~ is unsigned 64-bit (18446744073709551615); we keep signed
+     # two's-complement like Spark — pin the signed semantics explicitly
+     "SELECT CAST(-1 AS BIGINT) AS c"),
+    ("hex_literal_num", "SELECT 0x41 + 0 AS c", "SELECT 65 AS c"),
+    ("bit_ops_precedence", "SELECT 1 | 2 & 3 AS c", "SELECT CAST(3 AS BIGINT) AS c"),
+    # ---- string function edges -------------------------------------------
+    ("locate_with_start", "SELECT LOCATE('bar', 'foobarbar') AS c, "
+     "LOCATE('bar', 'foobarbar', 5) AS d",
+     "SELECT 4 AS c, 7 AS d"),
+    ("position_fn", "SELECT POSITION('b' IN 'abc') AS c", "SELECT 2 AS c"),
+    ("elt_out_of_range", "SELECT ELT(9, 'a', 'b') AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("left_right_fn", "SELECT LEFT('spark', 2) AS l, RIGHT('spark', 2) AS r",
+     "SELECT 'sp' AS l, 'rk' AS r"),
+    ("left_oversize", "SELECT LEFT('ab', 10) AS c", "SELECT 'ab' AS c"),
+    ("substring_negative_pos", "SELECT SUBSTRING('Sakila', -3) AS c",
+     "SELECT 'ila' AS c"),
+    ("substring_neg_pos_len", "SELECT SUBSTRING('Sakila', -5, 3) AS c",
+     "SELECT 'aki' AS c"),
+    ("substring_from_for", "SELECT SUBSTRING('Quadratically' FROM 5 FOR 6) AS c",
+     "SELECT 'ratica' AS c"),
+    ("char_length_vs_length",
+     "SELECT CHAR_LENGTH('héllo') AS cl, LENGTH('héllo') AS l",
+     # LENGTH is bytes in MySQL (é is 2 bytes in utf8)
+     "SELECT 5 AS cl, CAST(6 AS BIGINT) AS l"),
+    ("lcase_ucase", "SELECT LCASE('AbC') AS lo, UCASE('AbC') AS hi",
+     "SELECT 'abc' AS lo, 'ABC' AS hi"),
+    ("lpad_fn", "SELECT LPAD('5', 3, '0') AS c", "SELECT '005' AS c"),
+    ("field_no_match", "SELECT FIELD('b', 'a', 'b', 'c') AS c, FIELD('z', 'a') AS m",
+     "SELECT 2 AS c, 0 AS m"),
+    ("replace_all_occurrences", "SELECT REPLACE('aaa', 'a', 'b') AS c",
+     "SELECT 'bbb' AS c"),
+    ("ascii_empty_string", "SELECT ASCII('A') AS c, ASCII('') AS z",
+     "SELECT 65 AS c, 0 AS z"),
+    ("char_fn_multi", "SELECT CHAR(77, 121, 83) AS c", "SELECT 'MyS' AS c"),
+    ("format_fn_commas", "SELECT FORMAT(1234567.891, 2) AS c",
+     "SELECT '1,234,567.89' AS c"),
+    ("concat_ws_skips_null", "SELECT CONCAT_WS(',', 'a', NULL, 'b') AS c",
+     "SELECT 'a,b' AS c"),
+    ("concat_ws_null_sep", "SELECT CONCAT_WS(NULL, 'a', 'b') AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    # ---- LIKE / pattern edges --------------------------------------------
+    ("like_percent_any", "SELECT 'abcdef' LIKE 'abc%' AS c", "SELECT TRUE AS c"),
+    ("like_underscore_one", "SELECT 'abc' LIKE 'a_c' AS c", "SELECT TRUE AS c"),
+    ("like_literal_percent_escape", "SELECT '50%' LIKE '50\\%' AS c",
+     "SELECT '50%' LIKE '50\\%' ESCAPE '\\' AS c"),
+    ("like_case_insensitive", "SELECT 'ABC' LIKE 'abc' AS c",
+     # MySQL default collation is case-insensitive for LIKE
+     "SELECT TRUE AS c"),
+    ("like_empty_pattern", "SELECT '' LIKE '' AS c", "SELECT TRUE AS c"),
+    ("like_null_operand", "SELECT NULL LIKE 'a%' AS c",
+     "SELECT CAST(NULL AS BOOLEAN) AS c"),
+    ("rlike_regexp_op", "SELECT 'abc123' RLIKE '[0-9]+$' AS c",
+     "SELECT TRUE AS c"),
+    # ---- CAST / coercion edges -------------------------------------------
+    ("cast_trailing_garbage",
+     # MySQL lax string→number: leading numeric prefix parses, rest ignored
+     "SELECT CAST('12abc' AS SIGNED) AS c", "SELECT CAST(12 AS BIGINT) AS c"),
+    ("cast_pure_garbage", "SELECT CAST('abc' AS SIGNED) AS c",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    ("cast_float_string_to_int", "SELECT CAST('3.7' AS SIGNED) AS c",
+     "SELECT CAST(4 AS BIGINT) AS c"),
+    ("cast_bool_to_int", "SELECT CAST(TRUE AS SIGNED) AS c",
+     "SELECT CAST(1 AS BIGINT) AS c"),
+    ("cast_num_to_char", "SELECT CAST(42 AS CHAR) AS c", "SELECT '42' AS c"),
+    ("cast_decimal_rounds_half_up", "SELECT CAST(2.675 AS DECIMAL(3,2)) AS c",
+     "SELECT CAST(2.68 AS DECIMAL(3,2)) AS c"),
+    ("implicit_string_num_compare", "SELECT ('10' > 9) AS c", "SELECT TRUE AS c"),
+    ("string_num_compare_lexical_vs_numeric",
+     "SELECT ('10' > '9') AS c",
+     # both operands strings → lexicographic in MySQL: '10' < '9'
+     "SELECT FALSE AS c"),
+    # ---- control flow ----------------------------------------------------
+    ("case_value_form", "SELECT CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' "
+     "ELSE 'many' END AS c", "SELECT 'two' AS c"),
+    ("case_no_else_null", "SELECT CASE 9 WHEN 1 THEN 'one' END AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("case_searched_first_match",
+     "SELECT CASE WHEN 1 = 1 THEN 'a' WHEN TRUE THEN 'b' END AS c",
+     "SELECT 'a' AS c"),
+    ("interval_fn_buckets", "SELECT INTERVAL(23, 1, 15, 17, 30, 44) AS c",
+     "SELECT 3 AS c"),
+    ("greatest_null_prop", "SELECT GREATEST(1, NULL, 3) AS c",
+     "SELECT CAST(NULL AS INTEGER) AS c"),
+    ("least_null_prop", "SELECT LEAST(1, NULL) AS c",
+     "SELECT CAST(NULL AS INTEGER) AS c"),
+    # ---- aggregates over empty input -------------------------------------
+    ("count_empty_zero",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    ("sum_empty_null",
+     "SELECT SUM(n_nationkey) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(NULL AS BIGINT) AS c"),
+    ("min_empty_null",
+     "SELECT MIN(n_name) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("avg_ignores_nulls",
+     "SELECT AVG(CASE WHEN n_nationkey < 5 THEN n_nationkey END) AS c "
+     "FROM nation",
+     "SELECT CAST(2.0 AS DOUBLE) AS c"),
+    ("count_col_skips_null",
+     "SELECT COUNT(CASE WHEN n_nationkey < 5 THEN n_nationkey END) AS c "
+     "FROM nation",
+     "SELECT CAST(5 AS BIGINT) AS c"),
+    ("group_concat_default_sep",
+     "SELECT GROUP_CONCAT(n_name ORDER BY n_name) AS c FROM nation "
+     "WHERE n_regionkey = 0",
+     "SELECT string_agg(n_name, ',' ORDER BY n_name) AS c FROM nation "
+     "WHERE n_regionkey = 0"),
+    ("group_concat_distinct",
+     "SELECT GROUP_CONCAT(DISTINCT n_regionkey ORDER BY n_regionkey) AS c "
+     "FROM nation",
+     "SELECT string_agg(DISTINCT n_regionkey::VARCHAR, ',' "
+     "ORDER BY n_regionkey::VARCHAR) AS c FROM nation"),
+    # ---- GROUP BY / ORDER BY resolution ----------------------------------
+    ("group_by_ordinal",
+     "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1",
+     "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation "
+     "GROUP BY 1 ORDER BY 1"),
+    ("order_by_ordinal_desc",
+     "SELECT n_name FROM nation WHERE n_regionkey = 1 ORDER BY 1 DESC",
+     None),
+    ("group_by_expr_alias",
+     "SELECT n_nationkey % 3 AS bucket, COUNT(*) AS n FROM nation "
+     "GROUP BY bucket ORDER BY bucket",
+     "SELECT n_nationkey % 3 AS bucket, CAST(COUNT(*) AS BIGINT) AS n "
+     "FROM nation GROUP BY bucket ORDER BY bucket"),
+    ("order_by_alias_expr",
+     "SELECT n_name, n_nationkey * 2 AS dk FROM nation "
+     "WHERE n_regionkey = 2 ORDER BY dk LIMIT 3",
+     None),
+    ("order_by_hidden_column",
+     "SELECT n_name FROM nation WHERE n_regionkey = 3 ORDER BY n_nationkey",
+     None),
+    # ---- date/time format breadth ----------------------------------------
+    ("date_format_tokens",
+     "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09', "
+     "'%Y-%m-%d %H:%i:%s') AS c",
+     "SELECT '2024-03-05 07:08:09' AS c"),
+    ("date_format_names",
+     "SELECT DATE_FORMAT(DATE '2024-03-05', '%W %M %Y') AS c",
+     "SELECT 'Tuesday March 2024' AS c"),
+    ("date_format_12h",
+     "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 15:04:00', '%h:%i %p') AS c",
+     "SELECT '03:04 PM' AS c"),
+    ("str_to_date_fn",
+     "SELECT STR_TO_DATE('15,3,2024', '%d,%m,%Y') AS c",
+     "SELECT DATE '2024-03-15' AS c"),
+    ("dayofyear_quarter",
+     "SELECT DAYOFYEAR(DATE '2024-03-01') AS dy, QUARTER(DATE '2024-08-14') AS q",
+     "SELECT 61 AS dy, 3 AS q"),
+    ("weekday_vs_dayofweek",
+     # WEEKDAY: Monday=0; DAYOFWEEK: Sunday=1 (ODBC)
+     "SELECT WEEKDAY(DATE '2024-03-05') AS wd, DAYOFWEEK(DATE '2024-03-05') AS dw",
+     "SELECT 1 AS wd, 3 AS dw"),
+    ("to_days_fn", "SELECT TO_DAYS(DATE '2024-03-15') AS c",
+     "SELECT CAST(739325 AS BIGINT) AS c"),
+    ("from_days_fn", "SELECT FROM_DAYS(739325) AS c",
+     "SELECT DATE '2024-03-15' AS c"),
+    ("datediff_order", "SELECT DATEDIFF(DATE '2024-03-15', DATE '2024-03-10') AS c",
+     "SELECT CAST(5 AS BIGINT) AS c"),
+    ("date_add_interval_month_clamp",
+     "SELECT DATE_ADD(DATE '2024-01-31', INTERVAL 1 MONTH) AS c",
+     "SELECT DATE '2024-02-29' AS c"),
+    ("date_sub_interval_day",
+     "SELECT DATE_SUB(DATE '2024-03-01', INTERVAL 1 DAY) AS c",
+     "SELECT DATE '2024-02-29' AS c"),
+    ("unix_timestamp_roundtrip",
+     "SELECT FROM_UNIXTIME(UNIX_TIMESTAMP(TIMESTAMP '2024-03-15 12:00:00')) AS c",
+     "SELECT TIMESTAMP '2024-03-15 12:00:00' AS c"),
 ]
 
 IDS = [c[0] for c in CORPUS]
