@@ -221,3 +221,37 @@ def test_lsh_signature_is_pure_projection(spark):
     # and the value is bit-packed into one long per row
     row = df.orderBy(F.col("vec_id")).first()
     assert 0 <= row["sig"] < (1 << 8)
+
+
+def test_quality_rules_single_small_aggregate(spark):
+    """The rule suite is one scan + one 20-group hash aggregate: exactly one
+    shuffle (the groupBy), no joins, no window, all rules evaluated as
+    Column expressions inside the scan stage."""
+    plan = formatted_plan(spark, "pipeline_quality_rules")
+    # formatted plans print each node twice (tree + detail): 2 real
+    # Exchanges = agg shuffle + 20-row output sort
+    assert plan.count("Exchange (") <= 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_sequence_packing_partitioned_window_no_global_sort(spark):
+    """Packing must window per (source, lang) — a hash-partitioned Exchange,
+    never a single-partition global sort (which would serialize the corpus
+    through one task at 100 TB)."""
+    plan = formatted_plan(spark, "pipeline_sequence_packing")
+    assert "Window" in plan
+    # Spark signals the scale-killer with an empty partition spec
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_char_lm_score_scoring_is_scan_side(spark):
+    """After the (tiny, collected) bigram model is inlined, scoring the
+    corpus is a pure projection: no Generate (explode), no join against a
+    model table, and the only Exchange is the final ORDER BY."""
+    plan = formatted_plan(spark, "pipeline_char_lm_score")
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    # rangepartitioning for the order-by; no hash aggregate over bigrams
+    assert plan.count("Exchange (") <= 1
