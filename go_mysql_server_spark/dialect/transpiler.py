@@ -200,6 +200,18 @@ def _rewrite_collate(sql: str) -> str:
 _SYSDATE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 
 _HEX_LITERAL = re.compile(r"\b0x([0-9A-Fa-f]+)\b")
+_BIT_LITERAL = re.compile(r"\bb'([01]+)'", re.IGNORECASE)
+_0B_LITERAL = re.compile(r"\b0b([01]+)\b")
+
+
+def rewrite_numeric_literals(sql: str) -> str:
+    """MySQL bit/hex literals → decimal, quote-safely (for SQL fragments
+    that bypass transpile_select, e.g. INSERT VALUES lists)."""
+    sql = _BIT_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)
+    sql, lits = mask_literals(sql)
+    sql = _0B_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)
+    sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
+    return unmask_literals(sql, lits)
 
 _CAST_CALL = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 
@@ -598,7 +610,11 @@ def _rewrite_truncate(sql: str) -> str:
 def transpile_select(sql: str) -> str:
     """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
     text so quoted strings and backtick identifiers pass through verbatim."""
+    # bit-value literals (b'101' / 0b101) → decimal, BEFORE masking (the
+    # quoted part would otherwise be hidden as a string placeholder)
+    sql = _BIT_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)
     sql, lits = mask_literals(sql)
+    sql = _0B_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)
     # MySQL hex literals (0x41) used in numeric context → decimal; Spark
     # has no 0x spelling (its x'41' form is a binary string, which wouldn't
     # participate in arithmetic)

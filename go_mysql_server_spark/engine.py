@@ -134,6 +134,8 @@ _TYPE_MAP: list[tuple[re.Pattern, Any]] = [
     (re.compile(r"^BIGINT", re.I), "int_bigint"),
     (re.compile(r"^(TINYINT|SMALLINT|MEDIUMINT|INT|INTEGER)\b", re.I), "int"),
     (re.compile(r"^(BOOL|BOOLEAN)\b", re.I), T.IntegerType()),  # MySQL bool = tinyint
+    (re.compile(r"^BIT\s*\(\s*(\d+)\s*\)", re.I), "bit"),
+    (re.compile(r"^BIT\b", re.I), "bit1"),  # BIT defaults to BIT(1)
     (re.compile(r"^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.I), "decimal"),
     (re.compile(r"^DECIMAL", re.I), T.DecimalType(10, 0)),
     (re.compile(r"^FLOAT", re.I), T.FloatType()),
@@ -173,6 +175,17 @@ def _parse_type(
             if res == "set":
                 vals = ("\x00set",) + vals
             return T.StringType(), vals, None
+        if res == "bit1":
+            return T.LongType(), None, (0, 1)
+        if res == "bit":
+            # BIT(n): value range [0, 2^n - 1] (reference sql/types/bit.go);
+            # n=64 exceeds signed long → decimal carrier like BIGINT UNSIGNED
+            n_bits = int(m.group(1))
+            if n_bits > 64:
+                raise SqlError(f"BIT({n_bits}) exceeds the 64-bit maximum")
+            if n_bits == 64:
+                return T.DecimalType(20, 0), None, (0, (1 << 64) - 1)
+            return T.LongType(), None, (0, (1 << n_bits) - 1)
         if res == "uint_bigint":
             return T.DecimalType(20, 0), None, _UINT_RANGES["bigint"]
         if res == "int_bigint":
@@ -1239,7 +1252,8 @@ class Engine:
             exprs = ", ".join(a.split("=", 1)[1].strip() for a in assigns)
             new_rows = self.spark.sql(f"SELECT {exprs}")
         else:
-            values_sql = m.group(7).strip()
+            from .dialect.transpiler import rewrite_numeric_literals
+            values_sql = rewrite_numeric_literals(m.group(7).strip())
             new_rows = self.spark.sql(f"SELECT * FROM VALUES {values_sql}")
         return self._insert_df(ts, new_rows, col_list, verb, ignore, odku)
 

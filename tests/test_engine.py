@@ -1253,3 +1253,15 @@ def test_validation_trigger_before_update_signal(eng):
     assert ei.value.errno == 1690
     # untouched rows keep their values after the aborted statement
     assert rows(eng.query("SELECT balance FROM accts2 WHERE id = 2")) == [(50,)]
+
+
+def test_bit_type_bounds_and_literals(eng):
+    eng.query("CREATE TABLE flags (id BIGINT PRIMARY KEY, b BIT(3))")
+    eng.query("INSERT INTO flags VALUES (1, b'101'), (2, 0), (3, 7)")
+    assert rows(eng.query("SELECT id, b FROM flags ORDER BY id")) == [
+        (1, 5), (2, 0), (3, 7)]
+    # strict mode: 8 is out of range for BIT(3)
+    with pytest.raises(SqlError):
+        eng.query("INSERT INTO flags VALUES (4, 8)")
+    # bit literal arithmetic in SELECT context
+    assert rows(eng.query("SELECT b'101' + 0b10 AS c")) == [(7,)]

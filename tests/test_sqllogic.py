@@ -571,6 +571,9 @@ CORPUS: list[tuple[str, str, str | None]] = [
      # two's-complement like Spark — pin the signed semantics explicitly
      "SELECT CAST(-1 AS BIGINT) AS c"),
     ("hex_literal_num", "SELECT 0x41 + 0 AS c", "SELECT 65 AS c"),
+    ("bit_literal_quoted", "SELECT b'101' + 0 AS c", "SELECT 5 AS c"),
+    ("bit_literal_0b", "SELECT 0b1111 & 0b0101 AS c",
+     "SELECT CAST(5 AS BIGINT) AS c"),
     ("bit_ops_precedence", "SELECT 1 | 2 & 3 AS c", "SELECT CAST(3 AS BIGINT) AS c"),
     # ---- string function edges -------------------------------------------
     ("locate_with_start", "SELECT LOCATE('bar', 'foobarbar') AS c, "
