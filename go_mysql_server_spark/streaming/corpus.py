@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
-    fingerprint_md5, langid, quality_score, token_count,
+    fingerprint_md5, langid, min_shingle_fingerprint, quality_score,
+    token_count,
 )
 from ..session import tune_session
 
@@ -63,6 +64,34 @@ def corpus_ingest(docs: DataFrame, min_quality: float = 0.5,
         cleaned.groupBy("source", "lang_pred")
         .agg(F.count("*").alias("kept_docs"),
              F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+    )
+
+
+def neardup_suppress(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-duplicate suppression at ingest: key the watermarked
+    dedup on the min-shingle rolling fingerprint (winnowing-lite) instead
+    of the exact content hash, so small edits of an already-seen document
+    are dropped too. The fingerprint is a pure Column expression computed
+    scan-side on the stream; state is one row per surviving fingerprint,
+    bounded by the watermark horizon — the same state bound as exact dedup,
+    which is what makes near-dup suppression viable on an unbounded
+    100 TB/day firehose (a minhash band-join is a batch construct; at
+    ingest time a single-key rolling fingerprint is the streamable form)."""
+    return (
+        docs.withColumn("fp_shingle", min_shingle_fingerprint(F.col("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp_shingle"])
+        .select("fp_shingle", "doc_id", "source")
+    )
+
+
+def neardup_suppress_batch_twin(docs: DataFrame) -> DataFrame:
+    """Batch parity oracle: one surviving row per fingerprint (the
+    deterministic min doc_id representative)."""
+    return (
+        docs.withColumn("fp_shingle", min_shingle_fingerprint(F.col("text")))
+        .groupBy("fp_shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
 
 

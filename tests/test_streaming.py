@@ -124,3 +124,22 @@ def test_streaming_corpus_ingest_matches_batch(spark):
     batch = load(spark, SF_DIR, "documents")
     want = _rows(sc.corpus_ingest_batch_twin(batch))
     assert got == want and len(got) > 0
+
+
+def test_streaming_neardup_suppress_matches_batch(spark):
+    """Near-dup suppression keyed on the min-shingle fingerprint must keep
+    exactly one document per fingerprint — the same survivor set (by
+    fingerprint) as the batch groupBy twin."""
+    from go_mysql_server_spark.streaming import corpus as sc
+
+    stream = sc.documents_stream(spark, SF_DIR)
+    se.run_to_memory(sc.neardup_suppress(stream), "t_neardup", "append")
+    got = spark.table("t_neardup")
+
+    batch = load(spark, SF_DIR, "documents")
+    want = sc.neardup_suppress_batch_twin(batch)
+    got_fps = sorted(r[0] for r in got.select("fp_shingle").collect())
+    want_fps = sorted(r[0] for r in want.select("fp_shingle").collect())
+    assert got_fps == want_fps and len(got_fps) > 0
+    # one survivor per fingerprint, never more
+    assert got.count() == len(set(got_fps))
