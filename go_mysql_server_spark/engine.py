@@ -518,7 +518,16 @@ class Engine:
         r"\binformation_schema\.(tables|columns|schemata|views|routines|"
         r"triggers|key_column_usage|table_constraints|statistics|"
         r"character_sets|collations|events|user_privileges|"
-        r"column_statistics)\b", re.I)
+        r"column_statistics|referential_constraints|check_constraints|"
+        r"parameters|partitions|processlist|engines|keywords|"
+        r"st_spatial_reference_systems|st_units_of_measure|"
+        r"st_geometry_columns|collation_character_set_applicability|"
+        r"applicable_roles|administrable_role_authorizations|enabled_roles|"
+        r"role_table_grants|role_column_grants|role_routine_grants|"
+        r"column_privileges|table_privileges|schema_privileges|"
+        r"resource_groups|optimizer_trace|profiling|files|"
+        r"columns_extensions|tables_extensions|schemata_extensions|"
+        r"table_constraints_extensions)\b", re.I)
 
     def _rewrite_information_schema(self, sql: str) -> str:
         needed = {m.group(1).lower() for m in self._INFO_SCHEMA.finditer(sql)}
@@ -701,9 +710,172 @@ class Engine:
                 "IS_GRANTABLE string",
             ).filter("GRANTEE IS NOT NULL").createOrReplaceTempView(
                 "information_schema__user_privileges")
+        self._info_schema_extras(needed)
         return self._INFO_SCHEMA.sub(
             lambda m: f"information_schema__{m.group(1).lower()}", sql
         )
+
+    # Extended information_schema surface (reference
+    # sql/information_schema/information_schema.go registers ~45 tables;
+    # most are empty or static on a non-privileged embedded server — ours
+    # mirror that, while FK/CHECK/procedure metadata come from the catalog).
+    _IS_STATIC: dict[str, tuple[str, list]] = {
+        "engines": (
+            "ENGINE string, SUPPORT string, COMMENT string, "
+            "TRANSACTIONS string, XA string, SAVEPOINTS string",
+            [("InnoDB", "DEFAULT", "Supports transactions", "YES", "YES", "YES")],
+        ),
+        "keywords": (
+            "WORD string, RESERVED int",
+            [(w, 1) for w in (
+                "SELECT", "INSERT", "UPDATE", "DELETE", "WHERE", "GROUP",
+                "ORDER", "JOIN", "UNION", "CREATE", "ALTER", "DROP", "TABLE",
+                "INDEX", "PRIMARY", "FOREIGN", "KEY", "NOT", "NULL", "AND",
+                "OR", "IN", "EXISTS", "BETWEEN", "LIKE", "CASE", "WHEN",
+            )] + [(w, 0) for w in ("ACTION", "AFTER", "BOOLEAN", "COMMENT",
+                                   "ENGINE", "FIRST", "OFFSET", "ROLLUP")],
+        ),
+        "st_spatial_reference_systems": (
+            "SRS_NAME string, SRS_ID bigint, ORGANIZATION string, "
+            "ORGANIZATION_COORDSYS_ID bigint, DEFINITION string, DESCRIPTION string",
+            [("", 0, None, None, "", None),
+             ("WGS 84", 4326, "EPSG", 4326,
+              'GEOGCS["WGS 84",DATUM["World Geodetic System 1984"]]', None)],
+        ),
+        "st_units_of_measure": (
+            "UNIT_NAME string, UNIT_TYPE string, CONVERSION_FACTOR double, "
+            "DESCRIPTION string",
+            [("metre", "LINEAR", 1.0, None),
+             ("foot", "LINEAR", 0.3048, None),
+             ("US survey foot", "LINEAR", 0.30480060960121924, None)],
+        ),
+        "collation_character_set_applicability": (
+            "COLLATION_NAME string, CHARACTER_SET_NAME string",
+            [("utf8mb4_0900_ai_ci", "utf8mb4"), ("utf8mb4_bin", "utf8mb4"),
+             ("utf8mb4_unicode_ci", "utf8mb4"), ("latin1_swedish_ci", "latin1"),
+             ("binary", "binary")],
+        ),
+        # empty on a fresh non-privileged server (MySQL parity)
+        "st_geometry_columns": (
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "COLUMN_NAME string, SRS_NAME string, SRS_ID bigint, GEOMETRY_TYPE_NAME string", []),
+        "applicable_roles": (
+            "USER string, HOST string, GRANTEE string, ROLE_NAME string, "
+            "ROLE_HOST string, IS_GRANTABLE string, IS_DEFAULT string, IS_MANDATORY string", []),
+        "administrable_role_authorizations": (
+            "USER string, HOST string, GRANTEE string, ROLE_NAME string, "
+            "ROLE_HOST string, IS_GRANTABLE string, IS_DEFAULT string, IS_MANDATORY string", []),
+        "enabled_roles": (
+            "ROLE_NAME string, ROLE_HOST string, IS_DEFAULT string, IS_MANDATORY string", []),
+        "role_table_grants": (
+            "GRANTOR string, GRANTEE string, TABLE_CATALOG string, "
+            "TABLE_SCHEMA string, TABLE_NAME string, PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "role_column_grants": (
+            "GRANTOR string, GRANTEE string, TABLE_CATALOG string, TABLE_SCHEMA string, "
+            "TABLE_NAME string, COLUMN_NAME string, PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "role_routine_grants": (
+            "GRANTOR string, GRANTEE string, SPECIFIC_CATALOG string, SPECIFIC_SCHEMA string, "
+            "SPECIFIC_NAME string, PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "column_privileges": (
+            "GRANTEE string, TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "COLUMN_NAME string, PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "table_privileges": (
+            "GRANTEE string, TABLE_CATALOG string, TABLE_SCHEMA string, "
+            "TABLE_NAME string, PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "schema_privileges": (
+            "GRANTEE string, TABLE_CATALOG string, TABLE_SCHEMA string, "
+            "PRIVILEGE_TYPE string, IS_GRANTABLE string", []),
+        "resource_groups": (
+            "RESOURCE_GROUP_NAME string, RESOURCE_GROUP_TYPE string, "
+            "RESOURCE_GROUP_ENABLED int, VCPU_IDS string, THREAD_PRIORITY int", []),
+        "optimizer_trace": (
+            "QUERY string, TRACE string, "
+            "MISSING_BYTES_BEYOND_MAX_MEM_SIZE int, INSUFFICIENT_PRIVILEGES int", []),
+        "profiling": (
+            "QUERY_ID int, SEQ int, STATE string, DURATION decimal(9,6)", []),
+        "files": (
+            "FILE_ID bigint, FILE_NAME string, FILE_TYPE string, "
+            "TABLESPACE_NAME string, ENGINE string", []),
+        "columns_extensions": (
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "COLUMN_NAME string, ENGINE_ATTRIBUTE string, SECONDARY_ENGINE_ATTRIBUTE string", []),
+        "tables_extensions": (
+            "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+            "ENGINE_ATTRIBUTE string, SECONDARY_ENGINE_ATTRIBUTE string", []),
+        "schemata_extensions": (
+            "CATALOG_NAME string, SCHEMA_NAME string, OPTIONS string", []),
+        "table_constraints_extensions": (
+            "CONSTRAINT_CATALOG string, CONSTRAINT_SCHEMA string, "
+            "CONSTRAINT_NAME string, TABLE_NAME string, ENGINE_ATTRIBUTE string", []),
+    }
+
+    def _info_schema_extras(self, needed: set[str]) -> None:
+        for name in needed & set(self._IS_STATIC):
+            schema, rows = self._IS_STATIC[name]
+            n_cols = schema.count(",") + 1
+            df = self.spark.createDataFrame(rows or [(None,) * n_cols], schema)
+            if not rows:
+                df = df.filter(df[df.columns[0]].isNotNull())
+            df.createOrReplaceTempView(f"information_schema__{name}")
+        if "referential_constraints" in needed:
+            rows = [
+                (db, f"{ts.name}_ibfk_{i + 1}", "PRIMARY", fk.on_update,
+                 fk.on_delete, ts.name, fk.parent_table)
+                for db, tables in sorted(self.databases.items())
+                for ts in tables.values()
+                for i, fk in enumerate(ts.foreign_keys)
+            ]
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None, None, None, None)],
+                "CONSTRAINT_SCHEMA string, CONSTRAINT_NAME string, "
+                "UNIQUE_CONSTRAINT_NAME string, UPDATE_RULE string, "
+                "DELETE_RULE string, TABLE_NAME string, REFERENCED_TABLE_NAME string",
+            ).filter("CONSTRAINT_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__referential_constraints")
+        if "check_constraints" in needed:
+            rows = [
+                ("def", db, f"{ts.name}_chk_{i + 1}", chk)
+                for db, tables in sorted(self.databases.items())
+                for ts in tables.values()
+                for i, chk in enumerate(ts.checks)
+            ]
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "CONSTRAINT_CATALOG string, CONSTRAINT_SCHEMA string, "
+                "CONSTRAINT_NAME string, CHECK_CLAUSE string",
+            ).filter("CONSTRAINT_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__check_constraints")
+        if "parameters" in needed:
+            rows = [
+                (p.name, i + 1, mode.upper(), pname, ptype)
+                for p in self.procedures.values()
+                for i, (mode, pname, ptype) in enumerate(p.params)
+            ]
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None, None)],
+                "SPECIFIC_NAME string, ORDINAL_POSITION int, PARAMETER_MODE string, "
+                "PARAMETER_NAME string, DATA_TYPE string",
+            ).filter("SPECIFIC_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__parameters")
+        if "partitions" in needed:
+            rows = [
+                ("def", db, ts.name, None, None)
+                for db, tables in sorted(self.databases.items())
+                for ts in tables.values()
+            ]
+            self.spark.createDataFrame(
+                rows or [(None, None, None, None, None)],
+                "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+                "PARTITION_NAME string, PARTITION_METHOD string",
+            ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
+                "information_schema__partitions")
+        if "processlist" in needed:
+            self.spark.createDataFrame(
+                [(1, "root", "localhost", self.current_db, "Query", 0,
+                  "executing", None)],
+                "ID bigint, USER string, HOST string, DB string, "
+                "COMMAND string, TIME int, STATE string, INFO string",
+            ).createOrReplaceTempView("information_schema__processlist")
 
     _LOAD_DATA = re.compile(
         r"^LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+"

@@ -1265,3 +1265,44 @@ def test_bit_type_bounds_and_literals(eng):
         eng.query("INSERT INTO flags VALUES (4, 8)")
     # bit literal arithmetic in SELECT context
     assert rows(eng.query("SELECT b'101' + 0b10 AS c")) == [(7,)]
+
+
+def test_information_schema_extended_tables(eng):
+    eng.query("CREATE TABLE parent (id BIGINT PRIMARY KEY)")
+    eng.query("CREATE TABLE child (id BIGINT PRIMARY KEY, pid BIGINT, "
+              "CHECK (id > 0), "
+              "FOREIGN KEY (pid) REFERENCES parent(id) ON DELETE CASCADE)")
+    got = rows(eng.query(
+        "SELECT TABLE_NAME, REFERENCED_TABLE_NAME, DELETE_RULE "
+        "FROM information_schema.referential_constraints"))
+    assert got == [("child", "parent", "CASCADE")]
+    chk = rows(eng.query(
+        "SELECT CONSTRAINT_NAME, CHECK_CLAUSE "
+        "FROM information_schema.check_constraints"))
+    assert chk and "id > 0" in chk[0][1]
+    eng.query("CREATE PROCEDURE addone(IN x INT) BEGIN SELECT x + 1; END")
+    params = rows(eng.query(
+        "SELECT SPECIFIC_NAME, PARAMETER_MODE, PARAMETER_NAME "
+        "FROM information_schema.parameters"))
+    assert ("addone", "IN", "x") in params
+    # static/empty MySQL-parity tables resolve with MySQL's shapes
+    assert rows(eng.query(
+        "SELECT SUPPORT FROM information_schema.engines "
+        "WHERE ENGINE = 'InnoDB'")) == [("DEFAULT",)]
+    assert rows(eng.query(
+        "SELECT SRS_ID FROM information_schema.st_spatial_reference_systems "
+        "ORDER BY SRS_ID")) == [(0,), (4326,)]
+    assert rows(eng.query(
+        "SELECT COUNT(*) AS c FROM information_schema.applicable_roles")) == [(0,)]
+    assert rows(eng.query(
+        "SELECT COUNT(*) AS c FROM information_schema.optimizer_trace")) == [(0,)]
+    kw = rows(eng.query(
+        "SELECT RESERVED FROM information_schema.keywords WHERE WORD = 'SELECT'"))
+    assert kw == [(1,)]
+    pl = rows(eng.query(
+        "SELECT COMMAND FROM information_schema.processlist"))
+    assert pl == [("Query",)]
+    parts = rows(eng.query(
+        "SELECT TABLE_NAME, PARTITION_NAME FROM information_schema.partitions "
+        "WHERE TABLE_NAME = 'child'"))
+    assert parts == [("child", None)]
