@@ -299,3 +299,100 @@ def pipeline_char_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+M_SUB = 8        # PQ subspaces
+SUB_DIM = 8      # dims per subspace (64-dim embeddings)
+PQ_K = 4         # codes per subspace
+
+
+@query(
+    "similarity_pq_quantize",
+    oracle=f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K})
+),
+sub AS (
+  SELECT v.vec_id, m.m, c.code,
+         list_sum(list_transform(range(1, {SUB_DIM + 1}),
+           i -> (v.e[m.m * {SUB_DIM} + i] - c.e[m.m * {SUB_DIM} + i])
+              * (v.e[m.m * {SUB_DIM} + i] - c.e[m.m * {SUB_DIM} + i]))) AS d
+  FROM v
+  CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) m
+  CROSS JOIN cb c
+),
+a AS (
+  SELECT vec_id, m, code, d FROM (
+    SELECT vec_id, m, code, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM sub
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       list(code ORDER BY m) AS codes,
+       ROUND(list_sum(list(d ORDER BY m)) / {M_SUB * SUB_DIM}, 8) AS recon_mse
+FROM a
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def similarity_pq_quantize(spark, sf_dir):
+    """Product quantization (the PQ half of an IVF-PQ vector index): split
+    each 64-dim embedding into {M_SUB} subvectors of {SUB_DIM} dims, assign
+    each to the nearest of {PQ_K} codebook entries per subspace, report the
+    code word and reconstruction MSE.
+
+    Codebooks are deterministic by construction (the {PQ_K} lowest-id
+    vectors' subvectors — the seeded-init discipline of
+    similarity_kmeans_ivf) and tiny, so they inline as literal arrays and
+    the WHOLE assignment is a scan-side projection: zero shuffles over the
+    corpus, the property that matters when the corpus is 100 TB and the
+    codebook is {PQ_K}×64 doubles. The literal codebook is materialized
+    once per row (`_cb` column) — Catalyst won't constant-fold array
+    constructors inside higher-order-function lambdas (see
+    pipeline_char_lm_score). Distances accumulate in fixed index order on
+    both engines, so the oracle hash can't drift."""
+    emb = t(spark, sf_dir, "embeddings")
+    seed = [r["embedding"] for r in
+            emb.orderBy("vec_id").limit(PQ_K).collect()]
+    cb_lit = F.array(*[
+        F.array(*[F.lit(float(x)).cast("double") for x in vec])
+        for vec in seed
+    ])
+
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.withColumn("_cb", cb_lit).withColumn("_e", e)
+
+    def sub_dist(m, code):
+        # L2² over dims [m*SUB_DIM, (m+1)*SUB_DIM) in fixed index order
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.pow(
+                F.element_at(F.col("_e"), m * SUB_DIM + i + 1)
+                - F.element_at(F.element_at(F.col("_cb"), code + 1),
+                               m * SUB_DIM + i + 1), 2),
+        )
+
+    picks = F.array(*[
+        F.array_min(F.array(*[
+            F.struct(sub_dist(m, c).alias("d"), F.lit(c).alias("c"))
+            for c in range(PQ_K)
+        ]))
+        for m in range(M_SUB)
+    ])
+    out = df.withColumn("_picks", picks).select(
+        "vec_id",
+        F.transform(F.col("_picks"), lambda s: s["c"]).alias("codes"),
+        F.round(
+            F.aggregate(F.col("_picks"), F.lit(0.0),
+                        lambda acc, s: acc + s["d"])
+            / F.lit(float(M_SUB * SUB_DIM)), 8,
+        ).alias("recon_mse"),
+    )
+    return out.orderBy("vec_id")

@@ -255,3 +255,13 @@ def test_char_lm_score_scoring_is_scan_side(spark):
     assert "Join" not in plan
     # rangepartitioning for the order-by; no hash aggregate over bigrams
     assert plan.count("Exchange (") <= 1
+
+
+def test_pq_assignment_is_scan_side(spark):
+    """PQ code assignment must be a pure projection against the inlined
+    codebook: no join, no explode, and the only Exchange is the final
+    ORDER BY — the corpus is never shuffled."""
+    plan = formatted_plan(spark, "similarity_pq_quantize")
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert plan.count("Exchange (") <= 1
