@@ -396,3 +396,208 @@ def similarity_pq_quantize(spark, sf_dir):
         ).alias("recon_mse"),
     )
     return out.orderBy("vec_id")
+
+
+IVFPQ_NCELLS = 8
+IVFPQ_NPROBE = 2
+IVFPQ_K = 3
+IVFPQ_NQ = 5
+
+
+@query(
+    "similarity_ivf_pq_search",
+    oracle=f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, e AS cvec FROM v WHERE vec_id < {IVFPQ_NCELLS}),
+cb AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K})
+),
+cellscore AS (
+  SELECT b.vec_id, c.cell,
+         ROUND(list_sum(list_transform(range(1, 65), i -> b.e[i] * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.cvec[i] * c.cvec[i])))),
+               6) AS score
+  FROM v b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM cellscore) a
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM cellscore WHERE vec_id < {IVFPQ_NQ}) p
+  WHERE rn <= {IVFPQ_NPROBE}
+),
+subassign AS (
+  SELECT v.vec_id, m.m, c.code,
+         list_sum(list_transform(range(1, {SUB_DIM + 1}),
+           i -> (v.e[m.m * {SUB_DIM} + i] - c.e[m.m * {SUB_DIM} + i])
+              * (v.e[m.m * {SUB_DIM} + i] - c.e[m.m * {SUB_DIM} + i]))) AS d
+  FROM v
+  CROSS JOIN (SELECT unnest(range(0, {M_SUB})) AS m) m
+  CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM subassign) s
+  WHERE rn = 1
+),
+adc AS (
+  SELECT p.qid, a.vec_id, a.cell, cd.m,
+         list_sum(list_transform(range(1, {SUB_DIM + 1}),
+           i -> (q.e[cd.m * {SUB_DIM} + i] - cb.e[cd.m * {SUB_DIM} + i])
+              * (q.e[cd.m * {SUB_DIM} + i] - cb.e[cd.m * {SUB_DIM} + i]))) AS dm
+  FROM assign a
+  JOIN probe p USING (cell)
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN cb ON cb.code = cd.code
+  JOIN v q ON q.vec_id = p.qid
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT qid, vec_id, cell,
+         ROUND(list_sum(list(dm ORDER BY m)), 6) AS adc_dist
+  FROM adc GROUP BY qid, vec_id, cell
+)
+SELECT qid, vec_id, cell, adc_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+  FROM scored) r
+WHERE rank <= {IVFPQ_K}
+ORDER BY qid, rank
+""",
+)
+def similarity_ivf_pq_search(spark, sf_dir):
+    """IVF-PQ asymmetric-distance search — the composed production vector
+    index: IVF prunes the corpus to the query's {IVFPQ_NPROBE} probed cells
+    (partition pruning at 100 TB: the corpus is written clustered by cell),
+    then candidates rank by ADC — the distance from the RAW query vector to
+    each candidate's PQ-RECONSTRUCTED form, computed from the candidate's
+    {M_SUB} code words against the inlined codebook without ever touching
+    the candidate's raw floats (the memory win that makes PQ indexes fit
+    in RAM). Both quantizers are deterministic (seeded from lowest-id
+    vectors) and tiny, so cell assignment AND code assignment are scan-side
+    projections; the only corpus-touching operators are the broadcast probe
+    join and the per-query top-k window. Distances accumulate in fixed
+    index order on both engines (oracle twin unrolls the same arithmetic).
+
+    Mirrors the reference's ANN ORDER BY surface
+    (sql/analyzer/replace_order_by_distance.go) with a real IVF-PQ index."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    crows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < IVFPQ_NCELLS)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    seed = [v for _, v in crows[:PQ_K]]
+    cb_lit = F.array(*[
+        F.array(*[F.lit(float(x)).cast("double") for x in vec]) for vec in seed
+    ])
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    def cnorm(vals):
+        s = 0.0
+        for x in vals:
+            s += x * x
+        return s ** 0.5
+
+    def cell_scores(v):
+        vn = norm(v)
+        return [
+            F.round(dot(v, lit_vec(cv)) / (vn * F.lit(cnorm(cv))), 6)
+            for _, cv in crows
+        ]
+
+    def assigned_cell(v):
+        scores = F.array(*cell_scores(v))
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    def probe_cells(v):
+        structs = F.array(*[
+            F.struct((-s).alias("ns"), F.lit(int(c)).alias("c"))
+            for s, (c, _) in zip(cell_scores(v), crows)
+        ])
+        return F.slice(F.array_sort(structs), 1, IVFPQ_NPROBE)["c"]
+
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cand = (
+        emb.withColumn("_cb", cb_lit)
+        .withColumn("_e", e_dbl)
+        .withColumn("cell", assigned_cell(F.col("embedding")))
+    )
+
+    def sub_dist(m, code):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.pow(
+                F.element_at(F.col("_e"), m * SUB_DIM + i + 1)
+                - F.element_at(F.element_at(F.col("_cb"), code + 1),
+                               m * SUB_DIM + i + 1), 2),
+        )
+
+    picks = F.array(*[
+        F.array_min(F.array(*[
+            F.struct(sub_dist(m, c).alias("d"), F.lit(c).alias("c"))
+            for c in range(PQ_K)
+        ]))
+        for m in range(M_SUB)
+    ])
+    cand = cand.withColumn(
+        "codes", F.transform(picks, lambda s: s["c"])
+    ).select("vec_id", "cell", "codes", "_cb")
+
+    q = (
+        emb.filter(F.col("vec_id") < IVFPQ_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            .alias("_q"),
+            F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+        )
+    )
+
+    joined = cand.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("qid"))
+    # ADC: per subspace, L2² from the query subvector to the candidate's
+    # chosen codebook entry — summed in fixed m order
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.aggregate(
+            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
+            F.lit(0.0),
+            lambda a2, i: a2 + F.pow(
+                F.element_at(F.col("_q"), m * SUB_DIM + i + 1)
+                - F.element_at(
+                    F.element_at(F.col("_cb"),
+                                 F.element_at(F.col("codes"), m + 1) + 1),
+                    m * SUB_DIM + i + 1), 2),
+        ),
+    )
+    scored = joined.select(
+        "qid", "vec_id", "cell", F.round(adc, 6).alias("adc_dist"))
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("int").alias("rank"))
+        .filter(F.col("rank") <= IVFPQ_K)
+        .orderBy("qid", "rank")
+    )
