@@ -57,8 +57,11 @@ _MACROS = [
      "- (CAST(b / 100 AS BIGINT) * 12 + b % 100)"),
     # JSON read family (same get_json_object approximation as the Column
     # registry, functions/special.py — numbers/strings come back unquoted)
+    # wildcard legs ($.*, $[*], $**.k) route to the Python path evaluator;
+    # plain paths stay on the JVM fast path
     ("json_extract", "(doc STRING, p STRING)", "STRING",
-     "get_json_object(doc, p)"),
+     "IF(instr(p, '*') > 0, json_extract_wild(doc, p), "
+     "get_json_object(doc, p))"),
     ("json_value", "(doc STRING, p STRING)", "STRING",
      "get_json_object(doc, p)"),
     ("json_unquote", "(s STRING)", "STRING",

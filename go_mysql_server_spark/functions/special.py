@@ -13,6 +13,7 @@ Network/uuid/system shims follow reference registry.go semantics.
 from __future__ import annotations
 
 import json
+import re
 import uuid as uuidlib
 import zlib
 
@@ -28,7 +29,92 @@ def _c(x) -> Column:
 # ---- JSON read (expression-level) ------------------------------------------
 
 def _json_extract(doc, path) -> Column:
+    if isinstance(path, str) and "*" in path:
+        # wildcard legs ($.*, $[*], $**.k) exceed get_json_object — route
+        # to the Python path evaluator (registered in register_udfs)
+        return F.call_udf("json_extract_wild", _c(doc), F.lit(path))
     return F.get_json_object(_c(doc), path)
+
+
+def _extract_wild(doc: str | None, path: str | None):
+    """JSON_EXTRACT with wildcard path legs (reference sql/types/json_value.go
+    path evaluation): `.*` all members, `[*]` all elements, `**` any depth.
+    A wildcard path autowraps results as an array (MySQL semantics); no
+    match → NULL."""
+    if doc is None or path is None:
+        return None
+    try:
+        obj = json.loads(doc)
+    except ValueError:
+        return None
+    p = path.strip()
+    if not p.startswith("$"):
+        return None
+    frontier, wild, i = [obj], False, 1
+    while i < len(p):
+        if p.startswith("**", i):
+            wild = True
+            out: list = []
+
+            def desc(o):
+                out.append(o)
+                if isinstance(o, dict):
+                    for v in o.values():
+                        desc(v)
+                elif isinstance(o, list):
+                    for v in o:
+                        desc(v)
+
+            for o in frontier:
+                desc(o)
+            frontier = out
+            i += 2
+        elif p[i] == ".":
+            i += 1
+            if i < len(p) and p[i] == "*":
+                wild = True
+                frontier = [v for o in frontier if isinstance(o, dict)
+                            for v in o.values()]
+                i += 1
+            elif i < len(p) and p[i] == '"':
+                j = p.index('"', i + 1)
+                key = p[i + 1:j]
+                frontier = [o[key] for o in frontier
+                            if isinstance(o, dict) and key in o]
+                i = j + 1
+            else:
+                m = re.match(r"\w+", p[i:])
+                if not m:
+                    return None
+                key = m.group(0)
+                frontier = [o[key] for o in frontier
+                            if isinstance(o, dict) and key in o]
+                i += m.end()
+        elif p[i] == "[":
+            j = p.index("]", i)
+            tok = p[i + 1:j].strip()
+            if tok == "*":
+                wild = True
+                frontier = [v for o in frontier if isinstance(o, list)
+                            for v in o]
+            else:
+                idx = int(tok)
+                nxt = []
+                for o in frontier:
+                    if isinstance(o, list):
+                        if idx < len(o):
+                            nxt.append(o[idx])
+                    elif idx == 0:
+                        nxt.append(o)  # MySQL scalar autowrap: x == [x][0]
+                frontier = nxt
+            i = j + 1
+        else:
+            return None
+    if not frontier:
+        return None
+    if wild or len(frontier) > 1:
+        return json.dumps(frontier, separators=(", ", ": "))
+    return json.dumps(frontier[0], separators=(", ", ": "))
 
 
 def _json_unquote(x) -> Column:
@@ -351,3 +437,4 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "mysql_datefmt_to_java_parse",
         lambda f: None if f is None else _tdf(f, parse=True), T.StringType())
+    spark.udf.register("json_extract_wild", _extract_wild, T.StringType())

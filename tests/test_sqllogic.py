@@ -740,6 +740,24 @@ CORPUS: list[tuple[str, str, str | None]] = [
     ("unix_timestamp_roundtrip",
      "SELECT FROM_UNIXTIME(UNIX_TIMESTAMP(TIMESTAMP '2024-03-15 12:00:00')) AS c",
      "SELECT TIMESTAMP '2024-03-15 12:00:00' AS c"),
+    # ---- JSON wildcard paths ($.*, $[*], $**.k) ---------------------------
+    ("json_wildcard_members",
+     "SELECT JSON_EXTRACT('{\"a\": {\"x\": 1}, \"b\": {\"x\": 2}}', '$.*.x') AS c",
+     "SELECT '[1, 2]' AS c"),
+    ("json_wildcard_array",
+     "SELECT JSON_EXTRACT('[{\"k\": 1}, {\"k\": 2}, {\"j\": 3}]', '$[*].k') AS c",
+     "SELECT '[1, 2]' AS c"),
+    ("json_wildcard_single_wraps",
+     "SELECT JSON_EXTRACT('{\"a\": 7}', '$.*') AS c", "SELECT '[7]' AS c"),
+    ("json_doublestar_any_depth",
+     "SELECT JSON_EXTRACT('{\"a\": {\"c\": 1}, \"b\": {\"c\": 2}}', '$**.c') AS c",
+     "SELECT '[1, 2]' AS c"),
+    ("json_wildcard_no_match_null",
+     "SELECT JSON_EXTRACT('[1, 2]', '$.*') AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("json_plain_path_still_bare",
+     "SELECT JSON_EXTRACT('{\"a\": {\"b\": 4}}', '$.a.b') AS c",
+     "SELECT '4' AS c"),
 ]
 
 IDS = [c[0] for c in CORPUS]
