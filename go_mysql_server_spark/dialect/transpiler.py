@@ -204,6 +204,18 @@ _BIT_LITERAL = re.compile(r"\bb'([01]+)'", re.IGNORECASE)
 _0B_LITERAL = re.compile(r"\b0b([01]+)\b")
 
 
+# MySQL JSON-column operators: doc -> '$.p' (extract), doc ->> '$.p'
+# (extract + unquote). Operand: a masked literal or an identifier chain.
+_ARROW_OPERAND = r"(\x00\d+\x00|[A-Za-z_][\w.]*)"
+_ARROW2 = re.compile(_ARROW_OPERAND + r"\s*->>\s*(\x00\d+\x00)")
+_ARROW1 = re.compile(_ARROW_OPERAND + r"\s*->\s*(\x00\d+\x00)")
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    sql = _ARROW2.sub(r"json_unquote(json_extract(\1, \2))", sql)
+    return _ARROW1.sub(r"json_extract(\1, \2)", sql)
+
+
 def rewrite_numeric_literals(sql: str) -> str:
     """MySQL bit/hex literals → decimal, quote-safely (for SQL fragments
     that bypass transpile_select, e.g. INSERT VALUES lists)."""
@@ -620,6 +632,7 @@ def transpile_select(sql: str) -> str:
     # participate in arithmetic)
     sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
     sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    sql = _rewrite_json_arrows(sql)
     sql = _rewrite_datetime_formats(sql, lits)
     sql = _rewrite_group_concat(sql, lits)
     # misc fn rewrites BEFORE truncate: the truncate expansion generates

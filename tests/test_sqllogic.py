@@ -755,6 +755,15 @@ CORPUS: list[tuple[str, str, str | None]] = [
     ("json_wildcard_no_match_null",
      "SELECT JSON_EXTRACT('[1, 2]', '$.*') AS c",
      "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("json_arrow_extract",
+     "SELECT '{\"a\": 5}' -> '$.a' AS c", "SELECT '5' AS c"),
+    ("json_arrow_unquote",
+     "SELECT '{\"s\": \"hi\"}' ->> '$.s' AS c", "SELECT 'hi' AS c"),
+    ("json_arrow_on_events_props",
+     "SELECT CAST(props -> '$.k' AS SIGNED) AS k FROM events "
+     "WHERE event_id = 1",
+     "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events "
+     "WHERE event_id = 1"),
     ("json_plain_path_still_bare",
      "SELECT JSON_EXTRACT('{\"a\": {\"b\": 4}}', '$.a.b') AS c",
      "SELECT '4' AS c"),
