@@ -75,6 +75,10 @@ _MACROS = [
      "WHEN left(ltrim(s), 1) = '{' THEN size(json_object_keys(s)) "
      "ELSE 1 END AS BIGINT)"),
     ("json_keys", "(s STRING)", "STRING", "to_json(json_object_keys(s))"),
+    # introspection of the (single) charset/collation this engine runs with
+    # (prefixed names: Spark 4 has its own builtin collation())
+    ("mysql_charset", "(x STRING)", "STRING", "'utf8mb4'"),
+    ("mysql_collation", "(x STRING)", "STRING", "'utf8mb4_0900_ai_ci'"),
     # EXPORT_SET, 5-arg form (the 3/4-arg forms are padded by the
     # transpiler with ',' and 64)
     ("export_set", "(bits BIGINT, onv STRING, offv STRING, sep STRING, n INT)",

@@ -76,6 +76,10 @@ FUNC_ALIASES = {
     "power": "power",
     "to_base64": "base64",
     "from_base64": "unbase64",
+    # Spark 4 has its own collation()/charset-adjacent builtins — route the
+    # MySQL introspection functions to prefixed SQL macros
+    "charset": "mysql_charset",
+    "collation": "mysql_collation",
 }
 
 
@@ -209,6 +213,34 @@ _0B_LITERAL = re.compile(r"\b0b([01]+)\b")
 _ARROW_OPERAND = r"(\x00\d+\x00|[A-Za-z_][\w.]*)"
 _ARROW2 = re.compile(_ARROW_OPERAND + r"\s*->>\s*(\x00\d+\x00)")
 _ARROW1 = re.compile(_ARROW_OPERAND + r"\s*->\s*(\x00\d+\x00)")
+
+
+_CONVERT_CALL = re.compile(r"\bCONVERT\s*\(", re.IGNORECASE)
+
+
+def _rewrite_convert(sql: str) -> str:
+    """CONVERT(x USING cs) → CAST(x AS STRING) (everything is utf8 here);
+    CONVERT(x, type) → CAST(x AS type) (the SIGNED/UNSIGNED/CHAR targets
+    are normalized by the later CAST rewrites)."""
+    pos = 0
+    while True:
+        m = _CONVERT_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        body = sql[m.end():close]
+        mu = re.search(r"\s+USING\s+\w+\s*$", body, re.IGNORECASE)
+        if mu:
+            repl = f"CAST({body[:mu.start()]} AS STRING)"
+        else:
+            args = _split_args(body)
+            if len(args) == 2:
+                repl = f"CAST({args[0]} AS {args[1]})"
+            else:
+                pos = m.end()
+                continue
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_json_arrows(sql: str) -> str:
@@ -642,6 +674,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
     # MySQL CAST target types with no Spark spelling
+    sql = _rewrite_convert(sql)
     sql = _rewrite_cast_signed(sql)
     sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
                  flags=re.IGNORECASE)

@@ -1708,18 +1708,55 @@ class Engine:
             raise SqlError(
                 f"the value specified for generated column "
                 f"{sorted(gen_assigned)} is not allowed")
+        ignore = bool(m.group(1))
         matched = ts.df.filter(where)
         n_match = matched.count()
-        if n_match:
+        if n_match and not ignore:
             self._check_int_bounds(
                 ts, matched,
                 {c: F.expr(transpile_select(e)) for c, e in assigns.items()})
+
+        def _assigned(c):
+            """The assignment expression for column c; with IGNORE, MySQL
+            downgrades errors to warnings: NULL into NOT NULL becomes the
+            type's implicit default, out-of-range clamps to the bound
+            (reference sql/plan/update.go Ignore + types/number.go
+            non-strict conversion)."""
+            if not ignore:
+                return F.expr(
+                    transpile_select(assigns[c.name])).cast(c.spark_type)
+            expr = F.expr(transpile_select(assigns[c.name]))
+            if c.int_bounds is not None:
+                # clamp at a wide type BEFORE the destination cast — the
+                # narrow cast would wrap first and the clamp would no-op
+                lo, hi = c.int_bounds
+                wide = "decimal(38,0)"
+                clamped = F.least(
+                    F.greatest(expr.cast(wide), F.lit(lo).cast(wide)),
+                    F.lit(hi).cast(wide))
+                # greatest/least skip NULLs — keep NULL NULL (the NOT NULL
+                # implicit-default coalesce below handles it if needed)
+                expr = F.when(expr.isNull(), F.lit(None).cast(wide)) \
+                    .otherwise(clamped)
+            expr = expr.cast(c.spark_type)
+            if not c.nullable:
+                t = c.spark_type.simpleString()
+                if t == "string":
+                    dflt = F.lit("")
+                elif t == "date":
+                    dflt = F.lit("1970-01-01").cast("date")
+                elif t == "timestamp":
+                    dflt = F.lit("1970-01-01 00:00:00").cast("timestamp")
+                else:
+                    dflt = F.lit(0).cast(c.spark_type)
+                expr = F.coalesce(expr, dflt)
+            return expr
+
         # pin the match decision BEFORE assignments mutate the columns the
         # WHERE references (UPDATE ... SET s='b' WHERE s='a')
         base = ts.df.withColumn("__matched", F.expr(where))
         out_cols = [
-            F.when(F.col("__matched"),
-                   F.expr(transpile_select(assigns[c.name])).cast(c.spark_type))
+            F.when(F.col("__matched"), _assigned(c))
             .otherwise(F.col(c.name)).alias(c.name)
             if c.name in assigns else F.col(c.name)
             for c in ts.columns

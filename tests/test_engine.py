@@ -1306,3 +1306,28 @@ def test_information_schema_extended_tables(eng):
         "SELECT TABLE_NAME, PARTITION_NAME FROM information_schema.partitions "
         "WHERE TABLE_NAME = 'child'"))
     assert parts == [("child", None)]
+
+
+def test_update_ignore_downgrades_errors(eng):
+    eng.query("CREATE TABLE ui (id BIGINT PRIMARY KEY, v INT NOT NULL, "
+              "s VARCHAR(10) NOT NULL)")
+    eng.query("INSERT INTO ui VALUES (1, 10, 'a'), (2, 20, 'b')")
+    # plain UPDATE errors on NULL into NOT NULL
+    with pytest.raises(SqlError):
+        eng.query("UPDATE ui SET v = NULL WHERE id = 1")
+    # IGNORE: NULL becomes the implicit default (0 / '')
+    eng.query("UPDATE IGNORE ui SET v = NULL, s = NULL WHERE id = 1")
+    assert rows(eng.query("SELECT v, s FROM ui WHERE id = 1")) == [(0, "")]
+    # IGNORE: out-of-range INT clamps to the type bound
+    eng.query("UPDATE IGNORE ui SET v = 99999999999 WHERE id = 2")
+    assert rows(eng.query("SELECT v FROM ui WHERE id = 2")) == [(2147483647,)]
+
+
+def test_convert_and_charset_functions(eng):
+    assert rows(eng.query("SELECT CONVERT('abc' USING utf8mb4) AS c")) == [("abc",)]
+    got = rows(eng.query("SELECT CONVERT('3.2', DECIMAL(5,2)) AS c"))
+    assert str(got[0][0]) == "3.20"
+    assert rows(eng.query("SELECT CONVERT('42', SIGNED) AS c")) == [(42,)]
+    assert rows(eng.query(
+        "SELECT CHARSET('x') AS c, COLLATION('x') AS d")) == [
+        ("utf8mb4", "utf8mb4_0900_ai_ci")]
