@@ -1455,7 +1455,9 @@ class Engine:
                 # sees the row's final base-column values
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
             elif c.name in target_cols:
-                select_cols.append(F.col(c.name).cast(c.spark_type).alias(c.name))
+                select_cols.append(
+                    (self._lenient_cast(c, F.col(c.name)) if ignore
+                     else F.col(c.name).cast(c.spark_type)).alias(c.name))
             elif c.auto_increment:
                 named = named.withColumn(
                     "__rn",
@@ -1473,10 +1475,12 @@ class Engine:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         # Strict-mode out-of-range check on PRE-cast values (a wrapped cast
         # would otherwise hide the violation; reference sql/types/number.go
-        # Convert errors instead of wrapping).
-        self._check_int_bounds(
-            ts, named, {c.name: F.col(c.name) for c in ts.columns
-                        if c.name in target_cols})
+        # Convert errors instead of wrapping). INSERT IGNORE is non-strict:
+        # values clamp via _lenient_cast instead of erroring.
+        if not ignore:
+            self._check_int_bounds(
+                ts, named, {c.name: F.col(c.name) for c in ts.columns
+                            if c.name in target_cols})
         incoming = named.select(*select_cols)
         if gen_cols:
             incoming = self._compute_generated(ts, incoming)
@@ -1615,6 +1619,37 @@ class Engine:
             for c in ts.columns
         ], *extra)
 
+    def _lenient_cast(self, c, expr: Column) -> Column:
+        """IGNORE-mode value conversion (reference sql/plan/update.go /
+        insert.go Ignore + types/number.go non-strict conversion): MySQL
+        downgrades errors to warnings — NULL into NOT NULL becomes the
+        type's implicit default, out-of-range integers clamp to the bound.
+        The clamp happens at a wide type BEFORE the destination cast (the
+        narrow cast would wrap first and the clamp would no-op)."""
+        if c.int_bounds is not None:
+            lo, hi = c.int_bounds
+            wide = "decimal(38,0)"
+            clamped = F.least(
+                F.greatest(expr.cast(wide), F.lit(lo).cast(wide)),
+                F.lit(hi).cast(wide))
+            # greatest/least skip NULLs — keep NULL NULL (the NOT NULL
+            # implicit-default coalesce below handles it if needed)
+            expr = F.when(expr.isNull(), F.lit(None).cast(wide)) \
+                .otherwise(clamped)
+        expr = expr.cast(c.spark_type)
+        if not c.nullable:
+            t = c.spark_type.simpleString()
+            if t == "string":
+                dflt = F.lit("")
+            elif t == "date":
+                dflt = F.lit("1970-01-01").cast("date")
+            elif t == "timestamp":
+                dflt = F.lit("1970-01-01 00:00:00").cast("timestamp")
+            else:
+                dflt = F.lit(0).cast(c.spark_type)
+            expr = F.coalesce(expr, dflt)
+        return expr
+
     def _check_int_bounds(self, ts: TableState, df: DataFrame,
                           exprs: dict[str, F.Column]) -> None:
         """One aggregation pass asserting every bounded integer column's
@@ -1717,40 +1752,10 @@ class Engine:
                 {c: F.expr(transpile_select(e)) for c, e in assigns.items()})
 
         def _assigned(c):
-            """The assignment expression for column c; with IGNORE, MySQL
-            downgrades errors to warnings: NULL into NOT NULL becomes the
-            type's implicit default, out-of-range clamps to the bound
-            (reference sql/plan/update.go Ignore + types/number.go
-            non-strict conversion)."""
-            if not ignore:
-                return F.expr(
-                    transpile_select(assigns[c.name])).cast(c.spark_type)
             expr = F.expr(transpile_select(assigns[c.name]))
-            if c.int_bounds is not None:
-                # clamp at a wide type BEFORE the destination cast — the
-                # narrow cast would wrap first and the clamp would no-op
-                lo, hi = c.int_bounds
-                wide = "decimal(38,0)"
-                clamped = F.least(
-                    F.greatest(expr.cast(wide), F.lit(lo).cast(wide)),
-                    F.lit(hi).cast(wide))
-                # greatest/least skip NULLs — keep NULL NULL (the NOT NULL
-                # implicit-default coalesce below handles it if needed)
-                expr = F.when(expr.isNull(), F.lit(None).cast(wide)) \
-                    .otherwise(clamped)
-            expr = expr.cast(c.spark_type)
-            if not c.nullable:
-                t = c.spark_type.simpleString()
-                if t == "string":
-                    dflt = F.lit("")
-                elif t == "date":
-                    dflt = F.lit("1970-01-01").cast("date")
-                elif t == "timestamp":
-                    dflt = F.lit("1970-01-01 00:00:00").cast("timestamp")
-                else:
-                    dflt = F.lit(0).cast(c.spark_type)
-                expr = F.coalesce(expr, dflt)
-            return expr
+            if not ignore:
+                return expr.cast(c.spark_type)
+            return self._lenient_cast(c, expr)
 
         # pin the match decision BEFORE assignments mutate the columns the
         # WHERE references (UPDATE ... SET s='b' WHERE s='a')

@@ -601,3 +601,89 @@ def similarity_ivf_pq_search(spark, sf_dir):
         .filter(F.col("rank") <= IVFPQ_K)
         .orderBy("qid", "rank")
     )
+
+
+_GRAMS5_SQL = (
+    "list_distinct(list_transform("
+    "range(1, len(regexp_split_to_array(lower(trim(text)), ' +')) - 3), "
+    "i -> array_to_string(list_slice("
+    "regexp_split_to_array(lower(trim(text)), ' +'), i, i + 4), ' ')))"
+)
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH probe_g AS (
+  SELECT DISTINCT unnest({_GRAMS5_SQL}) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, source, text,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 97 <> 0
+),
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest({_GRAMS5_SQL}) AS g FROM documents
+        WHERE doc_id % 97 <> 0) c
+  JOIN probe_g USING (g)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM corpus c LEFT JOIN flagged f USING (doc_id)
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Eval-set decontamination with removal accounting (the GPT-3/PaLM
+    n-gram rule applied as a FILTER, where pipeline_contamination_check
+    only reports the overlapping pairs): any corpus document sharing a
+    5-token span with the probe (benchmark) set is dropped; the output is
+    the per-source kept/dropped/token ledger a corpus build records.
+
+    Scale shape: probe grams are the tiny side and broadcast; the corpus is
+    scanned once to produce the flagged-id set (bounded by probe matches,
+    so AQE broadcasts it back for the anti-join-style left join); one final
+    20-group aggregate. (No reference analogue; LLM-pipeline requirement.)"""
+    docs = t(spark, sf_dir, "documents")
+    grams = F.array_distinct(F.expr(
+        "CASE WHEN size(split(lower(trim(text)), ' +')) >= 5 THEN "
+        "transform(sequence(0, size(split(lower(trim(text)), ' +')) - 5), "
+        "i -> array_join(slice(split(lower(trim(text)), ' +'), i + 1, 5), ' ')) "
+        "ELSE array() END"
+    ))
+    probe_g = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("g")).distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = (
+        corpus.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(probe_g), "g")
+        .select("doc_id").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        corpus.select("doc_id", "source", n_tok.alias("n_tok"))
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_contaminated"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("_hit").isNull(), F.col("n_tok")).otherwise(0))
+            .cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1331,3 +1331,12 @@ def test_convert_and_charset_functions(eng):
     assert rows(eng.query(
         "SELECT CHARSET('x') AS c, COLLATION('x') AS d")) == [
         ("utf8mb4", "utf8mb4_0900_ai_ci")]
+
+
+def test_insert_ignore_implicit_defaults(eng):
+    eng.query("CREATE TABLE ii (id BIGINT PRIMARY KEY, v INT NOT NULL)")
+    with pytest.raises(SqlError):
+        eng.query("INSERT INTO ii VALUES (1, NULL)")
+    eng.query("INSERT IGNORE INTO ii VALUES (1, NULL), (2, 99999999999)")
+    assert rows(eng.query("SELECT id, v FROM ii ORDER BY id")) == [
+        (1, 0), (2, 2147483647)]
