@@ -687,3 +687,52 @@ def pipeline_decontaminate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+         STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n_prior
+  FROM events
+)
+SELECT event_id, user_id,
+       ROUND((value - mu) / sd, 4) AS z
+FROM w
+WHERE n_prior >= 5 AND sd > 0 AND ABS((value - mu) / sd) > 3
+ORDER BY event_id
+""",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection (the metrics-monitoring staple):
+    each event scores against the mean/stddev of its user's previous 20
+    events; |z| > 3 with at least 5 priors flags an anomaly. One window
+    partitioned per user (keyed shuffle, no global sort); the frame
+    arithmetic is sequential in frame order on both engines so the rounded
+    z-scores hash-match. (Reference has windowed aggregates,
+    sql/expression/function/aggregation/window_*; the anomaly rule is the
+    LLM-pipeline/metrics addition.)"""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    scored = e.select(
+        "event_id", "user_id", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_prior") >= 5) & (F.col("sd") > 0)
+                      & (F.abs(z) > 3))
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
