@@ -243,55 +243,50 @@ ORDER BY doc_id
 def pipeline_char_lm_score(spark, sf_dir):
     """Model-based fluency scoring (the CCNet/KenLM 'perplexity filter'
     stage): train a character-bigram frequency model on one source (src0),
-    inline the ~114-entry frequency table as a literal map, and score every
-    document scan-side as the sum of its bigrams' frequencies-per-million.
+    broadcast the ~114-row frequency table, and score every document as
+    the sum of its bigrams' frequencies-per-million.
 
     Determinism: fpm values are FLOOR'd integers, so per-doc sums are
     associative (no float summation-order drift) and avg_fpm is an exact
-    integer division. Scale: the trained model is tiny by construction
-    (|charset|² entries) regardless of corpus size — the training aggregate
-    shuffles only distinct bigrams, the driver collect is O(charset²), and
-    the scoring pass is a zero-shuffle projection inside whole-stage
-    codegen. (No reference analogue; LLM-pipeline requirement.)"""
-    docs = t(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
+    integer division.
+
+    Scale/perf shape — explode → broadcast-hash-join → re-aggregate, all
+    whole-stage-codegen: the bigram blow-up exists only INSIDE the scan
+    stage (pipelined, never materialized); map-side partial aggregation
+    collapses it back to one row per doc before the exchange. Two earlier
+    scan-side formulations lost by wide margins: a map literal inside the
+    aggregate lambda re-built the map per element (70×), and even
+    materialized per-row the interpreted higher-order-function lookup plus
+    a per-plan-instance 30 s codegen compile of the 228-literal expression
+    made each bench rep ~10× slower than this join. The norm column is
+    materialized BEFORE the bigram lambda — referencing the regexp
+    normalization expression inside it re-ran the regexp per element.
+    (No reference analogue; LLM-pipeline requirement.)"""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "_norm", normalize_text(F.col("text")))
+    bigrams = _bigrams_col(F.col("_norm"))
 
     counts = (
         docs.filter(F.col("source") == "src0")
-        .select(F.explode(_bigrams_col(norm)).alias("g"))
+        .select(F.explode(bigrams).alias("g"))
         .groupBy("g")
         .count()
         .collect()
     )
     total = sum(r["count"] for r in counts)
     # identical IEEE-double formula to the oracle's FLOOR(c * 1e6 / s)
-    fpm = {r["g"]: int(math.floor(r["count"] * 1000000.0 / total)) for r in counts}
-    pairs = []
-    for g in sorted(fpm):
-        pairs.append(F.lit(g))
-        pairs.append(F.lit(fpm[g]).cast("long"))
-    fpm_map = F.create_map(*pairs)
+    fpm_rows = [(r["g"], int(math.floor(r["count"] * 1000000.0 / total)))
+                for r in counts]
+    fpm_df = spark.createDataFrame(sorted(fpm_rows), "g string, fpm long")
 
-    # Materialize the model map ONCE PER ROW as a column and reference it
-    # from inside the lambda: Catalyst does not constant-fold a CreateMap
-    # that sits inside a higher-order-function body, so inlining `fpm_map`
-    # directly in the aggregate rebuilds the 114-entry map per array
-    # element (measured 70× slower on this exact query).
-    bigrams = _bigrams_col(norm)
-    score_sum = F.aggregate(
-        F.col("_bg"),
-        F.lit(0).cast("long"),
-        lambda acc, g: acc
-        + F.coalesce(F.element_at(F.col("_fpm"), g), F.lit(0).cast("long")),
-    )
+    ex = docs.select("doc_id", "source", F.explode(bigrams).alias("g"))
     return (
-        docs.withColumn("_fpm", fpm_map)
-        .withColumn("_bg", bigrams)
-        .select(
-            "doc_id",
-            "source",
-            F.size("_bg").cast("long").alias("n_bigrams"),
-            score_sum.alias("score_sum"),
+        ex.join(F.broadcast(fpm_df), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("fpm"), F.lit(0))).cast("long")
+            .alias("score_sum"),
         )
         .withColumn(
             "avg_fpm",

@@ -246,15 +246,16 @@ def test_sequence_packing_partitioned_window_no_global_sort(spark):
     assert "Join" not in plan
 
 
-def test_char_lm_score_scoring_is_scan_side(spark):
-    """After the (tiny, collected) bigram model is inlined, scoring the
-    corpus is a pure projection: no Generate (explode), no join against a
-    model table, and the only Exchange is the final ORDER BY."""
+def test_char_lm_score_shape(spark):
+    """Scoring is explode → BROADCAST join against the tiny model table →
+    partial+final aggregate: the bigram blow-up stays inside the scan
+    stage, the model never shuffles, and the only data exchanges are the
+    one-row-per-doc aggregate and the final ORDER BY."""
     plan = formatted_plan(spark, "pipeline_char_lm_score")
-    assert "Generate" not in plan
-    assert "Join" not in plan
-    # rangepartitioning for the order-by; no hash aggregate over bigrams
-    assert plan.count("Exchange (") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the model side must never shuffle
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_pq_assignment_is_scan_side(spark):
