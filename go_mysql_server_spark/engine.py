@@ -259,7 +259,11 @@ class Engine:
         self.user_vars: dict[str, Any] = {}
         self.sys_vars: dict[str, Any] = {
             "autocommit": 1,
-            "sql_mode": "",
+            # MySQL 8 default modes; SET sql_mode = '' switches DML value
+            # conversion to non-strict (clamp/implicit-default) semantics
+            "sql_mode": "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,"
+                        "NO_ZERO_IN_DATE,NO_ZERO_DATE,"
+                        "ERROR_FOR_DIVISION_BY_ZERO,NO_ENGINE_SUBSTITUTION",
             "version": "8.0.0-gms-spark",
             "max_allowed_packet": 67108864,
         }
@@ -1448,6 +1452,8 @@ class Engine:
         # fill defaults / auto-increment for omitted columns
         n_new = named.count()
         last_id = None
+        # INSERT IGNORE and non-strict sql_mode use lenient value conversion
+        lenient = ignore or not self._strict_mode()
         select_cols = []
         for c in ts.columns:
             if c.generated is not None:
@@ -1456,7 +1462,7 @@ class Engine:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
             elif c.name in target_cols:
                 select_cols.append(
-                    (self._lenient_cast(c, F.col(c.name)) if ignore
+                    (self._lenient_cast(c, F.col(c.name)) if lenient
                      else F.col(c.name).cast(c.spark_type)).alias(c.name))
             elif c.auto_increment:
                 named = named.withColumn(
@@ -1475,9 +1481,9 @@ class Engine:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         # Strict-mode out-of-range check on PRE-cast values (a wrapped cast
         # would otherwise hide the violation; reference sql/types/number.go
-        # Convert errors instead of wrapping). INSERT IGNORE is non-strict:
-        # values clamp via _lenient_cast instead of erroring.
-        if not ignore:
+        # Convert errors instead of wrapping). INSERT IGNORE and non-strict
+        # sql_mode clamp via _lenient_cast instead of erroring.
+        if not lenient:
             self._check_int_bounds(
                 ts, named, {c.name: F.col(c.name) for c in ts.columns
                             if c.name in target_cols})
@@ -1619,6 +1625,11 @@ class Engine:
             for c in ts.columns
         ], *extra)
 
+    def _strict_mode(self) -> bool:
+        """True when sql_mode contains a STRICT_* flag (reference
+        sql/types/number.go consults the session's strict setting)."""
+        return "STRICT_" in str(self.sys_vars.get("sql_mode", "")).upper()
+
     def _lenient_cast(self, c, expr: Column) -> Column:
         """IGNORE-mode value conversion (reference sql/plan/update.go /
         insert.go Ignore + types/number.go non-strict conversion): MySQL
@@ -1743,7 +1754,7 @@ class Engine:
             raise SqlError(
                 f"the value specified for generated column "
                 f"{sorted(gen_assigned)} is not allowed")
-        ignore = bool(m.group(1))
+        ignore = bool(m.group(1)) or not self._strict_mode()
         matched = ts.df.filter(where)
         n_match = matched.count()
         if n_match and not ignore:

@@ -1340,3 +1340,20 @@ def test_insert_ignore_implicit_defaults(eng):
     eng.query("INSERT IGNORE INTO ii VALUES (1, NULL), (2, 99999999999)")
     assert rows(eng.query("SELECT id, v FROM ii ORDER BY id")) == [
         (1, 0), (2, 2147483647)]
+
+
+def test_non_strict_sql_mode_clamps(eng):
+    eng.query("CREATE TABLE sm (id BIGINT PRIMARY KEY, v INT NOT NULL)")
+    # MySQL 8 default sql_mode is strict → out-of-range errors
+    assert "STRICT_TRANS_TABLES" in rows(
+        eng.query("SELECT @@sql_mode AS m"))[0][0]
+    with pytest.raises(SqlError):
+        eng.query("INSERT INTO sm VALUES (1, 99999999999)")
+    # non-strict: the same statements clamp / take implicit defaults
+    eng.query("SET sql_mode = ''")
+    eng.query("INSERT INTO sm VALUES (1, 99999999999)")
+    eng.query("UPDATE sm SET v = NULL WHERE id = 1")
+    assert rows(eng.query("SELECT v FROM sm")) == [(0,)]
+    eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    with pytest.raises(SqlError):
+        eng.query("UPDATE sm SET v = NULL WHERE id = 1")
