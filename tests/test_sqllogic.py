@@ -767,6 +767,104 @@ CORPUS: list[tuple[str, str, str | None]] = [
     ("json_plain_path_still_bare",
      "SELECT JSON_EXTRACT('{\"a\": {\"b\": 4}}', '$.a.b') AS c",
      "SELECT '4' AS c"),
+    # ---- subqueries / quantified comparisons ------------------------------
+    ("exists_uncorrelated_true",
+     "SELECT EXISTS (SELECT 1 FROM nation WHERE n_regionkey = 0) AS c",
+     "SELECT TRUE AS c"),
+    ("exists_empty_false",
+     "SELECT EXISTS (SELECT 1 FROM nation WHERE n_nationkey < 0) AS c",
+     "SELECT FALSE AS c"),
+    ("not_exists_correlated",
+     "SELECT r_name FROM region r WHERE NOT EXISTS "
+     "(SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey "
+     "AND n.n_nationkey > 20) ORDER BY r_name",
+     None),
+    ("scalar_subquery_in_select",
+     "SELECT r_name, (SELECT COUNT(*) FROM nation n "
+     "WHERE n.n_regionkey = r.r_regionkey) AS n_nations "
+     "FROM region r ORDER BY r_name",
+     "SELECT r_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n "
+     "WHERE n.n_regionkey = r.r_regionkey) AS n_nations "
+     "FROM region r ORDER BY r_name"),
+    ("scalar_subquery_empty_null",
+     "SELECT (SELECT n_name FROM nation WHERE n_nationkey = -1) AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("in_subquery_with_like",
+     "SELECT n_name FROM nation WHERE n_regionkey IN "
+     "(SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') "
+     "ORDER BY n_name LIMIT 5",
+     None),
+    ("any_quantified",
+     "SELECT 21 > ANY (SELECT n_nationkey FROM nation) AS c",
+     "SELECT TRUE AS c"),
+    ("all_quantified_false",
+     "SELECT 21 > ALL (SELECT n_nationkey FROM nation) AS c",
+     "SELECT FALSE AS c"),
+    ("all_quantified_true",
+     "SELECT 100 > ALL (SELECT n_nationkey FROM nation) AS c",
+     "SELECT TRUE AS c"),
+    ("derived_table_alias_cols",
+     "SELECT t.k, t.n FROM (SELECT n_regionkey AS k, COUNT(*) AS n "
+     "FROM nation GROUP BY n_regionkey) t ORDER BY t.k",
+     "SELECT t.k, t.n FROM (SELECT n_regionkey AS k, "
+     "CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey) t "
+     "ORDER BY t.k"),
+    # ---- window edges -----------------------------------------------------
+    ("window_count_running",
+     "SELECT n_nationkey, COUNT(*) OVER (PARTITION BY n_regionkey "
+     "ORDER BY n_nationkey) AS rc FROM nation ORDER BY n_nationkey",
+     "SELECT n_nationkey, CAST(COUNT(*) OVER (PARTITION BY n_regionkey "
+     "ORDER BY n_nationkey) AS BIGINT) AS rc FROM nation "
+     "ORDER BY n_nationkey"),
+    ("window_rank_with_ties",
+     "SELECT n_regionkey, RANK() OVER (ORDER BY n_regionkey) AS r "
+     "FROM nation ORDER BY n_regionkey, r LIMIT 10",
+     "SELECT n_regionkey, CAST(RANK() OVER (ORDER BY n_regionkey) AS BIGINT)"
+     " AS r FROM nation ORDER BY n_regionkey, r LIMIT 10"),
+    ("window_lead_default",
+     "SELECT n_nationkey, LEAD(n_nationkey, 1, -1) OVER "
+     "(ORDER BY n_nationkey) AS nxt FROM nation "
+     "WHERE n_nationkey >= 22 ORDER BY n_nationkey",
+     None),
+    ("window_sum_following_frame",
+     "SELECT n_nationkey, SUM(n_nationkey) OVER (ORDER BY n_nationkey "
+     "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS s FROM nation "
+     "WHERE n_nationkey < 5 ORDER BY n_nationkey",
+     "SELECT n_nationkey, CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey "
+     "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS BIGINT) AS s FROM nation "
+     "WHERE n_nationkey < 5 ORDER BY n_nationkey"),
+    ("window_empty_frame_null",
+     "SELECT MAX(n_nationkey) OVER (ORDER BY n_nationkey "
+     "ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS m FROM nation "
+     "WHERE n_nationkey = 0",
+     "SELECT CAST(NULL AS BIGINT) AS m"),
+    # ---- UNION / set-op typing -------------------------------------------
+    ("union_int_string_coerce",
+     "SELECT 1 AS c UNION ALL SELECT '2' ORDER BY c",
+     "SELECT '1' AS c UNION ALL SELECT '2' ORDER BY c"),
+    ("union_distinct_dedups_nulls",
+     "SELECT NULL AS c UNION SELECT NULL ORDER BY c NULLS FIRST",
+     "SELECT CAST(NULL AS INTEGER) AS c UNION SELECT NULL "
+     "ORDER BY c NULLS FIRST"),
+    ("intersect_region_keys",
+     "SELECT n_regionkey AS c FROM nation INTERSECT "
+     "SELECT r_regionkey FROM region ORDER BY c",
+     None),
+    ("except_removes_all_copies",
+     "SELECT n_regionkey AS c FROM nation EXCEPT SELECT 0 ORDER BY c",
+     "SELECT DISTINCT n_regionkey AS c FROM nation WHERE n_regionkey <> 0 "
+     "ORDER BY c"),
+    # ---- LIMIT / OFFSET edges --------------------------------------------
+    ("limit_zero_empty",
+     "SELECT n_name FROM nation LIMIT 0",
+     None),
+    ("offset_past_end_empty",
+     "SELECT n_name AS c FROM nation ORDER BY n_name LIMIT 5 OFFSET 1000",
+     None),
+    ("limit_in_subquery",
+     "SELECT COUNT(*) AS c FROM (SELECT n_nationkey FROM nation "
+     "ORDER BY n_nationkey LIMIT 7) t",
+     "SELECT CAST(7 AS BIGINT) AS c"),
 ]
 
 IDS = [c[0] for c in CORPUS]
