@@ -373,23 +373,26 @@ def pipeline_cluster_keep_best(spark, sf_dir):
         pairs.selectExpr("b AS u", "a AS v")).localCheckpoint(eager=False)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node"))
+    # Convergence probe: labels are monotonically non-increasing per node
+    # (min-combine), so the label SUM strictly decreases every round until
+    # the fixpoint — one tiny aggregate on the already-checkpointed result
+    # replaces the previous left_anti-join + isEmpty job per round.
+    last_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         prop = (
             labels.join(edges, labels.node == edges.v)
             .filter(F.col("label") < F.col("u"))
             .select(F.col("u").alias("node"), "label")
         )
-        new_labels = iter_checkpoint(
+        labels = iter_checkpoint(
             labels.select("node", "label").unionAll(prop)
             .groupBy("node").agg(F.min("label").alias("label")),
             eager=True,
         )
-        if new_labels.join(
-            labels, ["node", "label"], "left_anti"
-        ).isEmpty():
-            labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == last_sum:
             break
-        labels = new_labels
+        last_sum = cur_sum
     canon = labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_id"))
     scored = canon.join(docs.select("doc_id", "text"), "doc_id").select(
