@@ -288,3 +288,78 @@ def dml_update_delete_order_limit(spark, sf_dir):
     eng.query("UPDATE dml_obl SET v = v + 100 ORDER BY k DESC LIMIT 5")
     eng.query("DELETE FROM dml_obl ORDER BY k LIMIT 3")
     return eng.query("SELECT k, v FROM dml_obl ORDER BY k")
+
+
+@query(
+    "dml_signal_validation_trigger",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       CAST(n_regionkey * 10 AS BIGINT) AS credit
+FROM nation
+WHERE n_regionkey * 10 >= 10
+ORDER BY id
+""",
+)
+def dml_signal_validation_trigger(spark, sf_dir):
+    """BEFORE INSERT validation trigger (IF cond THEN SIGNAL SQLSTATE ...):
+    a statement containing any row below the credit floor aborts whole
+    (MySQL statement atomicity). One bulk INSERT ... SELECT of the passing
+    rows succeeds; a bulk insert of everything (bad rows included) and a
+    two-row batch with one violator both abort and change nothing. Final
+    state = nations with credit >= 10 (reference sql/plan/trigger.go +
+    signal.go)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS dml_sig")
+    eng.query("CREATE TABLE dml_sig (id BIGINT PRIMARY KEY, credit BIGINT)")
+    eng.query(
+        "CREATE TRIGGER dml_sig_chk BEFORE INSERT ON dml_sig FOR EACH ROW "
+        "IF NEW.credit < 10 THEN "
+        "SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = 'credit floor'; END IF")
+    from ..engine import SqlError
+    # whole-corpus insert contains region-0 rows -> statement aborts, table
+    # stays empty
+    try:
+        eng.query("INSERT INTO dml_sig "
+                  "SELECT n_nationkey, n_regionkey * 10 FROM nation")
+        raise AssertionError("violating bulk insert must abort")
+    except SqlError:
+        pass
+    eng.query("INSERT INTO dml_sig SELECT n_nationkey, n_regionkey * 10 "
+              "FROM nation WHERE n_regionkey * 10 >= 10")
+    try:
+        eng.query("INSERT INTO dml_sig VALUES (9001, 500), (9002, 3)")
+        raise AssertionError("violating batch must abort")
+    except SqlError:
+        pass
+    return eng.query("SELECT id, credit FROM dml_sig ORDER BY id")
+
+
+@query(
+    "dml_update_insert_ignore",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       CAST(CASE WHEN n_nationkey < 5 THEN 0
+                 ELSE LEAST(CAST(n_nationkey AS BIGINT) * 1000000000,
+                            2147483647) END
+            AS INTEGER) AS quota
+FROM nation
+ORDER BY id
+""",
+)
+def dml_update_insert_ignore(spark, sf_dir):
+    """IGNORE non-strict conversion end-state: INSERT IGNORE clamps an
+    out-of-range INT to its type bound, UPDATE IGNORE turns NULL into the
+    implicit default on a NOT NULL column — the whole statement succeeds
+    with MySQL's warning semantics instead of erroring (reference
+    sql/plan/insert.go / update.go Ignore + types/number.go non-strict)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS dml_ign")
+    eng.query("CREATE TABLE dml_ign (id BIGINT PRIMARY KEY, "
+              "quota INT NOT NULL)")
+    # n*1e9 overflows INT for n >= 3 → clamps to 2147483647 under IGNORE
+    eng.query("INSERT IGNORE INTO dml_ign "
+              "SELECT n_nationkey, CAST(n_nationkey AS SIGNED) * 1000000000 "
+              "FROM nation")
+    # NULL into NOT NULL under IGNORE → implicit default 0
+    eng.query("UPDATE IGNORE dml_ign SET quota = NULL WHERE id < 5")
+    return eng.query("SELECT id, quota FROM dml_ign ORDER BY id")
