@@ -240,7 +240,11 @@ def _rewrite_convert(sql: str) -> str:
                 pos = m.end()
                 continue
         sql = sql[:m.start()] + repl + sql[close + 1:]
-        pos = m.start() + len(repl)
+        # resume at the rewrite START, not past it: the rewritten argument
+        # may itself contain a CONVERT (CONVERT(CONVERT(x USING utf8),
+        # SIGNED)) that must be rewritten too. Termination holds because
+        # each pass removes one CONVERT( token.
+        pos = m.start()
 
 
 def _rewrite_json_arrows(sql: str) -> str:

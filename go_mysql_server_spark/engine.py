@@ -247,13 +247,20 @@ class Engine:
 
     def __init__(self, spark: SparkSession, default_db: str = "mydb"):
         self.spark = tune_session(spark)
-        from .functions import register_udfs
+        # UDF / macro registration is idempotent per SparkSession but costs
+        # ~0.6 s of py4j round-trips — cache it on the session so the 2nd+
+        # Engine in a session (every dml_* catalog entry, most tests) skips
+        # it. Keyed via a session conf flag, not a module global, so a new
+        # session after a restart re-registers.
+        if spark.conf.get("spark.gms.fnRegistered", "") != "1":
+            from .functions import register_udfs
 
-        register_udfs(self.spark)  # UDF-backed MySQL fns callable from SQL
-        from .dialect.collation import register_sql as _register_ci
-        _register_ci(self.spark)   # mysql_ci_key SQL macro (COLLATE rewrites)
-        from .dialect.sql_macros import register_sql_macros
-        register_sql_macros(self.spark)  # TIME/date shims for SQL text
+            register_udfs(self.spark)  # UDF-backed MySQL fns for SQL text
+            from .dialect.collation import register_sql as _register_ci
+            _register_ci(self.spark)   # mysql_ci_key macro (COLLATE)
+            from .dialect.sql_macros import register_sql_macros
+            register_sql_macros(self.spark)  # TIME/date shims for SQL text
+            spark.conf.set("spark.gms.fnRegistered", "1")
         self.databases: dict[str, dict[str, TableState]] = {default_db: {}}
         self.current_db = default_db
         self.user_vars: dict[str, Any] = {}
@@ -545,15 +552,19 @@ class Engine:
                 "DEFAULT_CHARACTER_SET_NAME string, DEFAULT_COLLATION_NAME string",
             ).createOrReplaceTempView("information_schema__schemata")
         if "tables" in needed:
+            # TABLE_ROWS is the ANALYZE estimate exactly as MySQL stores it
+            # (reference sql/information_schema/tables.go rowCount from
+            # table statistics) — NULL until ANALYZE TABLE has run.
             rows = [
-                ("def", db, ts.name, "BASE TABLE")
+                ("def", db, ts.name, "BASE TABLE", "InnoDB",
+                 ts.stats.get("rows"))
                 for db, tables in sorted(self.databases.items())
                 for ts in tables.values()
             ]
             self.spark.createDataFrame(
-                rows or [("def", self.current_db, None, None)],
+                rows or [("def", self.current_db, None, None, None, None)],
                 "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
-                "TABLE_TYPE string",
+                "TABLE_TYPE string, ENGINE string, TABLE_ROWS bigint",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__tables")
         if "columns" in needed:
@@ -816,7 +827,9 @@ class Engine:
     def _info_schema_extras(self, needed: set[str]) -> None:
         for name in needed & set(self._IS_STATIC):
             schema, rows = self._IS_STATIC[name]
-            n_cols = schema.count(",") + 1
+            # parse the DDL, don't count commas: "decimal(9,6)" has one
+            # inside the type (profiling crashed on a 5-tuple vs 4 fields)
+            n_cols = len(T.StructType.fromDDL(schema).fields)
             df = self.spark.createDataFrame(rows or [(None,) * n_cols], schema)
             if not rows:
                 df = df.filter(df[df.columns[0]].isNotNull())
@@ -1333,8 +1346,29 @@ class Engine:
                         c.set_values = set_vals
                         c.nullable = "NOT NULL" not in parts[1].upper()
                 ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
-            elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE", "DROP INDEX",
-                                "ADD CONSTRAINT", "ADD PRIMARY")):
+            elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
+                                "DROP INDEX", "DROP KEY")):
+                # record in the index bookkeeping (SHOW INDEX /
+                # information_schema.statistics); advisory for execution —
+                # Spark pushdown/pruning replace index lookups
+                from . import admin
+                im = re.match(
+                    r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s*[`]?(\w+)?[`]?\s*"
+                    r"\(([^)]*)\)", action, re.I)
+                if im:
+                    cols = tuple(c.strip().strip("`").split("(")[0]
+                                 for c in im.group(3).split(","))
+                    ts.indexes.append(admin.IndexDef(
+                        im.group(2) or cols[0], cols,
+                        unique=bool(im.group(1))))
+                else:
+                    dm2 = re.match(r"DROP\s+(?:INDEX|KEY)\s+[`]?(\w+)[`]?",
+                                   action, re.I)
+                    if dm2:
+                        ts.indexes = [ix for ix in ts.indexes
+                                      if ix.name != dm2.group(1)]
+                continue
+            elif up.startswith(("ADD CONSTRAINT", "ADD PRIMARY")):
                 continue  # advisory on Spark
             else:
                 raise SqlError(f"unsupported ALTER action: {action[:50]!r}")
@@ -1495,15 +1529,25 @@ class Engine:
         self._validate(ts, incoming)
 
         existing = ts.df
+        n_clash = 0
         if ts.primary_key:
             pk = list(ts.primary_key)
-            dup_new = (
-                incoming.groupBy(*pk).count().filter(F.col("count") > 1).count()
+            # ONE aggregation job for both PK checks (was two): duplicate
+            # keys WITHIN the incoming batch (count > countDistinct) and
+            # incoming rows clashing with existing keys (left join marker).
+            stats = (
+                incoming.select(*pk)
+                .join(existing.select(*pk).withColumn("__ex", F.lit(1)),
+                      pk, "left")
+                .agg((F.count(F.lit(1))
+                      - F.count_distinct(*[F.col(c) for c in pk]))
+                     .alias("dup_rows"),
+                     F.count("__ex").alias("n_clash"))
+                .first()
             )
-            if dup_new and not ignore and verb != "REPLACE":
+            if stats["dup_rows"] and not ignore and verb != "REPLACE":
                 raise SqlError("duplicate primary key within inserted rows")
-            clash = incoming.join(existing.select(*pk), pk, "left_semi")
-            n_clash = clash.count()
+            n_clash = int(stats["n_clash"])
             if n_clash:
                 if verb == "REPLACE":
                     existing = existing.join(incoming.select(*pk), pk, "left_anti")
@@ -1515,7 +1559,11 @@ class Engine:
                 else:
                     raise SqlError("duplicate entry for primary key")
         result = existing.unionByName(incoming).localCheckpoint(eager=True)
-        affected = result.count() - ts.df.count() if verb == "INSERT" else n_new
+        # affected arithmetically (saves two count jobs): for INSERT the
+        # net-new rows are n_new minus the clash rows that were dropped
+        # (IGNORE) or folded into updates (ODKU); plain INSERT has
+        # n_clash == 0 or raised above. REPLACE reports n_new (as before).
+        affected = n_new - n_clash if verb == "INSERT" else n_new
         ts.df = result
         self._register(ts)
         if last_id is not None:
@@ -1640,12 +1688,17 @@ class Engine:
         if c.int_bounds is not None:
             lo, hi = c.int_bounds
             wide = "decimal(38,0)"
+            base = expr.cast(wide)
             clamped = F.least(
-                F.greatest(expr.cast(wide), F.lit(lo).cast(wide)),
+                F.greatest(base, F.lit(lo).cast(wide)),
                 F.lit(hi).cast(wide))
             # greatest/least skip NULLs — keep NULL NULL (the NOT NULL
-            # implicit-default coalesce below handles it if needed)
+            # implicit-default coalesce below handles it if needed). A
+            # non-NULL value whose wide cast is NULL ('abc' into INT) is
+            # MySQL's unparseable-string case: converts to 0, NOT to the
+            # type minimum that greatest(NULL, lo) would produce.
             expr = F.when(expr.isNull(), F.lit(None).cast(wide)) \
+                .when(base.isNull(), F.lit(0).cast(wide)) \
                 .otherwise(clamped)
         expr = expr.cast(c.spark_type)
         if not c.nullable:

@@ -1,0 +1,198 @@
+"""Round-4 oracle entries for the DDL / admin / stored-program surface —
+the largest never-driver-verified block after r3 (§2.12 of SURVEY.md).
+
+Like plans/dml_catalog.py these run a multi-statement Engine script (the
+reference's ScriptTest shape, enginetest/queries/script_queries.go) and
+return the final state as a DataFrame; the oracle recomputes that state
+straight from the parquet tables (or a VALUES literal for pure catalog
+bookkeeping like SHOW INDEX).
+
+Reference parity targets:
+- ALTER column round-trip: sql/plan/alter_table.go (add/modify/rename/
+  drop column, DEFAULT backfill).
+- View query-through: sql/plan/create_view.go + late-binding semantics.
+- Index bookkeeping: sql/plan/alter_index.go, SHOW INDEX in
+  sql/plan/show_indexes.go.
+- ANALYZE rowcount into information_schema.tables.TABLE_ROWS:
+  sql/plan/analyze.go + sql/information_schema/tables.go.
+- Stored procedure with cursor + NOT FOUND handler + SIGNAL guard:
+  sql/procedures/interpreter_logic.go, sql/plan/declare_cursor.go /
+  fetch.go, declare_handler.go, signal.go.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+def _eng(spark, sf_dir, *tables: str):
+    from ..engine import Engine
+    for name in tables:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return Engine(spark)
+
+
+@query(
+    "ddl_alter_column_roundtrip",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       n_name AS name2,
+       CAST(CASE WHEN n_nationkey < 10 THEN n_regionkey * 2
+                 ELSE 5 END AS VARCHAR) AS score
+FROM nation
+ORDER BY k
+""",
+)
+def ddl_alter_column_roundtrip(spark, sf_dir):
+    """ALTER TABLE round-trip: ADD COLUMN ... DEFAULT backfills existing
+    rows, MODIFY converts stored values (BIGINT -> VARCHAR), RENAME
+    COLUMN, DROP COLUMN — final state must equal computing the same
+    transformations directly from nation."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ddl_alter_rt")
+    eng.query("CREATE TABLE ddl_alter_rt AS "
+              "SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r "
+              "FROM nation")
+    eng.query("ALTER TABLE ddl_alter_rt ADD COLUMN score BIGINT DEFAULT 5")
+    eng.query("UPDATE ddl_alter_rt SET score = r * 2 WHERE k < 10")
+    eng.query("ALTER TABLE ddl_alter_rt MODIFY COLUMN score VARCHAR(20)")
+    eng.query("ALTER TABLE ddl_alter_rt RENAME COLUMN nm TO name2")
+    eng.query("ALTER TABLE ddl_alter_rt DROP COLUMN r")
+    return eng.query("SELECT k, name2, score FROM ddl_alter_rt ORDER BY k")
+
+
+@query(
+    "ddl_view_query_through",
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sk
+FROM nation
+WHERE n_nationkey < 20
+GROUP BY n_regionkey
+ORDER BY r
+""",
+)
+def ddl_view_query_through(spark, sf_dir):
+    """CREATE VIEW is late-binding (MySQL semantics): a DELETE on the base
+    table after view creation must be visible through the view."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ddl_vt")
+    eng.query("CREATE TABLE ddl_vt AS "
+              "SELECT n_nationkey AS k, n_regionkey AS r FROM nation")
+    eng.query("CREATE OR REPLACE VIEW ddl_vv AS "
+              "SELECT r, COUNT(*) AS n, SUM(k) AS sk FROM ddl_vt GROUP BY r")
+    eng.query("DELETE FROM ddl_vt WHERE k >= 20")
+    return eng.query(
+        "SELECT CAST(r AS SIGNED) AS r, CAST(n AS SIGNED) AS n, "
+        "CAST(sk AS SIGNED) AS sk FROM ddl_vv ORDER BY r")
+
+
+@query(
+    "ddl_index_show_state",
+    oracle="""
+SELECT * FROM (VALUES
+  ('ix4', 0, 'PRIMARY', 1, 'id'),
+  ('ix4', 0, 'idx_ab', 1, 'a'),
+  ('ix4', 0, 'idx_ab', 2, 'b'),
+  ('ix4', 1, 'idx_b', 1, 'b')
+) v(tbl, non_unique, key_name, seq_in_index, column_name)
+ORDER BY key_name, seq_in_index
+""",
+)
+def ddl_index_show_state(spark, sf_dir):
+    """Index bookkeeping end-state: CREATE INDEX, CREATE UNIQUE INDEX,
+    DROP INDEX, ALTER TABLE ADD INDEX — SHOW INDEX reports exactly the
+    surviving indexes with per-column sequence numbers."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ix4")
+    eng.query("CREATE TABLE ix4 (id BIGINT PRIMARY KEY, a BIGINT, "
+              "b VARCHAR(10))")
+    eng.query("CREATE INDEX idx_a ON ix4 (a)")
+    eng.query("CREATE UNIQUE INDEX idx_ab ON ix4 (a, b)")
+    eng.query("DROP INDEX idx_a ON ix4")
+    eng.query("ALTER TABLE ix4 ADD INDEX idx_b (b)")
+    df = eng.query("SHOW INDEX FROM ix4")
+    return df.select(
+        F.col("Table").alias("tbl"),
+        F.col("Non_unique").cast("int").alias("non_unique"),
+        F.col("Key_name").alias("key_name"),
+        F.col("Seq_in_index").cast("int").alias("seq_in_index"),
+        F.col("Column_name").alias("column_name"),
+    ).orderBy("key_name", "seq_in_index")
+
+
+@query(
+    "admin_analyze_table_rows",
+    oracle="""
+SELECT 'an_nation' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM nation
+UNION ALL
+SELECT 'an_region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+ORDER BY tbl
+""",
+)
+def admin_analyze_table_rows(spark, sf_dir):
+    """ANALYZE TABLE computes row statistics that surface in
+    information_schema.tables.TABLE_ROWS (NULL before ANALYZE, the exact
+    count after — reference sql/plan/analyze.go writes table stats,
+    sql/information_schema/tables.go reads them back)."""
+    eng = _eng(spark, sf_dir, "nation", "region")
+    eng.query("DROP TABLE IF EXISTS an_nation")
+    eng.query("DROP TABLE IF EXISTS an_region")
+    eng.query("CREATE TABLE an_nation AS SELECT * FROM nation")
+    eng.query("CREATE TABLE an_region AS SELECT * FROM region")
+    eng.query("ANALYZE TABLE an_nation")
+    eng.query("ANALYZE TABLE an_region")
+    return eng.query(
+        "SELECT TABLE_NAME AS tbl, TABLE_ROWS AS n_rows "
+        "FROM information_schema.tables "
+        "WHERE TABLE_NAME IN ('an_nation', 'an_region') ORDER BY tbl")
+
+
+@query(
+    "proc_cursor_handler_final_state",
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+       CAST(SUM(n_nationkey) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM nation
+GROUP BY n_regionkey
+ORDER BY r
+""",
+)
+def proc_cursor_handler_final_state(spark, sf_dir):
+    """Stored procedure through the Engine end-to-end: DECLARE CURSOR over
+    an aggregate, CONTINUE HANDLER FOR NOT FOUND as the loop terminator,
+    labeled LOOP/FETCH/LEAVE, a SIGNAL guard on a can't-happen branch, and
+    per-row INSERTs — final table equals the plain GROUP BY."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS pc_src")
+    eng.query("DROP TABLE IF EXISTS pc_out")
+    eng.query("CREATE TABLE pc_src AS "
+              "SELECT n_regionkey AS r, n_nationkey AS k FROM nation")
+    eng.query("CREATE TABLE pc_out (r BIGINT PRIMARY KEY, total BIGINT, "
+              "cnt BIGINT)")
+    eng.query("DROP PROCEDURE IF EXISTS pc_roll")
+    eng.query(
+        "CREATE PROCEDURE pc_roll() "
+        "BEGIN "
+        "  DECLARE done INT DEFAULT 0; "
+        "  DECLARE vr BIGINT; DECLARE vt BIGINT; DECLARE vc BIGINT; "
+        "  DECLARE cur CURSOR FOR "
+        "    SELECT r, SUM(k), COUNT(*) FROM pc_src GROUP BY r ORDER BY r; "
+        "  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1; "
+        "  OPEN cur; "
+        "  read_loop: LOOP "
+        "    FETCH cur INTO vr, vt, vc; "
+        "    IF done = 1 THEN LEAVE read_loop; END IF; "
+        "    IF vt < 0 THEN SIGNAL SQLSTATE '45000' "
+        "      SET MESSAGE_TEXT = 'impossible'; END IF; "
+        "    INSERT INTO pc_out VALUES (vr, vt, vc); "
+        "  END LOOP; "
+        "  CLOSE cur; "
+        "END")
+    eng.query("CALL pc_roll()")
+    return eng.query("SELECT r, total, cnt FROM pc_out ORDER BY r")

@@ -251,3 +251,91 @@ def fulltext_boolean_mode(spark, sf_dir):
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+_QE_SEED = "vector"
+_QE_STOP = ("a", "the")
+_QE_FEEDBACK_DOCS = 5
+_QE_EXPAND_K = 3
+
+
+@query(
+    "fulltext_query_expansion",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS ts
+  FROM documents
+),
+top_docs AS (
+  SELECT doc_id,
+         len(list_filter(ts, x -> x = '{_QE_SEED}')) AS rel
+  FROM toks
+  WHERE len(list_filter(ts, x -> x = '{_QE_SEED}')) > 0
+  ORDER BY rel DESC, doc_id
+  LIMIT {_QE_FEEDBACK_DOCS}
+),
+exp_terms AS (
+  SELECT tok FROM (
+    SELECT unnest(ts) AS tok
+    FROM toks JOIN top_docs USING (doc_id)
+  )
+  WHERE tok NOT IN ('{_QE_SEED}', 'a', 'the')
+  GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok
+  LIMIT {_QE_EXPAND_K}
+),
+terms AS (
+  SELECT '{_QE_SEED}' AS tok UNION ALL SELECT tok FROM exp_terms
+)
+SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS relevance
+FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) u
+JOIN terms USING (tok)
+GROUP BY u.doc_id
+ORDER BY relevance DESC, doc_id
+LIMIT 50
+""",
+)
+def fulltext_query_expansion(spark, sf_dir):
+    """MATCH ... AGAINST('vector' WITH QUERY EXPANSION) (reference
+    sql/expression/matchagainst.go expansion mode): blind relevance
+    feedback — rank by the seed term, take the top {_QE_FEEDBACK_DOCS}
+    docs, harvest their {_QE_EXPAND_K} most frequent non-stopword terms,
+    and re-rank the whole corpus over seed + expansion terms.
+
+    Scale shape: phase 1 is a scan-side tf projection + TopK (bounded
+    heap, no global sort); phase 2 explodes only the {_QE_FEEDBACK_DOCS}
+    feedback docs (tiny); the expansion vocabulary (<= {_QE_EXPAND_K} + 1
+    strings, bounded by construction) is collected and inlined as
+    literals — the same justified-collect discipline as the IVF
+    centroids — so the final corpus pass is again a pure scan-side
+    projection + TopK: the 100 TB corpus is never exploded or shuffled.
+    All tie-breaks are (score DESC, key ASC), so both engines pick
+    identical feedback docs and terms."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " +")
+    seed_tf = F.size(F.filter(toks, lambda x: x == _QE_SEED)).cast("long")
+
+    top_docs = (
+        docs.select("doc_id", seed_tf.alias("rel"), toks.alias("ts"))
+        .filter(F.col("rel") > 0)
+        .orderBy(F.desc("rel"), "doc_id")
+        .limit(_QE_FEEDBACK_DOCS)
+    )
+    exp_terms = (
+        top_docs.select(F.explode("ts").alias("tok"))
+        .filter(~F.col("tok").isin(_QE_SEED, *_QE_STOP))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_QE_EXPAND_K)
+    )
+    # bounded collect (<= _QE_EXPAND_K rows by construction): inline the
+    # expansion vocabulary as literals so the corpus pass stays scan-side
+    terms = [_QE_SEED] + [r["tok"] for r in exp_terms.collect()]
+    relevance = F.size(F.filter(toks, lambda x: x.isin(*terms))).cast("long")
+    return (
+        docs.select("doc_id", relevance.alias("relevance"))
+        .filter(F.col("relevance") > 0)
+        .orderBy(F.desc("relevance"), "doc_id")
+        .limit(50)
+    )

@@ -76,7 +76,7 @@ coded AS (
   FROM dims d JOIN stats s ON d.pos = s.pos
 )
 SELECT vec_id,
-       list(code ORDER BY pos) AS codes,
+       array_to_string(list(code ORDER BY pos), ',') AS codes_csv,
        ROUND(AVG(POW(x - (lo + code / 255.0 * (hi - lo)), 2)), 10)
            AS recon_mse
 FROM coded
@@ -121,8 +121,11 @@ def pipeline_embedding_quantize(spark, sf_dir):
             F.col("embedding"), F.col("lo_a"), F.col("hi_a"),
         )
     )
+    # codes is emitted CSV-joined, not as array<int>: the driver's pandas
+    # canonicalizer sort_values-es every column and list cells are
+    # unhashable (r3 red row); tests/harness guards this class now.
     recon = coded.select(
-        "vec_id", "codes",
+        "vec_id", F.array_join("codes", ",").alias("codes_csv"),
         F.round(
             F.aggregate(
                 F.zip_with(

@@ -329,7 +329,7 @@ a AS (
   ) WHERE rn = 1
 )
 SELECT vec_id,
-       list(code ORDER BY m) AS codes,
+       array_to_string(list(code ORDER BY m), ',') AS codes_csv,
        ROUND(list_sum(list(d ORDER BY m)) / {M_SUB * SUB_DIM}, 8) AS recon_mse
 FROM a
 GROUP BY vec_id
@@ -381,9 +381,13 @@ def similarity_pq_quantize(spark, sf_dir):
         ]))
         for m in range(M_SUB)
     ])
+    # CSV-joined, not array<int>: the driver canonicalizer can't hash list
+    # cells (see pipeline_embedding_quantize / r3 red row).
     out = df.withColumn("_picks", picks).select(
         "vec_id",
-        F.transform(F.col("_picks"), lambda s: s["c"]).alias("codes"),
+        F.array_join(
+            F.transform(F.col("_picks"), lambda s: s["c"]), ","
+        ).alias("codes_csv"),
         F.round(
             F.aggregate(F.col("_picks"), F.lit(0.0),
                         lambda acc, s: acc + s["d"])

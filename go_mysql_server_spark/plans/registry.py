@@ -58,6 +58,8 @@ _PLAN_MODULES = (
     # round-3 additions queue last: the driver budget should close the 43
     # never-verified entries and the dml_* batch first; these follow in r4
     "go_mysql_server_spark.plans.pipeline6",
+    # round-4: DDL/admin/stored-program oracle slice + query expansion
+    "go_mysql_server_spark.plans.ddl_admin_catalog",
 )
 
 
@@ -84,50 +86,44 @@ def _ensure_loaded() -> None:
 # The driver verifies queries() in iteration order under a budget (r1
 # stopped at exactly the first 50 entries), so not-yet-verified queries are
 # emitted FIRST to maximize cumulative driver coverage across rounds.
-# Update this set each round from CORRECTNESS_r{N}.json.
-DRIVER_VERIFIED = {
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items", "tpch_q12_priority_class",
-    "tpch_q14_promo_effect", "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue", "tpch_q22_global_sales_opportunity",
-    "tpch_q8_market_share", "tpch_q9_product_type_profit",
-    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q21_suppliers_who_kept_waiting",
-    "scan_project_filter", "values_relation", "count_star_meta",
-    "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_cross", "join_theta_inequality",
-    "join_range_band", "join_lateral", "join_using_natural",
-    "setop_union_all", "setop_union_distinct", "setop_intersect",
-    "setop_except", "distinct_multi_col", "sort_limit_offset", "topk_heap",
-    "having_filter", "group_concat_ordered", "not_in_null_semantics",
-    "collation_ci_compare", "null_safe_equality", "agg_basic_stats",
-    "agg_count_distinct", "agg_stddev_variance", "agg_bit_ops",
-    "agg_arg_min_max", "agg_any_value_single_valued",
-    # round-2 greens (CORRECTNESS_r02.json; the two r2 reds —
-    # func_math_suite, agg_approx_count_distinct — stay out so the driver
-    # re-runs them first with this round's fixes)
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q16_supplier_cnt", "tpch_q20_potential_promotion",
-    "agg_json_arrayagg", "agg_no_groupby_global", "agg_json_objectagg",
-    "window_row_number_topn_per_group", "window_rank_dense_percent",
-    "window_ntile", "window_lag_lead", "window_rows_frame_moving",
-    "window_range_frame", "window_running_total", "window_first_last_value",
-    "subquery_scalar_uncorrelated", "subquery_scalar_correlated",
-    "subquery_exists_correlated", "subquery_in_derived_table",
-    "cte_multi_reference", "recursive_cte_series",
-    "recursive_cte_graph_reachability", "func_string_suite",
-    "func_datetime_suite", "func_conditional_suite", "func_regexp_suite",
-    "func_json_suite", "func_crypto_encoding_suite", "func_vector_distances",
-    "func_json_extended", "func_regexp_flags", "func_network_inet6",
-    "func_tz_misc", "func_spatial_extended", "collation_ci_where_eq",
-    "collation_ci_group_by", "collation_ci_order_by", "collation_ci_nonlatin",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "similarity_topk_cosine", "similarity_lsh_ann",
-    "text_features", "text_fingerprints", "multimodal_decode",
-    "multimodal_patch_stats",
-}
+#
+# Derived automatically from the in-repo CORRECTNESS_r*.json files the
+# driver writes each round (a hand-maintained set went stale in r3 and
+# would have burned a whole driver budget re-verifying greens). A red or
+# errored row is NOT in the set, so the driver re-checks it first with
+# whatever fix this round landed.
+
+
+def _load_driver_verified() -> frozenset[str]:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):  # unreadable/partial file: skip
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, res in rows.items():
+            if not isinstance(res, dict):
+                continue
+            ok = res.get("err") is None and (
+                res.get("hash_match") is True
+                or (res.get("hash_match") is None
+                    and res.get("rows_match") is True)
+            )
+            if ok:
+                green.add(name)
+            else:
+                # a later red overrides an earlier green: re-verify first
+                green.discard(name)
+    return frozenset(green)
+
+
+DRIVER_VERIFIED = _load_driver_verified()
 
 
 def _ordered(names: list[str]) -> list[str]:

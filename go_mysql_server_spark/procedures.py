@@ -289,20 +289,28 @@ class ProcedureInterpreter:
 
     def _find_handler(self, e) -> Handler | None:
         def rank(h: Handler):
+            # numeric min with an explicit None sentinel: `best or 9`
+            # treats a matched rank of 0 (errno, most specific) as falsy
+            # and let a less-specific condition in the same handler win
             best = None
+
+            def _upd(n):
+                nonlocal best
+                best = n if best is None else min(best, n)
+
             for c in h.conds:
                 if isinstance(c, tuple) and c[0] == "errno" and c[1] == e.errno:
-                    best = min(best or 9, 0)
+                    _upd(0)
                 elif isinstance(c, tuple) and c[0] == "sqlstate" and c[1] == e.sqlstate:
-                    best = min(best or 9, 1)
+                    _upd(1)
                 elif c == "not_found" and e.sqlstate.startswith("02"):
-                    best = min(best or 9, 2)
+                    _upd(2)
                 elif c == "sqlwarning" and e.sqlstate.startswith("01"):
-                    best = min(best or 9, 2)
+                    _upd(2)
                 elif c == "sqlexception" and not (
                     e.sqlstate.startswith("01") or e.sqlstate.startswith("02")
                 ):
-                    best = min(best or 9, 3)
+                    _upd(3)
             return best
         # innermost frame first, most specific condition wins within a frame
         for frame in reversed(self.frames):
@@ -561,8 +569,11 @@ class ProcedureInterpreter:
             if cond is None:
                 fire = True
             elif subject:
+                # plain equality, not <=>: CASE NULL WHEN NULL must NOT
+                # fire (NULL = NULL is unknown) and falls through to the
+                # 1339 error below — reference sql/plan/case.go
                 fire = self._truthy(
-                    self._eval(f"({subject}) <=> ({cond})", scope))
+                    self._eval(f"({subject}) = ({cond})", scope))
             else:
                 fire = self._truthy(self._eval(cond, scope))
             if fire:

@@ -78,6 +78,23 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
+def driver_incompatible_columns(spark_df) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot hash.
+
+    The driver sort_values-es every output column after an Arrow round
+    trip; array/map/struct cells arrive as numpy arrays / dicts / Rows,
+    all unhashable — CORRECTNESS_r03 pipeline_embedding_quantize red row
+    ("TypeError: unhashable type: 'list'"). Registry entries must emit
+    scalars only (join arrays with array_join / to_json first)."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            bad.append(f"{f.name}: {f.dataType.simpleString()}")
+    return bad
+
+
 def compare(spark_df, duck_rel) -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
     s_cols = spark_df.columns

@@ -1357,3 +1357,68 @@ def test_non_strict_sql_mode_clamps(eng):
     eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
     with pytest.raises(SqlError):
         eng.query("UPDATE sm SET v = NULL WHERE id = 1")
+
+
+# ---- round-4 advisor regressions -------------------------------------------
+
+
+def test_every_static_information_schema_table_selects(eng):
+    """r4 advisor: n_cols counted commas so decimal(9,6) in the profiling
+    schema built a 5-tuple placeholder against 4 fields and crashed
+    createDataFrame. Every static table must at least COUNT(*)."""
+    for name in Engine._IS_STATIC:
+        got = rows(eng.query(
+            f"SELECT COUNT(*) AS c FROM information_schema.{name}"))
+        assert got[0][0] >= 0, name
+
+
+def test_insert_ignore_unparseable_string_converts_to_zero(eng):
+    """r4 advisor: 'abc' into INT under IGNORE must become 0 (MySQL
+    non-strict conversion), not the type minimum that greatest(NULL, lo)
+    produced."""
+    eng.query("CREATE TABLE lc (id BIGINT PRIMARY KEY, v INT NOT NULL)")
+    eng.query("INSERT IGNORE INTO lc VALUES (1, 'abc'), (2, '7'), (3, NULL)")
+    assert rows(eng.query("SELECT id, v FROM lc ORDER BY id")) == [
+        (1, 0), (2, 7), (3, 0)]
+
+
+def test_procedure_handler_errno_beats_class_in_same_frame(eng):
+    """r4 advisor: rank 0 (errno, most specific) was falsy in
+    `min(best or 9, n)` so a FOR <errno>, SQLEXCEPTION handler ranked 3
+    and could lose to a bare-sqlstate handler in the same frame."""
+    eng.query("CREATE TABLE log48 (msg VARCHAR(40))")
+    eng.query(
+        "CREATE PROCEDURE specif2() "
+        "BEGIN "
+        "  DECLARE CONTINUE HANDLER FOR SQLSTATE '45003' "
+        "    INSERT INTO log48 VALUES ('state'); "
+        "  DECLARE CONTINUE HANDLER FOR 1644, SQLEXCEPTION "
+        "    INSERT INTO log48 VALUES ('errno'); "
+        "  SIGNAL SQLSTATE '45003' SET MYSQL_ERRNO = 1644; "
+        "END")
+    eng.query("CALL specif2()")
+    # errno (rank 0) outranks sqlstate (rank 1) even though the handler
+    # also lists the catch-all SQLEXCEPTION class
+    assert rows(eng.query("SELECT msg FROM log48")) == [("errno",)]
+
+
+def test_procedure_case_null_subject_raises_1339(eng):
+    """r4 advisor: value-form CASE compared with <=> so CASE NULL WHEN
+    NULL fired; MySQL uses = (NULL = NULL is unknown) and raises 1339."""
+    eng.query(
+        "CREATE PROCEDURE casenull() "
+        "BEGIN "
+        "  CASE NULL WHEN NULL THEN SELECT 'fired'; END CASE; "
+        "END")
+    with pytest.raises(SqlError, match="Case not found"):
+        eng.query("CALL casenull()")
+
+
+def test_nested_convert_rewrites(eng):
+    """r4 advisor: _rewrite_convert skipped past its replacement so a
+    CONVERT nested inside another CONVERT's argument reached Spark raw."""
+    assert rows(eng.query(
+        "SELECT CONVERT(CONVERT('00042' USING utf8mb4), SIGNED) AS c")) == [
+        (42,)]
+    assert rows(eng.query(
+        "SELECT CONVERT(CONVERT(7 , CHAR) USING utf8) AS c")) == [("7",)]

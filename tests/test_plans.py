@@ -266,3 +266,34 @@ def test_pq_assignment_is_scan_side(spark):
     assert "Join" not in plan
     assert "Generate" not in plan
     assert plan.count("Exchange (") <= 1
+
+
+def test_driver_verified_derived_and_fresh_first():
+    """r4: DRIVER_VERIFIED is derived from the in-repo CORRECTNESS_r*.json
+    files (a hand-maintained set went stale in r3 and would have burned a
+    driver budget re-verifying greens). Green rows are in the set, red /
+    errored rows are not, and all_queries() emits never-verified names
+    before verified ones."""
+    import json
+    from pathlib import Path
+
+    from go_mysql_server_spark.plans.registry import (
+        DRIVER_VERIFIED, all_queries)
+
+    root = Path(__file__).resolve().parents[1]
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "driver correctness files should exist in-repo"
+    latest: dict[str, dict] = {}
+    for f in files:
+        latest.update(json.loads(f.read_text()))
+    for name, res in latest.items():
+        green = res.get("err") is None and (
+            res.get("hash_match") is True
+            or (res.get("hash_match") is None and res.get("rows_match")))
+        assert (name in DRIVER_VERIFIED) == bool(green), (name, res)
+
+    names = list(all_queries())
+    first_seen = next(
+        (i for i, n in enumerate(names) if n in DRIVER_VERIFIED), len(names))
+    assert all(n in DRIVER_VERIFIED for n in names[first_seen:]), (
+        "never-verified entries must sort before verified ones")

@@ -8,7 +8,7 @@ import pytest
 from go_mysql_server_spark.plans import all_oracles, all_queries
 
 from .conftest import SF_DIR
-from .harness import compare
+from .harness import compare, driver_incompatible_columns
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -17,6 +17,11 @@ ORACLES = all_oracles()
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, oracle):
     df = QUERIES[name](spark, SF_DIR)
+    bad = driver_incompatible_columns(df)
+    assert not bad, (
+        f"{name}: driver canonicalizer cannot hash these columns "
+        f"(array_join / to_json them): {bad}"
+    )
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op)
         assert df.count() >= 0
