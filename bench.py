@@ -50,6 +50,10 @@ HEADLINE = [
     "pipeline_quality_rules",
     "pipeline_sequence_packing",
     "pipeline_char_lm_score",
+    # round-4 additions: representatives of the r3-queued batch so they
+    # get a round-over-round series from r4 on
+    "similarity_ivf_pq_search",
+    "pipeline_decontaminate",
 ]
 
 

@@ -495,7 +495,7 @@ def _json_frag(arg: str) -> str:
             f"'^\\\\{{\"v\":|\\\\}}$', '') END)")
 
 
-def _rewrite_misc_fns(sql: str) -> str:
+def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
     """MySQL functions whose Spark twin differs in name, signature, or
     semantics (reference sql/expression/function/*.go):
 
@@ -563,7 +563,28 @@ def _rewrite_misc_fns(sql: str) -> str:
                     return f"{fn}({', '.join(args)})"
                 return None  # day-count form is Spark-native
             op = "+" if name in ("DATE_ADD", "ADDDATE") else "-"
-            return f"(({args[0]}) {op} {args[1]})"
+            base = args[0].strip()
+            # a string-literal operand gets a concrete temporal type (MySQL
+            # parses it per content): date-only text → DATE (so + INTERVAL
+            # MONTH stays a DATE and clamps to end-of-month like MySQL);
+            # anything else → TIMESTAMP. Spark can't add a year-month
+            # interval to a bare string.
+            pm = _PH_ONLY.match(base)
+            if pm and lits is not None:
+                lit = lits[int(pm.group(1))]
+                if lit[:1] == "'":
+                    if re.fullmatch(r"\s*\d{4}-\d{1,2}-\d{1,2}\s*",
+                                    lit[1:-1]):
+                        base = f"DATE {lit}"
+                    else:
+                        base = f"CAST({lit} AS TIMESTAMP)"
+            iv = args[1]
+            # QUARTER is not a Spark interval unit → 3-month multiple
+            qm = re.match(r"INTERVAL\s+(.+?)\s+QUARTER\s*$", iv,
+                          re.IGNORECASE | re.DOTALL)
+            if qm:
+                iv = f"(({qm.group(1)}) * INTERVAL '3' MONTH)"
+            return f"(({base}) {op} {iv})"
         if name == "INTERVAL":
             n, rest = args[0], ", ".join(args[1:])
             return (f"(CASE WHEN ({n}) IS NULL THEN -1 ELSE "
@@ -655,6 +676,56 @@ def _rewrite_truncate(sql: str) -> str:
         sql = sql[:m.start()] + repl + sql[close + 1:]
 
 
+_NUMERIC_STR_BODY = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_IN_OR_MINMAX_FN = re.compile(r"\b(IN|GREATEST|LEAST)\s*\(", re.IGNORECASE)
+_PH_ONLY = re.compile(r"^\x00(\d+)\x00$")
+
+
+def _unquote_numeric_args(sql: str, lits: list[str]) -> str:
+    """MySQL compares string literals in numeric contexts numerically —
+    `col IN ('1', 2.0)` against an INT column matches both, and
+    GREATEST/LEAST coerce mixed string/number args to numbers (reference
+    sql/types/conversion coercion rules). Spark instead string-compares
+    the IN list (silently dropping 2.0's match) and type-errors on
+    GREATEST/LEAST. Unquoting a numeric-looking string literal argument
+    makes Spark's own pairwise coercion numeric, which matches MySQL for
+    both numeric and string left-hand sides (Spark casts a string operand
+    to DOUBLE when compared to a number, as MySQL does). Runs on masked
+    text: only whole-argument literals are touched; `IN (SELECT …)`
+    passes through untouched."""
+    pos = 0
+    while True:
+        m = _IN_OR_MINMAX_FN.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        body = sql[m.end():close]
+        if re.match(r"\s*SELECT\b", body, re.IGNORECASE):
+            pos = close
+            continue
+        args = _split_args(body)
+        changed = False
+        for i, a in enumerate(args):
+            pm = _PH_ONLY.match(a.strip())
+            if not pm:
+                continue
+            lit = lits[int(pm.group(1))]
+            if lit[:1] == "'" and lit[-1:] == "'":
+                inner = lit[1:-1].replace("''", "'").strip()
+                if _NUMERIC_STR_BODY.match(inner):
+                    args[i] = inner
+                    changed = True
+        if changed:
+            new_body = ", ".join(a.strip() for a in args)
+            sql = sql[:m.end()] + new_body + sql[close:]
+            pos = m.end() + len(new_body) + 1
+        else:
+            pos = close
+    return sql
+
+
 def transpile_select(sql: str) -> str:
     """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
     text so quoted strings and backtick identifiers pass through verbatim."""
@@ -673,7 +744,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_group_concat(sql, lits)
     # misc fn rewrites BEFORE truncate: the truncate expansion generates
     # FLOOR/CEIL that must keep Spark semantics (no BIGINT cast)
-    sql = _rewrite_misc_fns(sql)
+    sql = _rewrite_misc_fns(sql, lits)
     sql = _rewrite_truncate(sql)
     sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
@@ -685,6 +756,12 @@ def transpile_select(sql: str) -> str:
     sql = re.sub(r"AS\s+UNSIGNED(\s+INTEGER)?\s*\)", "AS DECIMAL(20,0))", sql,
                  flags=re.IGNORECASE)
     sql = re.sub(r"AS\s+CHAR\s*\)", "AS STRING)", sql, flags=re.IGNORECASE)
+    # MySQL's TRUE/FALSE are the integers 1/0, so CAST(TRUE AS CHAR) is
+    # '1'; Spark's boolean would stringify to 'true'
+    sql = re.sub(r"CAST\s*\(\s*TRUE\s+AS", "CAST(1 AS", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"CAST\s*\(\s*FALSE\s+AS", "CAST(0 AS", sql,
+                 flags=re.IGNORECASE)
     # MySQL's default collation (utf8mb4_0900_ai_ci) makes LIKE
     # case-insensitive → Spark ILIKE ("ILIKE" itself never re-matches:
     # no word boundary between I and L)
@@ -725,4 +802,16 @@ def transpile_select(sql: str) -> str:
                  r"SQL_BIG_RESULT|SQL_BUFFER_RESULT)\s+", r"\1", sql,
                  flags=re.IGNORECASE)
     sql = re.sub(r"\bSTRAIGHT_JOIN\b", "JOIN", sql, flags=re.IGNORECASE)
+    # FROM DUAL is MySQL's explicit no-table source; Spark's bare SELECT
+    # is the same relation (reference dual-table handling in planbuilder)
+    sql = re.sub(r"\bFROM\s+DUAL\b", "", sql, flags=re.IGNORECASE)
+    # MySQL's BINARY prefix operator forces a case-sensitive (binary)
+    # comparison; our string compares are binary by default, so the
+    # operator is an identity — drop it, but keep the CAST(x AS BINARY)
+    # type spelling intact (protected before, restored after).
+    sql = re.sub(r"\bAS\s+BINARY\b", "AS \x01BINARY\x01", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bBINARY\s+(?=[\x00(\w'])", "", sql, flags=re.IGNORECASE)
+    sql = sql.replace("\x01BINARY\x01", "BINARY")
+    sql = _unquote_numeric_args(sql, lits)
     return unmask_literals(sql, lits)

@@ -420,10 +420,16 @@ class Engine:
 
     def _q_select(self, sql: str) -> DataFrame | OkResult:
         # INTO @vars must be peeled off before user-var substitution rewrites
-        # the very @names we need to assign.
+        # the very @names we need to assign. MySQL accepts the clause both
+        # at statement end and between the select list and FROM
+        # (reference sql/plan/into.go).
         into_vars = re.search(r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s*$", sql, re.I)
+        if not into_vars:
+            into_vars = re.search(
+                r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s+(?=FROM\b)", sql, re.I)
         if into_vars:
-            sql = sql[:into_vars.start()]
+            # drop only the INTO clause (it may sit mid-statement)
+            sql = sql[:into_vars.start()] + sql[into_vars.end():]
         sql = self._substitute_vars(sql)
         from .dialect.transpiler import mask_literals, unmask_literals
         masked, lits = mask_literals(sql)

@@ -196,3 +196,172 @@ def proc_cursor_handler_final_state(spark, sf_dir):
         "END")
     eng.query("CALL pc_roll()")
     return eng.query("SELECT r, total, cnt FROM pc_out ORDER BY r")
+
+
+# ---- round-4 batch 2: driver rows for the script-only §2.1/§2.8 surface ----
+
+
+@query(
+    "etl_load_data_infile",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'ALPHA', 105), (2, 'BETA', 120), (3, 'GAMMA', 47)
+) v(id, name, score)
+ORDER BY id
+""",
+)
+def etl_load_data_infile(spark, sf_dir):
+    """LOAD DATA INFILE end-to-end (reference sql/plan/load_data.go):
+    custom field terminator, IGNORE 1 LINES header skip, @var capture list
+    with SET transforms (uppercase + derived arithmetic). The CSV is
+    written to a runtime tempfile; the driver-facing result is the loaded
+    table, oracle'd as a VALUES literal."""
+    import os
+    import tempfile
+
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ld4")
+    eng.query("CREATE TABLE ld4 (id BIGINT PRIMARY KEY, name VARCHAR(32), "
+              "score BIGINT)")
+    fd, path = tempfile.mkstemp(suffix=".csv")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write("id;name;base\n1;alpha;100\n2;beta;110\n3;gamma;32\n")
+        eng.query(
+            f"LOAD DATA INFILE '{path}' INTO TABLE ld4 "
+            "FIELDS TERMINATED BY ';' IGNORE 1 LINES "
+            "(id, @nm, @base) "
+            "SET name = UPPER(@nm), score = @base + id * 5")
+        return eng.query("SELECT id, name, score FROM ld4 ORDER BY id")
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+@query(
+    "etl_select_into_vars",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(MAX(n_nationkey) AS BIGINT) AS max_key,
+       CAST(COUNT(*) + MAX(n_nationkey) AS BIGINT) AS checksum
+FROM nation
+""",
+)
+def etl_select_into_vars(spark, sf_dir):
+    """SELECT ... INTO @a, @b captures a 1-row result into user variables
+    (reference sql/plan/into.go); a later statement computes with them."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("SELECT COUNT(*), MAX(n_nationkey) INTO @n, @mx FROM nation")
+    return eng.query(
+        "SELECT CAST(@n AS SIGNED) AS n_nations, "
+        "CAST(@mx AS SIGNED) AS max_key, "
+        "CAST(@n + @mx AS SIGNED) AS checksum")
+
+
+@query(
+    "table_function_series_lateral",
+    oracle="""
+SELECT r.r_regionkey AS rk, CAST(g.v AS BIGINT) AS v
+FROM region r
+JOIN LATERAL (
+  SELECT unnest(generate_series(0, r.r_regionkey)) AS v
+) g ON TRUE
+ORDER BY rk, v
+""",
+)
+def table_function_series_lateral(spark, sf_dir):
+    """Table function in LATERAL position (reference sql/core.go
+    TableFunction + enginetest table-function fixtures): the Python UDTF
+    generate_series_tf(0, r_regionkey) expands per input row — the Spark 4
+    native analogue of an integrator-registered table function."""
+    eng = _eng(spark, sf_dir, "region")
+    return eng.query(
+        "SELECT r.r_regionkey AS rk, g.value AS v "
+        "FROM region r, LATERAL generate_series_tf(0, r.r_regionkey) g "
+        "ORDER BY rk, v")
+
+
+@query(
+    "table_function_json_each",
+    oracle="""
+SELECT k, CAST(v AS VARCHAR) AS v FROM (VALUES
+  ('a', '1'), ('b', '"two"'), ('c', '[3, 4]')
+) t(k, v)
+ORDER BY k
+""",
+)
+def table_function_json_each(spark, sf_dir):
+    """json_each UDTF shreds a JSON object into (key, value) rows in FROM
+    position."""
+    eng = _eng(spark, sf_dir, "nation")
+    return eng.query(
+        "SELECT `key` AS k, `value` AS v "
+        "FROM json_each('{\"a\": 1, \"b\": \"two\", \"c\": [3,4]}') "
+        "ORDER BY k")
+
+
+@query(
+    "select_dual_expressions",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS a, 'x' AS b, CAST(NULL AS INTEGER) AS c
+""",
+)
+def select_dual_expressions(spark, sf_dir):
+    """FROM DUAL (EmptyTable/dual relation, reference sql/plan dual
+    handling): constant projection with no real source."""
+    eng = _eng(spark, sf_dir, "nation")
+    return eng.query(
+        "SELECT CAST(1 + 1 AS SIGNED) AS a, 'x' AS b, "
+        "CAST(NULL AS SIGNED) + 1 AS c FROM DUAL")
+
+
+@query(
+    "info_schema_columns_readback",
+    oracle="""
+SELECT * FROM (VALUES
+  ('isc4', 'id', 1, 'NO', 'PRI'),
+  ('isc4', 'name', 2, 'YES', ''),
+  ('isc4', 'score', 3, 'YES', '')
+) v(tbl, col, pos, nullable, col_key)
+ORDER BY pos
+""",
+)
+def info_schema_columns_readback(spark, sf_dir):
+    """information_schema.columns reflects engine DDL exactly: ordinal
+    positions, nullability, and PK marking (reference
+    sql/information_schema/information_schema.go columns table)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS isc4")
+    eng.query("CREATE TABLE isc4 (id BIGINT PRIMARY KEY, "
+              "name VARCHAR(32), score BIGINT)")
+    return eng.query(
+        "SELECT TABLE_NAME AS tbl, COLUMN_NAME AS col, "
+        "ORDINAL_POSITION AS pos, IS_NULLABLE AS nullable, "
+        "COLUMN_KEY AS col_key "
+        "FROM information_schema.columns WHERE TABLE_NAME = 'isc4' "
+        "ORDER BY pos")
+
+
+@query(
+    "prepare_execute_using_params",
+    oracle="""
+SELECT n_name, CAST(n_nationkey AS BIGINT) AS k
+FROM nation
+WHERE n_regionkey = 2 AND n_nationkey > 10
+ORDER BY k
+""",
+)
+def prepare_execute_using_params(spark, sf_dir):
+    """PREPARE / EXECUTE ... USING with ?-placeholders bound from user
+    variables and literals (reference sql/plan/prepare.go, execute.go;
+    bindvar substitution)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("PREPARE p4 FROM 'SELECT n_name, n_nationkey AS k "
+              "FROM nation WHERE n_regionkey = ? AND n_nationkey > ? "
+              "ORDER BY k'")
+    eng.query("SET @rk = 2")
+    df = eng.query("EXECUTE p4 USING @rk, 10")
+    eng.query("DEALLOCATE PREPARE p4")
+    return df

@@ -865,6 +865,407 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT COUNT(*) AS c FROM (SELECT n_nationkey FROM nation "
      "ORDER BY n_nationkey LIMIT 7) t",
      "SELECT CAST(7 AS BIGINT) AS c"),
+    # ---- r4: NULL ordering (reference queries.go NULL-ordering blocks;
+    # MySQL: ASC sorts NULLs first, DESC sorts NULLs last) ----------------
+    ("null_order_asc_first",
+     "SELECT v AS c FROM (SELECT NULLIF(n_nationkey % 3, 0) AS v "
+     "FROM nation WHERE n_nationkey < 7) t ORDER BY v, c",
+     "SELECT v AS c FROM (SELECT NULLIF(n_nationkey % 3, 0) AS v "
+     "FROM nation WHERE n_nationkey < 7) t ORDER BY v NULLS FIRST, c"),
+    ("null_order_desc_last",
+     "SELECT v AS c FROM (SELECT NULLIF(n_nationkey % 3, 0) AS v "
+     "FROM nation WHERE n_nationkey < 7) t ORDER BY v DESC",
+     "SELECT v AS c FROM (SELECT NULLIF(n_nationkey % 3, 0) AS v "
+     "FROM nation WHERE n_nationkey < 7) t ORDER BY v DESC NULLS LAST"),
+    ("null_order_multi_key",
+     "SELECT g, v FROM (SELECT n_nationkey % 2 AS g, "
+     "NULLIF(n_nationkey, 2) AS v FROM nation WHERE n_nationkey < 5) t "
+     "ORDER BY g, v",
+     "SELECT g, v FROM (SELECT n_nationkey % 2 AS g, "
+     "NULLIF(n_nationkey, 2) AS v FROM nation WHERE n_nationkey < 5) t "
+     "ORDER BY g, v NULLS FIRST"),
+    ("null_order_by_negation",
+     "SELECT v FROM (SELECT NULLIF(n_nationkey, 1) AS v FROM nation "
+     "WHERE n_nationkey < 4) t ORDER BY -v",
+     # MySQL ORDER BY -v: NULLs first (NULL negates to NULL), then desc
+     "SELECT v FROM (SELECT NULLIF(n_nationkey, 1) AS v FROM nation "
+     "WHERE n_nationkey < 4) t ORDER BY -v NULLS FIRST"),
+    ("group_by_null_single_group",
+     "SELECT v AS g, COUNT(*) AS c FROM (SELECT NULLIF(n_regionkey, "
+     "n_regionkey) AS v FROM nation) t GROUP BY v ORDER BY g",
+     "SELECT CAST(NULL AS INTEGER) AS g, CAST(COUNT(*) AS BIGINT) AS c "
+     "FROM nation"),
+    ("min_max_skip_nulls",
+     "SELECT MIN(v) AS lo, MAX(v) AS hi FROM "
+     "(SELECT NULLIF(n_nationkey, 0) AS v FROM nation "
+     "WHERE n_nationkey < 4) t",
+     "SELECT 1 AS lo, 3 AS hi"),
+    ("count_col_skips_nulls",
+     "SELECT COUNT(NULLIF(n_nationkey, 0)) AS c FROM nation "
+     "WHERE n_nationkey < 4",
+     "SELECT CAST(3 AS BIGINT) AS c"),
+    ("avg_skips_null_rows",
+     "SELECT AVG(NULLIF(n_nationkey, 0)) AS c FROM nation "
+     "WHERE n_nationkey < 4",
+     "SELECT 2.0 AS c"),
+    ("concat_null_propagates",
+     "SELECT CONCAT('a', NULL, 'b') AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("concat_ws_skips_nulls",
+     "SELECT CONCAT_WS('-', 'a', NULL, 'b') AS c",
+     "SELECT 'a-b' AS c"),
+    ("nullif_eq_arg",
+     "SELECT NULLIF(3, 3) AS a, NULLIF(3, 4) AS b",
+     "SELECT CAST(NULL AS INTEGER) AS a, 3 AS b"),
+    ("ifnull_chain",
+     "SELECT IFNULL(NULL, IFNULL(NULL, 7)) AS c",
+     "SELECT 7 AS c"),
+    ("coalesce_both_null",
+     "SELECT COALESCE(NULL, NULL) AS c",
+     "SELECT CAST(NULL AS INTEGER) AS c"),
+    ("not_null_unknown",
+     "SELECT NOT (NULL = 1) AS c",
+     "SELECT CAST(NULL AS BOOLEAN) AS c"),
+    ("where_null_filters_row",
+     "SELECT COUNT(*) AS c FROM nation WHERE NULLIF(1, 1) = 1",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    # ---- r4: mixed-type comparisons (reference queries.go:3311
+    # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
+    ("str_num_eq",
+     "SELECT 1 = '1' AS c",
+     "SELECT TRUE AS c"),
+    ("str_num_eq_decimal_text",
+     "SELECT 1 = '1.0' AS c",
+     "SELECT TRUE AS c"),
+    ("str_num_eq_padded",
+     "SELECT 1 = ' 1' AS c",
+     "SELECT TRUE AS c"),
+    ("num_lt_numeric_string",
+     "SELECT 2 < '10' AS c",
+     "SELECT TRUE AS c"),
+    ("string_lt_string_lexico",
+     "SELECT '2' < '10' AS c",
+     "SELECT FALSE AS c"),
+    ("where_str_num_key",
+     "SELECT n_name FROM nation WHERE n_nationkey = '3'",
+     "SELECT n_name FROM nation WHERE n_nationkey = 3"),
+    ("in_list_mixed_types",
+     "SELECT n_nationkey AS c FROM nation "
+     "WHERE n_nationkey IN ('1', 2.0, 3) ORDER BY c",
+     "SELECT n_nationkey AS c FROM nation "
+     "WHERE n_nationkey IN (1, 2, 3) ORDER BY c"),
+    ("between_string_bounds",
+     "SELECT n_nationkey AS c FROM nation "
+     "WHERE n_nationkey BETWEEN '2' AND '4' ORDER BY c",
+     "SELECT n_nationkey AS c FROM nation "
+     "WHERE n_nationkey BETWEEN 2 AND 4 ORDER BY c"),
+    ("greatest_mixed_numeric",
+     "SELECT GREATEST(2, '10', 3.5) AS c",
+     "SELECT 10.0 AS c"),
+    ("least_mixed_numeric",
+     "SELECT LEAST(2, '10', 3.5) AS c",
+     "SELECT 2.0 AS c"),
+    ("case_branches_coerce_string",
+     "SELECT CASE WHEN 1 = 1 THEN 1 ELSE 'x' END AS c",
+     "SELECT '1' AS c"),
+    ("double_vs_int_exact",
+     "SELECT 1 = 1.0 AS c, 1 = 1.5 AS d",
+     "SELECT TRUE AS c, FALSE AS d"),
+    ("hex_literal_numeric_compare",
+     "SELECT 0x0A = 10 AS c",
+     "SELECT TRUE AS c"),
+    ("bool_literal_compare",
+     "SELECT TRUE = 1 AS c, FALSE = 0 AS d",
+     "SELECT TRUE AS c, TRUE AS d"),
+    ("tuple_eq",
+     "SELECT (1, 2) = (1, 2) AS c, (1, 2) = (1, 3) AS d",
+     "SELECT TRUE AS c, FALSE AS d"),
+    ("tuple_lt_lexicographic",
+     "SELECT (1, 9) < (2, 0) AS c, (1, 2) < (1, 3) AS d",
+     "SELECT TRUE AS c, TRUE AS d"),
+    ("tuple_in_list",
+     "SELECT n_nationkey AS c FROM nation WHERE (n_nationkey, n_regionkey) "
+     "IN ((0, 0), (1, 1)) ORDER BY c",
+     "SELECT n_nationkey AS c FROM nation WHERE (n_nationkey, n_regionkey) "
+     "IN ((0, 0), (1, 1)) ORDER BY c"),
+    # ---- r4: join-op edges (reference join_queries.go) -------------------
+    ("join_null_keys_dont_match",
+     "SELECT COUNT(*) AS c FROM "
+     "(SELECT NULLIF(n_regionkey, 0) AS k FROM nation) a JOIN "
+     "(SELECT NULLIF(r_regionkey, 0) AS k FROM region) b ON a.k = b.k",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM "
+     "(SELECT NULLIF(n_regionkey, 0) AS k FROM nation) a JOIN "
+     "(SELECT NULLIF(r_regionkey, 0) AS k FROM region) b ON a.k = b.k"),
+    ("join_null_safe_matches_nulls",
+     "SELECT COUNT(*) AS c FROM "
+     "(SELECT NULLIF(n_regionkey, 0) AS k FROM nation) a JOIN "
+     "(SELECT NULLIF(r_regionkey, 0) AS k FROM region) b ON a.k <=> b.k",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM "
+     "(SELECT NULLIF(n_regionkey, 0) AS k FROM nation) a JOIN "
+     "(SELECT NULLIF(r_regionkey, 0) AS k FROM region) b "
+     "ON a.k IS NOT DISTINCT FROM b.k"),
+    ("left_join_on_filter_keeps_left",
+     # extra ON condition: unmatched left rows survive with NULLs
+     "SELECT n_nationkey AS c, r_name FROM nation LEFT JOIN region "
+     "ON n_regionkey = r_regionkey AND r_regionkey < 2 "
+     "WHERE n_nationkey < 6 ORDER BY c",
+     None),
+    ("left_join_where_filter_drops_left",
+     # same condition in WHERE: NULL fails the predicate, row dropped
+     "SELECT n_nationkey AS c, r_name FROM nation LEFT JOIN region "
+     "ON n_regionkey = r_regionkey WHERE r_regionkey < 2 "
+     "AND n_nationkey < 6 ORDER BY c",
+     None),
+    ("left_join_is_null_anti",
+     "SELECT n_nationkey AS c FROM nation LEFT JOIN region "
+     "ON n_regionkey = r_regionkey AND r_regionkey < 2 "
+     "WHERE r_regionkey IS NULL AND n_nationkey < 10 ORDER BY c",
+     None),
+    ("right_join_keeps_all_right",
+     "SELECT r_name AS c, COUNT(n_nationkey) AS n FROM "
+     "(SELECT * FROM nation WHERE n_regionkey < 2) n RIGHT JOIN region "
+     "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY c",
+     "SELECT r_name AS c, CAST(COUNT(n_nationkey) AS BIGINT) AS n FROM "
+     "(SELECT * FROM nation WHERE n_regionkey < 2) n RIGHT JOIN region "
+     "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY c"),
+    ("natural_join_common_cols",
+     "SELECT COUNT(*) AS c FROM "
+     "(SELECT n_regionkey AS k FROM nation) a NATURAL JOIN "
+     "(SELECT r_regionkey AS k FROM region) b",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM "
+     "(SELECT n_regionkey AS k FROM nation) a NATURAL JOIN "
+     "(SELECT r_regionkey AS k FROM region) b"),
+    ("using_projects_single_copy",
+     "SELECT n_regionkey FROM nation JOIN "
+     "(SELECT r_regionkey AS n_regionkey FROM region) r "
+     "USING (n_regionkey) WHERE n_regionkey = 1 LIMIT 1",
+     None),
+    ("cross_join_cardinality",
+     "SELECT COUNT(*) AS c FROM region CROSS JOIN region r2",
+     "SELECT CAST(25 AS BIGINT) AS c"),
+    ("inequality_join_pairs",
+     "SELECT COUNT(*) AS c FROM region a JOIN region b "
+     "ON a.r_regionkey < b.r_regionkey",
+     "SELECT CAST(10 AS BIGINT) AS c"),
+    ("self_join_adjacent",
+     "SELECT a.n_nationkey AS c FROM nation a JOIN nation b "
+     "ON b.n_nationkey = a.n_nationkey + 1 "
+     "WHERE a.n_nationkey < 3 ORDER BY c",
+     None),
+    ("three_way_join_chain",
+     "SELECT COUNT(*) AS c FROM nation n JOIN region r "
+     "ON n.n_regionkey = r.r_regionkey JOIN nation n2 "
+     "ON n2.n_regionkey = r.r_regionkey",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation n JOIN region r "
+     "ON n.n_regionkey = r.r_regionkey JOIN nation n2 "
+     "ON n2.n_regionkey = r.r_regionkey"),
+    ("not_in_subquery_with_null_empty",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_regionkey NOT IN "
+     "(SELECT NULLIF(r_regionkey, 0) FROM region)",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    ("not_exists_correlated_r4",
+     "SELECT r_name AS c FROM region WHERE NOT EXISTS "
+     "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey "
+     "AND n_nationkey > 23) ORDER BY c",
+     None),
+    ("straight_join_hint_runs",
+     "SELECT STRAIGHT_JOIN COUNT(*) AS c FROM nation n, region r "
+     "WHERE n.n_regionkey = r.r_regionkey",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation n, region r "
+     "WHERE n.n_regionkey = r.r_regionkey"),
+    ("comma_join_with_where",
+     "SELECT COUNT(*) AS c FROM nation, region "
+     "WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation, region "
+     "WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'"),
+    # ---- r4: string/charset function edges (reference
+    # charset_collation_engine.go / function_queries.go slices) -----------
+    ("binary_operator_case_sensitive",
+     "SELECT BINARY 'abc' = 'ABC' AS c, BINARY 'abc' = 'abc' AS d",
+     "SELECT FALSE AS c, TRUE AS d"),
+    ("like_default_ci",
+     "SELECT r_name AS c FROM region WHERE r_name LIKE 'a%' ORDER BY c",
+     "SELECT r_name AS c FROM region WHERE r_name ILIKE 'a%' ORDER BY c"),
+    ("char_length_vs_byte_length",
+     "SELECT CHAR_LENGTH('héllo') AS chars, LENGTH('héllo') AS bytes",
+     "SELECT CAST(5 AS BIGINT) AS chars, CAST(6 AS BIGINT) AS bytes"),
+    ("upper_lower_accented",
+     "SELECT UPPER('héllo') AS u, LOWER('HÉLLO') AS l",
+     "SELECT 'HÉLLO' AS u, 'héllo' AS l"),
+    ("hex_unhex_roundtrip",
+     "SELECT HEX('AB') AS h, CAST(UNHEX('4142') AS CHAR) AS s",
+     "SELECT '4142' AS h, 'AB' AS s"),
+    ("field_position_1_based",
+     "SELECT FIELD('b', 'a', 'b', 'c') AS c, FIELD('z', 'a', 'b') AS d",
+     "SELECT CAST(2 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d"),
+    ("elt_picks_nth",
+     "SELECT ELT(2, 'x', 'y', 'z') AS c, ELT(9, 'x') AS d",
+     "SELECT 'y' AS c, CAST(NULL AS VARCHAR) AS d"),
+    ("strcmp_sign",
+     "SELECT STRCMP('a', 'b') AS lt, STRCMP('b', 'b') AS eq, "
+     "STRCMP('c', 'b') AS gt",
+     "SELECT -1 AS lt, 0 AS eq, 1 AS gt"),
+    ("insert_fn_splice",
+     "SELECT INSERT('abcdef', 2, 3, 'XY') AS c",
+     "SELECT 'aXYef' AS c"),
+    ("lpad_rpad_truncate",
+     "SELECT LPAD('ab', 5, '*') AS l, RPAD('abcdef', 3, '*') AS r",
+     "SELECT '***ab' AS l, 'abc' AS r"),
+    ("repeat_space_quote",
+     # MySQL QUOTE escapes the embedded quote with a BACKSLASH
+     "SELECT REPEAT('ab', 3) AS r, QUOTE(\"o'clock\") AS q",
+     "SELECT 'ababab' AS r, $$'o\\'clock'$$ AS q"),
+    ("locate_substring_index",
+     "SELECT LOCATE('b', 'abcabc') AS p, "
+     "SUBSTRING_INDEX('a.b.c', '.', 2) AS s",
+     "SELECT CAST(2 AS BIGINT) AS p, 'a.b' AS s"),
+    ("trim_variants",
+     "SELECT TRIM(BOTH 'x' FROM 'xxaxx') AS b, "
+     "TRIM(LEADING 'x' FROM 'xxaxx') AS l, "
+     "TRIM(TRAILING 'x' FROM 'xxaxx') AS t",
+     "SELECT 'a' AS b, 'axx' AS l, 'xxa' AS t"),
+    ("reverse_left_right",
+     "SELECT REVERSE('abc') AS r, LEFT('abcdef', 2) AS l, "
+     "RIGHT('abcdef', 2) AS rt",
+     "SELECT 'cba' AS r, 'ab' AS l, 'ef' AS rt"),
+    # ---- r4: date/time edges (reference time_queries.go slices) ----------
+    ("date_add_week_quarter",
+     "SELECT DATE_ADD('2024-01-31', INTERVAL 2 WEEK) AS w, "
+     "DATE_ADD('2024-01-31', INTERVAL 1 QUARTER) AS q",
+     "SELECT CAST('2024-02-14' AS DATE) AS w, "
+     "CAST('2024-04-30' AS DATE) AS q"),
+    ("date_add_month_clamps_eom",
+     "SELECT DATE_ADD('2024-01-31', INTERVAL 1 MONTH) AS c",
+     "SELECT CAST('2024-02-29' AS DATE) AS c"),
+    ("last_day_fn_r4",
+     "SELECT LAST_DAY('2024-02-10') AS c, LAST_DAY('2023-02-10') AS d",
+     "SELECT CAST('2024-02-29' AS DATE) AS c, "
+     "CAST('2023-02-28' AS DATE) AS d"),
+    ("dayofyear_weekday",
+     "SELECT DAYOFYEAR('2024-03-01') AS doy, WEEKDAY('2024-01-01') AS wd, "
+     "DAYOFWEEK('2024-01-01') AS dow",
+     # 2024-01-01 is a Monday: WEEKDAY (Mon=0) -> 0, DAYOFWEEK (Sun=1) -> 2
+     "SELECT CAST(61 AS BIGINT) AS doy, CAST(0 AS BIGINT) AS wd, "
+     "CAST(2 AS BIGINT) AS dow"),
+    ("datediff_sign",
+     "SELECT DATEDIFF('2024-01-10', '2024-01-15') AS c",
+     "SELECT CAST(-5 AS BIGINT) AS c"),
+    ("makedate_fn_r4",
+     "SELECT MAKEDATE(2024, 60) AS c",
+     "SELECT CAST('2024-02-29' AS DATE) AS c"),
+    ("period_add_diff",
+     "SELECT PERIOD_ADD(202401, 2) AS a, PERIOD_DIFF(202403, 202401) AS d",
+     "SELECT CAST(202403 AS BIGINT) AS a, CAST(2 AS BIGINT) AS d"),
+    ("extract_parts_r4",
+     "SELECT EXTRACT(YEAR FROM '2024-03-05') AS y, "
+     "EXTRACT(MONTH FROM '2024-03-05') AS m, "
+     "EXTRACT(DAY FROM '2024-03-05') AS d",
+     "SELECT CAST(2024 AS BIGINT) AS y, CAST(3 AS BIGINT) AS m, "
+     "CAST(5 AS BIGINT) AS d"),
+    ("quarter_week_of_date",
+     "SELECT QUARTER('2024-08-14') AS q, MONTHNAME('2024-08-14') AS m, "
+     "DAYNAME('2024-08-14') AS d",
+     "SELECT CAST(3 AS BIGINT) AS q, 'August' AS m, 'Wednesday' AS d"),
+    ("to_days_from_days_roundtrip",
+     "SELECT FROM_DAYS(TO_DAYS('2024-05-05')) AS c",
+     "SELECT CAST('2024-05-05' AS DATE) AS c"),
+    # ---- r4: lax CAST edges (reference types/number.go conversions) ------
+    ("cast_numeric_prefix_string",
+     "SELECT CAST('12abc' AS SIGNED) AS a, CAST('abc' AS SIGNED) AS b, "
+     "CAST('' AS SIGNED) AS c",
+     "SELECT CAST(12 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, "
+     "CAST(0 AS BIGINT) AS c"),
+    ("cast_decimal_string_rounds",
+     "SELECT CAST('3.7' AS SIGNED) AS a, CAST('-3.7' AS SIGNED) AS b",
+     "SELECT CAST(4 AS BIGINT) AS a, CAST(-4 AS BIGINT) AS b"),
+    ("cast_double_to_signed_rounds",
+     "SELECT CAST(2.5 AS SIGNED) AS a, CAST(-2.5 AS SIGNED) AS b",
+     # MySQL rounds half away from zero
+     "SELECT CAST(3 AS BIGINT) AS a, CAST(-3 AS BIGINT) AS b"),
+    ("cast_bool_to_char",
+     "SELECT CAST(TRUE AS CHAR) AS t, CAST(FALSE AS CHAR) AS f",
+     "SELECT '1' AS t, '0' AS f"),
+    ("cast_scientific_string",
+     "SELECT CAST('1e3' AS SIGNED) AS c",
+     "SELECT CAST(1000 AS BIGINT) AS c"),
+    # ---- r4: aggregate empty-input / edge semantics ----------------------
+    ("sum_empty_is_null",
+     "SELECT SUM(n_nationkey) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(NULL AS BIGINT) AS c"),
+    ("count_empty_is_zero",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    ("min_empty_is_null",
+     "SELECT MIN(n_name) AS c FROM nation WHERE n_nationkey < 0",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("stddev_samp_single_row_null",
+     "SELECT STDDEV_SAMP(n_nationkey) AS c FROM nation "
+     "WHERE n_nationkey = 3",
+     "SELECT CAST(NULL AS DOUBLE) AS c"),
+    ("count_distinct_multi_arg",
+     "SELECT COUNT(DISTINCT n_regionkey, n_nationkey % 2) AS c FROM nation",
+     "SELECT CAST(COUNT(DISTINCT (n_regionkey, n_nationkey % 2)) AS BIGINT)"
+     " AS c FROM nation"),
+    ("group_concat_distinct_sorted",
+     "SELECT GROUP_CONCAT(DISTINCT n_regionkey ORDER BY n_regionkey) AS c "
+     "FROM nation",
+     "SELECT string_agg(DISTINCT r::VARCHAR, ',' ORDER BY r) AS c FROM "
+     "(SELECT DISTINCT n_regionkey AS r FROM nation) t"),
+    ("avg_integer_promotes_decimal",
+     "SELECT AVG(n_nationkey) AS c FROM nation WHERE n_nationkey < 4",
+     "SELECT 1.5 AS c"),
+    # ---- r4: subquery / scoping edges ------------------------------------
+    ("scalar_subquery_empty_null_r4",
+     "SELECT (SELECT n_name FROM nation WHERE n_nationkey = -1) AS c",
+     "SELECT CAST(NULL AS VARCHAR) AS c"),
+    ("in_empty_subquery_false",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_regionkey IN "
+     "(SELECT r_regionkey FROM region WHERE r_regionkey < 0)",
+     "SELECT CAST(0 AS BIGINT) AS c"),
+    ("correlated_scalar_in_select",
+     "SELECT r_name AS c, (SELECT COUNT(*) FROM nation "
+     "WHERE n_regionkey = r_regionkey) AS n FROM region ORDER BY c",
+     "SELECT r_name AS c, CAST((SELECT COUNT(*) FROM nation "
+     "WHERE n_regionkey = r_regionkey) AS BIGINT) AS n "
+     "FROM region ORDER BY c"),
+    ("exists_ignores_projection",
+     "SELECT COUNT(*) AS c FROM region WHERE EXISTS "
+     "(SELECT 1/0 FROM nation WHERE n_regionkey = r_regionkey)",
+     "SELECT CAST(5 AS BIGINT) AS c"),
+    ("any_comparison_r4",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey > ANY "
+     "(SELECT r_regionkey FROM region)",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "WHERE n_nationkey > (SELECT MIN(r_regionkey) FROM region)"),
+    ("all_comparison_r4",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey > ALL "
+     "(SELECT r_regionkey FROM region)",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "WHERE n_nationkey > (SELECT MAX(r_regionkey) FROM region)"),
+    # ---- r4: alias visibility / ordinal references -----------------------
+    ("order_by_ordinal_r4",
+     "SELECT n_name, n_regionkey FROM nation WHERE n_nationkey < 5 "
+     "ORDER BY 2 DESC, 1",
+     None),
+    ("group_by_ordinal_r4",
+     "SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY 1 ORDER BY 1",
+     "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "GROUP BY 1 ORDER BY 1"),
+    ("select_alias_in_having",
+     "SELECT n_regionkey AS rk, COUNT(*) AS c FROM nation GROUP BY rk "
+     "HAVING c >= 5 ORDER BY rk",
+     "SELECT n_regionkey AS rk, CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "GROUP BY rk HAVING COUNT(*) >= 5 ORDER BY rk"),
+    ("select_alias_in_order_by_expr",
+     "SELECT n_nationkey * 2 AS dbl FROM nation WHERE n_nationkey < 5 "
+     "ORDER BY dbl DESC",
+     None),
+    ("having_without_group_by",
+     "SELECT COUNT(*) AS c FROM nation HAVING COUNT(*) > 1",
+     "SELECT CAST(25 AS BIGINT) AS c"),
+    ("distinct_then_order",
+     "SELECT DISTINCT n_regionkey AS c FROM nation ORDER BY c DESC",
+     None),
 ]
 
 IDS = [c[0] for c in CORPUS]
