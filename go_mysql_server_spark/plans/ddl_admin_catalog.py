@@ -365,3 +365,126 @@ def prepare_execute_using_params(spark, sf_dir):
     df = eng.query("EXECUTE p4 USING @rk, 10")
     eng.query("DEALLOCATE PREPARE p4")
     return df
+
+
+# ---- round-4 batch 3: admin bookkeeping as driver-verifiable oracles -------
+
+
+@query(
+    "admin_show_create_roundtrip",
+    oracle="""
+SELECT 'sct4' AS tbl,
+       'CREATE TABLE `sct4` (
+  `id` bigint NOT NULL,
+  `v` string NOT NULL DEFAULT ''x'',
+  PRIMARY KEY (id)
+)' AS ddl
+""",
+)
+def admin_show_create_roundtrip(spark, sf_dir):
+    """SHOW CREATE TABLE reproduces the full DDL — columns, NOT NULL,
+    DEFAULT, PRIMARY KEY — from catalog state (reference
+    sql/plan/show_create_table.go)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS sct4")
+    eng.query("CREATE TABLE sct4 (id BIGINT PRIMARY KEY, "
+              "v VARCHAR(20) NOT NULL DEFAULT 'x')")
+    df = eng.query("SHOW CREATE TABLE sct4")
+    cols = df.columns
+    return df.select(F.col(cols[0]).alias("tbl"),
+                     F.col(cols[1]).alias("ddl"))
+
+
+@query(
+    "admin_grants_listing",
+    oracle="""
+SELECT g FROM (VALUES
+  ('GRANT USAGE ON *.* TO `app4`@`%`'),
+  ('GRANT SELECT, INSERT ON mydb.* TO `app4`@`%`')
+) v(g)
+ORDER BY g
+""",
+)
+def admin_grants_listing(spark, sf_dir):
+    """CREATE USER + GRANT bookkeeping read back via SHOW GRANTS
+    (reference sql/plan/grant.go, sql/mysql_db privilege sets): the
+    implicit USAGE row plus the granted privileges, MySQL's exact
+    backquoted formatting."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP USER IF EXISTS 'app4'@'%'")
+    eng.query("CREATE USER 'app4'@'%' IDENTIFIED BY 'pw'")
+    eng.query("GRANT SELECT, INSERT ON mydb.* TO 'app4'@'%'")
+    df = eng.query("SHOW GRANTS FOR 'app4'@'%'")
+    return df.select(F.col(df.columns[0]).alias("g")).orderBy("g")
+
+
+@query(
+    "admin_checksum_order_invariant",
+    oracle="""
+SELECT TRUE AS checksums_equal, FALSE AS differs_after_change,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation
+""",
+)
+def admin_checksum_order_invariant(spark, sf_dir):
+    """CHECKSUM TABLE is content-defined and row-order independent (xor of
+    per-row hashes — the distributed-friendly variant of MySQL's CRC,
+    documented divergence): two tables with the same rows in different
+    physical order check out equal; mutating one row changes it."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ck_a")
+    eng.query("DROP TABLE IF EXISTS ck_b")
+    eng.query("CREATE TABLE ck_a AS SELECT n_nationkey AS k, n_name AS v "
+              "FROM nation ORDER BY n_nationkey")
+    eng.query("CREATE TABLE ck_b AS SELECT n_nationkey AS k, n_name AS v "
+              "FROM nation ORDER BY n_nationkey DESC")
+    a0 = eng.query("CHECKSUM TABLE ck_a").collect()[0][1]
+    b0 = eng.query("CHECKSUM TABLE ck_b").collect()[0][1]
+    eng.query("UPDATE ck_b SET v = 'mutated' WHERE k = 0")
+    b1 = eng.query("CHECKSUM TABLE ck_b").collect()[0][1]
+    n = eng.query("SELECT COUNT(*) AS n FROM ck_a").collect()[0][0]
+    return spark.createDataFrame(
+        [(a0 == b0, a0 == b1, n)],
+        "checksums_equal boolean, differs_after_change boolean, n bigint")
+
+
+@query(
+    "admin_event_at_executes",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation WHERE n_nationkey < 3
+UNION ALL SELECT 99 AS id
+ORDER BY id
+""",
+)
+def admin_event_at_executes(spark, sf_dir):
+    """CREATE EVENT ... ON SCHEDULE AT <now> executes its DO body
+    synchronously when due (reference sql/plan/create_event.go + the
+    event scheduler; async thread is opt-in, due-at-creation events run
+    inline)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS ev_t4")
+    eng.query("CREATE TABLE ev_t4 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO ev_t4 SELECT n_nationkey FROM nation "
+              "WHERE n_nationkey < 3")
+    eng.query("CREATE EVENT ev4 ON SCHEDULE AT CURRENT_TIMESTAMP "
+              "DO INSERT INTO ev_t4 VALUES (99)")
+    return eng.query("SELECT id FROM ev_t4 ORDER BY id")
+
+
+@query(
+    "admin_session_variables",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS ac, 'STRICT_TRANS_TABLES' AS mode,
+       CAST(42 AS BIGINT) AS uv
+""",
+)
+def admin_session_variables(spark, sf_dir):
+    """SET of system and user variables reads back via @@var / @var
+    (reference sql/plan/set.go, session variable store)."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("SET autocommit = 0")
+    eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+    eng.query("SET @uv = 40 + 2")
+    return eng.query(
+        "SELECT CAST(@@autocommit AS SIGNED) AS ac, @@sql_mode AS mode, "
+        "CAST(@uv AS SIGNED) AS uv")
