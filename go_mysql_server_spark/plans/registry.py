@@ -60,6 +60,8 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.pipeline6",
     # round-4: DDL/admin/stored-program oracle slice + query expansion
     "go_mysql_server_spark.plans.ddl_admin_catalog",
+    # round-4: streaming-engine executions (availableNow drain → oracle)
+    "go_mysql_server_spark.plans.streaming_catalog",
 )
 
 
