@@ -283,6 +283,8 @@ class Engine:
         self.events: dict[str, object] = {}       # name → admin.EventDef
         self._started = __import__("time").time()
         self._query_count = 0
+        self.connection_id = 1      # single-session engine: fixed thread id
+        self.last_row_count = -1    # ROW_COUNT(): -1 until a DML runs
         from .admin import UserEntry
         self.users["root@localhost"] = UserEntry("root", "localhost")
         self.prepared: dict[str, object] = {}     # name → PreparedStatement
@@ -337,7 +339,13 @@ class Engine:
             raise SqlError(f"unsupported statement: {sql[:60]!r}")
         with self._stmt_lock:
             admin.run_due_events(self)
-            return handler(sql)
+            result = handler(sql)
+            # ROW_COUNT() tracking (reference row_count.go): DML reports
+            # its affected count; statements that return a result set
+            # reset it to -1, as MySQL does
+            self.last_row_count = (
+                result.rows_affected if isinstance(result, OkResult) else -1)
+            return result
 
     def _q_do(self, sql: str) -> OkResult:
         """DO expr: evaluate and discard (reference sql/plan/do.go)."""
@@ -440,8 +448,18 @@ class Engine:
             masked = re.sub(r"\bLAST_INSERT_UUID\s*\(\s*\)",
                             self._lit(wkb_fns.LAST_INSERT_UUID[0]),
                             masked, flags=re.I)
-        masked = re.sub(r"\bDATABASE\s*\(\s*\)", self._lit(self.current_db),
+        masked = re.sub(r"\b(?:DATABASE|SCHEMA)\s*\(\s*\)",
+                        self._lit(self.current_db), masked, flags=re.I)
+        # session introspection functions (reference
+        # sql/expression/function/version.go, connection_id.go,
+        # row_count.go): constants of this session, substituted as literals
+        masked = re.sub(r"\bVERSION\s*\(\s*\)",
+                        self._lit(str(self.sys_vars.get("version", ""))),
                         masked, flags=re.I)
+        masked = re.sub(r"\bCONNECTION_ID\s*\(\s*\)",
+                        self._lit(self.connection_id), masked, flags=re.I)
+        masked = re.sub(r"\bROW_COUNT\s*\(\s*\)",
+                        self._lit(self.last_row_count), masked, flags=re.I)
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_as_of(sql)

@@ -488,3 +488,27 @@ def admin_session_variables(spark, sf_dir):
     return eng.query(
         "SELECT CAST(@@autocommit AS SIGNED) AS ac, @@sql_mode AS mode, "
         "CAST(@uv AS SIGNED) AS uv")
+
+
+@query(
+    "func_session_info",
+    oracle="""
+SELECT 'mydb' AS db, 'mydb' AS sch, 'root' AS cu,
+       '8.0.0-gms-spark' AS ver, CAST(1 AS BIGINT) AS cid,
+       CAST(3 AS BIGINT) AS rc
+""",
+)
+def func_session_info(spark, sf_dir):
+    """Session introspection functions (reference
+    sql/expression/function/version.go, connection_id.go, row_count.go,
+    database.go): DATABASE()/SCHEMA(), CURRENT_USER(), VERSION(),
+    CONNECTION_ID(), and ROW_COUNT() reflecting the last DML's affected
+    rows."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS si4")
+    eng.query("CREATE TABLE si4 (id BIGINT PRIMARY KEY)")
+    eng.query("INSERT INTO si4 VALUES (1), (2), (3)")
+    return eng.query(
+        "SELECT DATABASE() AS db, SCHEMA() AS sch, CURRENT_USER() AS cu, "
+        "VERSION() AS ver, CAST(CONNECTION_ID() AS SIGNED) AS cid, "
+        "CAST(ROW_COUNT() AS SIGNED) AS rc")

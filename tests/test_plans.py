@@ -297,3 +297,19 @@ def test_driver_verified_derived_and_fresh_first():
         (i for i, n in enumerate(names) if n in DRIVER_VERIFIED), len(names))
     assert all(n in DRIVER_VERIFIED for n in names[first_seen:]), (
         "never-verified entries must sort before verified ones")
+
+
+def test_query_expansion_final_pass_is_scan_side(spark):
+    """fulltext_query_expansion's corpus re-rank must stay a pure
+    scan-side projection + TopK: the expansion vocabulary is collected
+    (bounded <= K+1 strings) and inlined as literals, so the returned
+    plan has ONE documents scan, no joins, no explode, and a bounded-heap
+    TakeOrderedAndProject — the property that matters when documents is
+    100 TB."""
+    plan = formatted_plan(spark, "fulltext_query_expansion")
+    # formatted mode lists each node twice (tree line + detail section)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange (" not in plan or plan.count("Exchange (") <= 1
