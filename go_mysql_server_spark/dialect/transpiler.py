@@ -726,6 +726,61 @@ def _unquote_numeric_args(sql: str, lits: list[str]) -> str:
     return sql
 
 
+_CLAUSE_END = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|QUALIFY|UNION|EXCEPT|"
+    r"INTERSECT)\b", re.IGNORECASE)
+
+
+def wrap_truthy_filters(sql: str) -> str:
+    """MySQL accepts any expression as a filter (`WHERE 1`, `WHERE col`):
+    non-zero is true, 0/NULL is false. Spark's analyzer requires BOOLEAN
+    and raises FILTER_NOT_BOOLEAN — the engine retries the statement
+    through this rewrite, which wraps every WHERE/HAVING clause body in
+    `CAST((body) AS DOUBLE) <> 0.0` (valid for boolean and numeric
+    operands alike). Retry-only: the wrap defeats parquet filter pushdown,
+    so it must never run on statements whose filters are already boolean."""
+    masked, lits = mask_literals(sql)
+
+    def spans(text: str) -> list[tuple[int, int]]:
+        out = []
+        for m in re.finditer(r"\b(?:WHERE|HAVING)\b", text, re.IGNORECASE):
+            start = m.end()
+            depth = 0
+            end = len(text)
+            i = start
+            while i < len(text):
+                c = text[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth < 0:   # clause lives inside a subquery
+                        end = i
+                        break
+                elif depth == 0 and _CLAUSE_END.match(text, i):
+                    end = i
+                    break
+                i += 1
+            out.append((start, end))
+        return out
+
+    # wrap one unwrapped clause per pass, innermost (rightmost) first —
+    # spans may nest, so offsets are recomputed after every edit
+    changed = True
+    while changed:
+        changed = False
+        for start, end in reversed(spans(masked)):
+            body = masked[start:end].strip()
+            if not body or body.startswith("(CAST(("):
+                continue
+            masked = (masked[:start]
+                      + f" (CAST(({body}) AS DOUBLE) <> 0.0) "
+                      + masked[end:])
+            changed = True
+            break
+    return unmask_literals(masked, lits)
+
+
 def transpile_select(sql: str) -> str:
     """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
     text so quoted strings and backtick identifiers pass through verbatim."""

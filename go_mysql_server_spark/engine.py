@@ -485,7 +485,14 @@ class Engine:
             df.coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
             return OkResult(df.count(), info=f"wrote {path}")
         sql = self._rewrite_enum_order(sql)
-        return self.spark.sql(transpile_select(sql))
+        final = transpile_select(sql)
+        try:
+            return self.spark.sql(final)
+        except Exception as exc:  # MySQL truthiness retry (see below)
+            if "FILTER_NOT_BOOLEAN" not in str(exc):
+                raise
+            from .dialect.transpiler import wrap_truthy_filters
+            return self.spark.sql(wrap_truthy_filters(final))
 
     def _rewrite_enum_order(self, sql: str) -> str:
         """ENUM columns sort by declaration ordinal, not lexicographically

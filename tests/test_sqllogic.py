@@ -927,8 +927,21 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT NOT (NULL = 1) AS c",
      "SELECT CAST(NULL AS BOOLEAN) AS c"),
     ("where_null_filters_row",
-     "SELECT COUNT(*) AS c FROM nation WHERE NULLIF(1, 1) = 1",
+     # MySQL truthiness: a NULL filter value excludes the row
+     "SELECT COUNT(*) AS c FROM nation WHERE NULLIF(1, 1)",
      "SELECT CAST(0 AS BIGINT) AS c"),
+    ("where_numeric_truthiness",
+     "SELECT COUNT(*) AS c FROM nation WHERE n_regionkey",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "WHERE n_regionkey <> 0"),
+    ("where_literal_one",
+     "SELECT COUNT(*) AS c FROM nation WHERE 1",
+     "SELECT CAST(25 AS BIGINT) AS c"),
+    ("having_numeric_truthiness",
+     "SELECT n_regionkey AS g, COUNT(*) AS c FROM nation "
+     "GROUP BY n_regionkey HAVING COUNT(*) - 5 ORDER BY g",
+     "SELECT n_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "GROUP BY n_regionkey HAVING COUNT(*) <> 5 ORDER BY g"),
     # ---- r4: mixed-type comparisons (reference queries.go:3311
     # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
     ("str_num_eq",
