@@ -482,7 +482,7 @@ def _rewrite_calls(sql: str, pattern: re.Pattern, repl_fn) -> str:
 _MISC_FN = re.compile(
     r"\b(DAYNAME|MONTHNAME|CEILING|CEIL|FLOOR|SIGN|GREATEST|LEAST|STRCMP|"
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
-    r"INTERVAL|JSON_ARRAY|JSON_OBJECT|MAKE_SET|EXPORT_SET)\s*\(",
+    r"INTERVAL|JSON_ARRAY|JSON_OBJECT|MAKE_SET|EXPORT_SET|OCT)\s*\(",
     re.IGNORECASE)
 
 
@@ -524,6 +524,9 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             if len(args) != 1:
                 return None  # CEIL(x, scale) Spark extension — passthrough
             return f"CAST({fn}({args[0]}) AS BIGINT)"
+        if name == "OCT":
+            # base-8 CONV (reference sql/expression/function/oct.go)
+            return f"conv(CAST({args[0]} AS STRING), 10, 8)"
         if name == "SIGN":
             return f"CAST(SIGN({args[0]}) AS BIGINT)"
         if name in ("GREATEST", "LEAST"):
@@ -833,6 +836,29 @@ def transpile_select(sql: str) -> str:
     sql = _SYSDATE.sub("current_timestamp()", sql)
     # MySQL logical XOR on booleans ≡ boolean inequality
     sql = _XOR.sub("!=", sql)
+    # Bit shifts are 64-bit in MySQL; Spark's << / >> type from the left
+    # operand, so an INT literal shifted by >=32 silently wraps. Casting
+    # the left atom (number, column, placeholder, or one paren group) to
+    # BIGINT makes shiftleft/shiftright operate at 64-bit width. Fixpoint
+    # loop so shifts nested inside a paren-group atom get wrapped too;
+    # already-wrapped atoms (ending "AS BIGINT)") are left alone.
+    _shift_pat = re.compile(
+        r"(\d+\.?\d*|\x00\d+\x00|`?\w+`?(?:\.`?\w+`?)*|\([^()]*\))"
+        r"\s*(<<|>>)")
+    while True:
+        _changed = False
+
+        def _shift_repl(m: re.Match) -> str:
+            nonlocal _changed
+            atom = m.group(1)
+            if atom.upper().rstrip().endswith("AS BIGINT)"):
+                return m.group(0)
+            _changed = True
+            return f"CAST({atom} AS BIGINT) {m.group(2)}"
+
+        sql = _shift_pat.sub(_shift_repl, sql)
+        if not _changed:
+            break
     # GROUP BY a, b WITH ROLLUP → GROUP BY ROLLUP(a, b)
     sql = re.sub(
         r"GROUP\s+BY\s+(.+?)\s+WITH\s+ROLLUP",

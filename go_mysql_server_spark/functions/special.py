@@ -160,7 +160,18 @@ def _mutate(doc: str | None, path: str, value_json: str | None, mode: str):
         isinstance(parent, dict) and last in parent
         or isinstance(parent, list) and isinstance(last, int) and last < len(parent)
     )
-    val = json.loads(value_json) if value_json is not None else None
+    # SQL callers pass native scalars (JSON_SET(doc, path, 2)); the
+    # DataFrame builders pass JSON-encoded text. Parse only strings that
+    # ARE valid JSON; a non-JSON string is MySQL's string scalar.
+    if value_json is None:
+        val = None
+    elif isinstance(value_json, str):
+        try:
+            val = json.loads(value_json)
+        except ValueError:
+            val = value_json
+    else:
+        val = value_json
     if mode == "set" or (mode == "insert" and not exists) or (
         mode == "replace" and exists
     ):
@@ -423,6 +434,29 @@ def register_udfs(spark: SparkSession) -> None:
     spark.udf.register("json_remove", lambda d, p: _mutate(d, p, None, "remove"),
                        T.StringType())
     spark.udf.register("json_merge_patch", _merge_patch, T.StringType())
+    # SQL-text spellings for the remaining JSON inspectors (reference
+    # sql/expression/function/json/json_{depth,type,quote,search,length}.go)
+    spark.udf.register(
+        "json_depth",
+        lambda s: None if s is None else _depth(json.loads(s)),
+        T.IntegerType())
+    def _jtype_sql(s):
+        if s is None:
+            return None
+        try:
+            return _jtype(json.loads(s))
+        except ValueError:
+            # an extracted string value arrives unquoted → STRING
+            return "STRING"
+
+    spark.udf.register("json_type", _jtype_sql, T.StringType())
+    spark.udf.register(
+        "json_quote",
+        lambda s: None if s is None else json.dumps(s),
+        T.StringType())
+    from .extra_fns import _json_search
+    spark.udf.register("json_search", _json_search, T.StringType())
+    # (json_length is a SQL macro — dialect/sql_macros.py — not a UDF)
     spark.udf.register(
         "json_contains",
         lambda doc, cand: None if doc is None or cand is None

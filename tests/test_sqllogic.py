@@ -942,6 +942,49 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "GROUP BY n_regionkey HAVING COUNT(*) - 5 ORDER BY g",
      "SELECT n_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS c FROM nation "
      "GROUP BY n_regionkey HAVING COUNT(*) <> 5 ORDER BY g"),
+    # ---- r4: bit shifts are 64-bit; base conversion fns ------------------
+    ("shift_left_64bit",
+     "SELECT 1 << 62 AS c",
+     "SELECT CAST(4611686018427387904 AS BIGINT) AS c"),
+    ("shift_nested_64bit",
+     "SELECT (1 << 40) >> 2 AS c",
+     "SELECT CAST(274877906944 AS BIGINT) AS c"),
+    ("shift_column_operand",
+     "SELECT n_nationkey << 33 AS c FROM nation WHERE n_nationkey = 3",
+     "SELECT CAST(3 * 8589934592 AS BIGINT) AS c"),
+    ("conv_bin_oct",
+     "SELECT CONV('ff', 16, 10) AS a, CONV(255, 10, 16) AS b, "
+     "BIN(5) AS c, OCT(64) AS d",
+     "SELECT '255' AS a, 'FF' AS b, '101' AS c, '100' AS d"),
+    ("crc32_known_value",
+     "SELECT CRC32('abc') AS c",
+     "SELECT CAST(891568578 AS BIGINT) AS c"),
+    ("hex_string_literal_x",
+     "SELECT CAST(X'4142' AS CHAR) AS c, LENGTH(X'414243') AS l",
+     "SELECT 'AB' AS c, CAST(3 AS BIGINT) AS l"),
+    # ---- r4: JSON inspector functions ------------------------------------
+    ("json_depth_nested",
+     "SELECT JSON_DEPTH('{}') AS a, JSON_DEPTH('[1]') AS b, "
+     "JSON_DEPTH('{\"a\": [1]}') AS c",
+     "SELECT 1 AS a, 2 AS b, 3 AS c"),
+    ("json_type_classify",
+     "SELECT JSON_TYPE(JSON_EXTRACT('{\"a\": 1}', '$.a')) AS i, "
+     "JSON_TYPE(JSON_EXTRACT('{\"a\": [1]}', '$.a')) AS arr, "
+     "JSON_TYPE(JSON_EXTRACT('{\"a\": \"s\"}', '$.a')) AS s",
+     "SELECT 'INTEGER' AS i, 'ARRAY' AS arr, 'STRING' AS s"),
+    ("json_quote_escapes",
+     "SELECT JSON_QUOTE('plain') AS a",
+     "SELECT '\"plain\"' AS a"),
+    ("json_search_path",
+     "SELECT JSON_SEARCH('[\"abc\",\"def\"]', 'one', 'def') AS c",
+     "SELECT '\"$[1]\"' AS c"),
+    ("json_set_native_scalar",
+     "SELECT JSON_SET('{\"a\": 1}', '$.b', 2) AS c",
+     "SELECT '{\"a\": 1, \"b\": 2}' AS c"),
+    ("json_length_forms",
+     "SELECT JSON_LENGTH('{\"a\":1,\"b\":2}') AS o, "
+     "JSON_LENGTH('[1,2,3]') AS a, JSON_LENGTH('3') AS s",
+     "SELECT 2 AS o, 3 AS a, 1 AS s"),
     # ---- r4: mixed-type comparisons (reference queries.go:3311
     # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
     ("str_num_eq",
