@@ -482,7 +482,8 @@ def _rewrite_calls(sql: str, pattern: re.Pattern, repl_fn) -> str:
 _MISC_FN = re.compile(
     r"\b(DAYNAME|MONTHNAME|CEILING|CEIL|FLOOR|SIGN|GREATEST|LEAST|STRCMP|"
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
-    r"INTERVAL|JSON_ARRAY|JSON_OBJECT|MAKE_SET|EXPORT_SET|OCT)\s*\(",
+    r"INTERVAL|JSON_ARRAYAGG|JSON_OBJECTAGG|JSON_ARRAY|JSON_OBJECT|"
+    r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT)\s*\(",
     re.IGNORECASE)
 
 
@@ -527,6 +528,12 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
         if name == "OCT":
             # base-8 CONV (reference sql/expression/function/oct.go)
             return f"conv(CAST({args[0]} AS STRING), 10, 8)"
+        if name == "GET_FORMAT":
+            # first arg is a bare keyword in MySQL (GET_FORMAT(DATE, 'ISO'))
+            kind = args[0].strip()
+            if re.fullmatch(r"DATE|DATETIME|TIME|TIMESTAMP", kind, re.I):
+                args = [f"'{kind.upper()}'"] + args[1:]
+            return f"get_format({', '.join(args)})"
         if name == "SIGN":
             return f"CAST(SIGN({args[0]}) AS BIGINT)"
         if name in ("GREATEST", "LEAST"):
@@ -592,6 +599,13 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             n, rest = args[0], ", ".join(args[1:])
             return (f"(CASE WHEN ({n}) IS NULL THEN -1 ELSE "
                     f"size(filter(array({rest}), __x -> __x <= ({n}))) END)")
+        if name == "JSON_ARRAYAGG":
+            # aggregate: JSON array in aggregation order (json_agg.go)
+            return f"to_json(collect_list({args[0]}))"
+        if name == "JSON_OBJECTAGG":
+            return (f"to_json(map_from_arrays("
+                    f"collect_list(CAST({args[0]} AS STRING)), "
+                    f"collect_list({args[1]})))")
         if name == "JSON_ARRAY":
             frags = ", ".join(_json_frag(a) for a in args)
             return f"CONCAT('[', concat_ws(',', {frags}), ']')"

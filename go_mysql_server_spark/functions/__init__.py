@@ -43,3 +43,200 @@ def register_udfs(spark: SparkSession) -> None:
     special.register_udfs(spark)
     from .udtf_fns import register_udtfs
     register_udtfs(spark)
+    _register_udf_backed_builders(spark)
+    from .spatial_sql import register_spatial_sql
+    register_spatial_sql(spark)
+    _register_misc_sql(spark)
+
+
+def _register_udf_backed_builders(spark: SparkSession) -> None:
+    """Generic SQL-text sweep: every REGISTRY builder created through
+    `_udfw` carries its underlying Python fn (`_py_fn`) — register it
+    under the MySQL name so SQL-text callers resolve it, unless Spark (or
+    an earlier registration) already owns the name. r4 audit found 111 of
+    the 329 reference names were DataFrame-builder-only."""
+    # Spark 4 owns some of these names with INCOMPATIBLE semantics (its
+    # json_array_insert differs from MySQL's); force ours for those — a
+    # registered temp function shadows the builtin.
+    force = {"json_array_insert"}
+    for name, builder in REGISTRY.items():
+        fn = getattr(builder, "_py_fn", None)
+        if fn is None:
+            continue
+        if name not in force and spark.catalog.functionExists(name):
+            continue  # never shadow a compatible Spark builtin
+        spark.udf.register(name, fn, builder._rtype)
+
+
+def _register_misc_sql(spark: SparkSession) -> None:
+    """Hand bridges for pure-Column builders whose SQL twins are small
+    (reference registry.go names with no Spark builtin and no UDF body)."""
+    import datetime as _dt
+    import os as _os
+    import secrets as _secrets
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    def _reg(name, fn, rtype):
+        if not spark.catalog.functionExists(name):
+            spark.udf.register(name, fn, rtype)
+
+    def _convert_tz(ts, from_tz, to_tz):
+        if ts is None or from_tz is None or to_tz is None:
+            return None
+
+        def off(tz):
+            if tz.upper() in ("UTC", "SYSTEM"):
+                return _dt.timedelta(0)
+            m = __import__("re").match(r"([+-])(\d{1,2}):(\d{2})$", tz)
+            if not m:
+                return None
+            sign = 1 if m.group(1) == "+" else -1
+            return sign * _dt.timedelta(hours=int(m.group(2)),
+                                        minutes=int(m.group(3)))
+
+        a, b = off(from_tz), off(to_tz)
+        if a is None or b is None:
+            return None
+        t = _dt.datetime.fromisoformat(str(ts))
+        return (t - a + b).strftime("%Y-%m-%d %H:%M:%S")
+
+    _reg("convert_tz", _convert_tz, T.StringType())
+
+    _GET_FORMATS = {
+        ("DATE", "USA"): "%m.%d.%Y", ("DATE", "JIS"): "%Y-%m-%d",
+        ("DATE", "ISO"): "%Y-%m-%d", ("DATE", "EUR"): "%d.%m.%Y",
+        ("DATE", "INTERNAL"): "%Y%m%d",
+        ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s",
+        ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s",
+        ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+        ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+        ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+        ("TIME", "USA"): "%h:%i:%s %p", ("TIME", "JIS"): "%H:%i:%s",
+        ("TIME", "ISO"): "%H:%i:%s", ("TIME", "EUR"): "%H.%i.%s",
+        ("TIME", "INTERNAL"): "%H%i%s",
+    }
+
+    def _get_format(kind, loc):
+        if kind is None or loc is None:
+            return None
+        return _GET_FORMATS.get((str(kind).upper(), str(loc).upper()))
+
+    _reg("get_format", _get_format, T.StringType())
+
+    def _timediff(a, b):
+        if a is None or b is None:
+            return None
+
+        def parse(s):
+            s = str(s)
+            if " " in s or "T" in s:
+                return _dt.datetime.fromisoformat(s.replace("T", " "))
+            h, m, sec = (s.split(":") + ["0", "0"])[:3]
+            return _dt.datetime(1970, 1, 1, 0, 0, 0) + _dt.timedelta(
+                hours=int(h), minutes=int(m), seconds=float(sec))
+
+        d = parse(a) - parse(b)
+        neg = d.total_seconds() < 0
+        d = abs(d)
+        hours = d.days * 24 + d.seconds // 3600
+        return (f"{'-' if neg else ''}{hours:02d}:"
+                f"{(d.seconds // 60) % 60:02d}:{d.seconds % 60:02d}")
+
+    _reg("timediff", _timediff, T.StringType())
+    _reg("microsecond",
+         lambda ts: None if ts is None
+         else _dt.datetime.fromisoformat(str(ts).replace("T", " ")).microsecond,
+         T.IntegerType())
+    _reg("utc_timestamp",
+         lambda: _dt.datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S"),
+         T.StringType())
+    _reg("uuid_short",
+         lambda: int.from_bytes(_os.urandom(7), "big"), T.LongType())
+    _reg("random_bytes",
+         lambda n: None if n is None else _secrets.token_bytes(int(n)),
+         T.BinaryType())
+    _reg("load_file", lambda p: None, T.StringType())  # priv-gated → NULL
+    _reg("is_used_lock", lambda name: None, T.LongType())  # no lock held
+    _reg("is_binary",
+         lambda v: None if v is None else int(isinstance(v, (bytes, bytearray))),
+         T.IntegerType())
+
+    def _pw_strength(pw):
+        if pw is None:
+            return None
+        pw = str(pw)
+        score = 0
+        if len(pw) >= 4:
+            score = 25
+        if len(pw) >= 8:
+            score = 50
+            classes = sum((any(c.islower() for c in pw),
+                           any(c.isupper() for c in pw),
+                           any(c.isdigit() for c in pw),
+                           any(not c.isalnum() for c in pw)))
+            if classes >= 3:
+                score = 75
+            if classes == 4:
+                score = 100
+        return score
+
+    _reg("validate_password_strength", _pw_strength, T.IntegerType())
+    _reg("coercibility", lambda e: 4 if e is not None else 6, T.IntegerType())
+    _reg("gtid_subtract", wkb_fns._gtid_subtract, T.StringType())
+    _reg("json_schema_validation_report", wkb_fns._schema_report,
+         T.StringType())
+
+    def _json_storage_size(s):
+        # bytes of the compact encoding — a deterministic stand-in for
+        # MySQL's binary-JSON size (documented divergence; ours is the
+        # text engine's honest answer)
+        import json as _j
+        if s is None:
+            return None
+        try:
+            return len(_j.dumps(_j.loads(s),
+                                separators=(",", ":")).encode())
+        except ValueError:
+            return None
+
+    _reg("json_storage_size", _json_storage_size, T.IntegerType())
+    # a freshly-provided JSON text has no freed slack
+    _reg("json_storage_free",
+         lambda s: None if s is None else 0, T.IntegerType())
+    # vector functions over JSON-array text (reference vector registry
+    # names; the DataFrame builders stay the scan-side implementations)
+    import json as _json
+    import math as _math
+
+    def _to_vector(s):
+        if s is None:
+            return None
+        import struct as _struct
+        v = [float(x) for x in _json.loads(s)]
+        return _struct.pack(f"<{len(v)}f", *v)
+
+    def _from_vector(b):
+        if b is None:
+            return None
+        import struct as _struct
+        v = _struct.unpack(f"<{len(b) // 4}f", b)
+        return "[" + ",".join(repr(round(x, 6)) for x in v) + "]"
+
+    def _vec_distance(metric, a, b):
+        if a is None or b is None:
+            return None
+        va = [float(x) for x in _json.loads(a)]
+        vb = [float(x) for x in _json.loads(b)]
+        m = str(metric).upper() if metric else "L2_SQUARED"
+        if m in ("L2", "EUCLIDEAN"):
+            return _math.sqrt(sum((x - y) ** 2 for x, y in zip(va, vb)))
+        return sum((x - y) ** 2 for x, y in zip(va, vb))
+
+    _reg("to_vector", _to_vector, T.BinaryType())
+    _reg("string_to_vector", _to_vector, T.BinaryType())
+    _reg("from_vector", _from_vector, T.StringType())
+    _reg("vector_to_string", _from_vector, T.StringType())
+    _reg("distance",
+         lambda a, b: _vec_distance(None, a, b), T.DoubleType())

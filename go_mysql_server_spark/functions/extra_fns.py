@@ -38,6 +38,9 @@ def _udfw(fn, rtype):
     def call(*args):
         return u(*[_c(a) for a in args])
 
+    # expose for the SQL-text registration sweep (functions.register_udfs):
+    # a udf-backed builder's underlying Python fn registers directly
+    call._py_fn, call._rtype = fn, rtype
     return call
 
 
@@ -176,7 +179,18 @@ def _json_array_insert(doc, path, value_json):
             return json.dumps(obj, separators=(", ", ": "))
     if isinstance(parent, list):
         idx = min(keys[-1], len(parent))
-        parent.insert(idx, json.loads(value_json) if value_json is not None else None)
+        # SQL callers pass native scalars; builders pass JSON text (same
+        # tolerance as special._mutate)
+        if value_json is None:
+            val = None
+        elif isinstance(value_json, str):
+            try:
+                val = json.loads(value_json)
+            except ValueError:
+                val = value_json
+        else:
+            val = value_json
+        parent.insert(idx, val)
     return json.dumps(obj, separators=(", ", ": "))
 
 

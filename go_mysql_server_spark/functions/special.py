@@ -219,6 +219,9 @@ def _udfw(fn, rtype):
     def call(*args):
         return u(*[_c(a) for a in args])
 
+    # expose for the SQL-text registration sweep (functions.register_udfs):
+    # a udf-backed builder's underlying Python fn registers directly
+    call._py_fn, call._rtype = fn, rtype
     return call
 
 

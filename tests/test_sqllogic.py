@@ -985,6 +985,94 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT JSON_LENGTH('{\"a\":1,\"b\":2}') AS o, "
      "JSON_LENGTH('[1,2,3]') AS a, JSON_LENGTH('3') AS s",
      "SELECT 2 AS o, 3 AS a, 1 AS s"),
+    # ---- r4: SQL-text spatial surface (WKT-string Python UDF shim) -------
+    ("spatial_sql_point_accessors",
+     "SELECT ST_X(POINT(3, 4)) AS x, ST_Y(POINT(3, 4)) AS y, "
+     "ST_SRID(POINT(3, 4)) AS srid",
+     "SELECT 3.0 AS x, 4.0 AS y, 0 AS srid"),
+    ("spatial_sql_wkt_roundtrip",
+     "SELECT ST_ASTEXT(ST_GEOMFROMTEXT('POINT(1 2)')) AS p, "
+     "ST_ASTEXT(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1)')) AS l",
+     "SELECT 'POINT(1 2)' AS p, 'LINESTRING(0 0,1 1)' AS l"),
+    ("spatial_sql_measures",
+     "SELECT ST_DISTANCE(POINT(0,0), POINT(3,4)) AS d, "
+     "ST_LENGTH(ST_GEOMFROMTEXT('LINESTRING(0 0,3 4)')) AS len, "
+     "ST_AREA(ST_GEOMFROMTEXT('POLYGON((0 0,4 0,4 4,0 4,0 0))')) AS area",
+     "SELECT 5.0 AS d, 5.0 AS len, 16.0 AS area"),
+    ("spatial_sql_predicates",
+     "SELECT ST_CONTAINS(ST_GEOMFROMTEXT("
+     "'POLYGON((0 0,4 0,4 4,0 4,0 0))'), POINT(1,1)) AS inside, "
+     "ST_CONTAINS(ST_GEOMFROMTEXT("
+     "'POLYGON((0 0,4 0,4 4,0 4,0 0))'), POINT(9,9)) AS outside, "
+     "ST_WITHIN(POINT(1,1), ST_GEOMFROMTEXT("
+     "'POLYGON((0 0,4 0,4 4,0 4,0 0))')) AS within",
+     "SELECT 1 AS inside, 0 AS outside, 1 AS within"),
+    ("spatial_sql_wkb_roundtrip",
+     "SELECT ST_ASTEXT(ST_GEOMFROMWKB(ST_ASWKB(POINT(1, 2)))) AS p, "
+     "ST_ASTEXT(ST_GEOMFROMWKB(ST_ASWKB("
+     "ST_GEOMFROMTEXT('LINESTRING(0 0,1 1)')))) AS l",
+     "SELECT 'POINT(1 2)' AS p, 'LINESTRING(0 0,1 1)' AS l"),
+    ("spatial_sql_line_accessors",
+     "SELECT ST_ASTEXT(ST_STARTPOINT(ST_GEOMFROMTEXT("
+     "'LINESTRING(0 0,1 1,2 0)'))) AS s, "
+     "ST_NUMPOINTS(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1,2 0)')) AS n, "
+     "ST_ISCLOSED(ST_GEOMFROMTEXT('LINESTRING(0 0,1 1,0 0)')) AS c",
+     "SELECT 'POINT(0 0)' AS s, 3 AS n, 1 AS c"),
+    ("spatial_sql_envelope_centroid",
+     "SELECT ST_ASTEXT(ST_ENVELOPE(ST_GEOMFROMTEXT("
+     "'LINESTRING(0 0,2 3)'))) AS env, "
+     "ST_ASTEXT(ST_CENTROID(ST_GEOMFROMTEXT("
+     "'POLYGON((0 0,2 0,2 2,0 2,0 0))'))) AS ctr",
+     "SELECT 'POLYGON((0 0,2 0,2 3,0 3,0 0))' AS env, "
+     "'POINT(1 1)' AS ctr"),
+    ("spatial_sql_geohash_roundtrip",
+     "SELECT ST_GEOHASH(-5.5, 42.2, 6) AS gh, "
+     "ROUND(ST_LONGFROMGEOHASH(ST_GEOHASH(-5.5, 42.2, 9)), 3) AS lon, "
+     "ROUND(ST_LATFROMGEOHASH(ST_GEOHASH(-5.5, 42.2, 9)), 3) AS lat",
+     "SELECT 'ezs04f' AS gh, -5.5 AS lon, 42.2 AS lat"),
+    ("spatial_sql_geojson",
+     "SELECT ST_ASGEOJSON(POINT(1, 2)) AS gj, "
+     "ST_ASTEXT(ST_GEOMFROMGEOJSON("
+     "'{\"type\": \"Point\", \"coordinates\": [5, 6]}')) AS p",
+     "SELECT '{\"type\": \"Point\", \"coordinates\": [1.0, 2.0]}' AS gj, "
+     "'POINT(5 6)' AS p"),
+    ("spatial_sql_multi_collection",
+     "SELECT ST_GEOMETRYTYPE(ST_GEOMFROMTEXT('MULTIPOINT(1 1,2 2)')) AS t, "
+     "ST_NUMGEOMETRIES(ST_GEOMFROMTEXT("
+     "'GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,1 1))')) AS n, "
+     "ST_ASTEXT(ST_GEOMETRYN(ST_GEOMFROMTEXT('MULTIPOINT(1 1,2 2)'), 2)) "
+     "AS g2",
+     "SELECT 'MULTIPOINT' AS t, 2 AS n, 'POINT(2 2)' AS g2"),
+    # ---- r4: session/time/json functions now SQL-reachable ---------------
+    ("convert_tz_offsets",
+     "SELECT CONVERT_TZ('2024-01-01 12:00:00', '+00:00', '+05:30') AS c",
+     "SELECT '2024-01-01 17:30:00' AS c"),
+    ("get_format_names",
+     "SELECT GET_FORMAT(DATE, 'ISO') AS d, GET_FORMAT(TIME, 'JIS') AS t",
+     "SELECT '%Y-%m-%d' AS d, '%H:%i:%s' AS t"),
+    ("timediff_negative",
+     "SELECT TIMEDIFF('08:00:00', '09:30:00') AS c",
+     "SELECT '-01:30:00' AS c"),
+    ("json_arrayagg_sql_text",
+     "SELECT JSON_ARRAYAGG(n_regionkey) AS c FROM "
+     "(SELECT n_regionkey FROM nation WHERE n_nationkey < 3 "
+     "ORDER BY n_nationkey) t",
+     "SELECT '[0,1,2]' AS c"),
+    ("json_objectagg_sql_text",
+     "SELECT JSON_OBJECTAGG(r_regionkey, r_name) AS c FROM "
+     "(SELECT * FROM region WHERE r_regionkey < 2 ORDER BY r_regionkey) t",
+     "SELECT '{\"0\":\"AFRICA\",\"1\":\"AMERICA\"}' AS c"),
+    ("json_array_insert_sql",
+     "SELECT JSON_ARRAY_INSERT('[1,2]', '$[1]', 9) AS c",
+     "SELECT '[1, 9, 2]' AS c"),
+    ("json_storage_fns",
+     "SELECT JSON_STORAGE_SIZE('{\"a\": 1}') AS s, "
+     "JSON_STORAGE_FREE('{\"a\": 1}') AS f",
+     "SELECT 7 AS s, 0 AS f"),
+    ("vector_fns_sql",
+     "SELECT FROM_VECTOR(TO_VECTOR('[1.0, 2.0]')) AS v, "
+     "ROUND(DISTANCE('[0,0]', '[3,4]'), 4) AS d",
+     "SELECT '[1.0,2.0]' AS v, 25.0 AS d"),
     # ---- r4: mixed-type comparisons (reference queries.go:3311
     # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
     ("str_num_eq",
