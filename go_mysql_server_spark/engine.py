@@ -234,6 +234,46 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _ansi_quotes_to_backticks(sql: str) -> str:
+    """Under ANSI_QUOTES, `"name"` is an identifier — rewrite to backticks,
+    leaving single-quoted strings untouched. `""` inside a double-quoted
+    identifier is an escaped quote character."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            inner = sql[i + 1:j].replace('""', '"')
+            out.append("`" + inner + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 class Engine:
     """Statement router + session/catalog state.
 
@@ -301,6 +341,14 @@ class Engine:
     def query(self, sql: str) -> DataFrame | OkResult:
         from . import admin
         sql = sql.strip().rstrip(";").strip()
+        # ANSI_QUOTES sql_mode: double-quoted tokens are IDENTIFIERS, not
+        # strings (reference ansi_quotes parser option; enginetest
+        # ansi_quotes_queries.go). Normalized to backticks up front so
+        # every downstream path (masking, transpiler, DDL) sees one
+        # identifier spelling.
+        if "ANSI_QUOTES" in str(self.sys_vars.get("sql_mode", "")).upper() \
+                and '"' in sql:
+            sql = _ansi_quotes_to_backticks(sql)
         head = sql.split(None, 1)[0].upper() if sql else ""
         self._query_count += 1
         handler = {

@@ -512,3 +512,53 @@ def func_session_info(spark, sf_dir):
         "SELECT DATABASE() AS db, SCHEMA() AS sch, CURRENT_USER() AS cu, "
         "VERSION() AS ver, CAST(CONNECTION_ID() AS SIGNED) AS cid, "
         "CAST(ROW_COUNT() AS SIGNED) AS rc")
+
+
+@query(
+    "versioned_as_of_snapshots",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 1, 10), (2, 1, 20), (3, 1, 20), (3, 2, 99)
+) v(version, k, val)
+ORDER BY version, k
+""",
+)
+def versioned_as_of_snapshots(spark, sf_dir):
+    """AS OF <ordinal> time travel (reference sql/plan/versionable.go;
+    dolt binds commit ordinals): each DML statement produces a snapshot,
+    and AS OF n reads the table as it stood after the n-th version. The
+    result unions three historical reads with a version label."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS vh4")
+    eng.query("CREATE TABLE vh4 (k BIGINT PRIMARY KEY, val BIGINT)")
+    eng.query("INSERT INTO vh4 VALUES (1, 10)")          # version 1
+    eng.query("UPDATE vh4 SET val = 20 WHERE k = 1")     # version 2
+    eng.query("INSERT INTO vh4 VALUES (2, 99)")          # version 3
+    return eng.query(
+        "SELECT 1 AS version, k, val FROM vh4 AS OF 1 "
+        "UNION ALL SELECT 2 AS version, k, val FROM vh4 AS OF 2 "
+        "UNION ALL SELECT 3 AS version, k, val FROM vh4 AS OF 3 "
+        "ORDER BY version, k")
+
+
+@query(
+    "func_stored_sql_function",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CAST(n_nationkey * n_nationkey + 1 AS BIGINT) AS sq1
+FROM nation
+WHERE n_nationkey < 6
+ORDER BY k
+""",
+)
+def func_stored_sql_function(spark, sf_dir):
+    """CREATE FUNCTION ... RETURNS ... RETURN expr (stored SQL function,
+    reference sql/plan/ddl_function paths): the function body inlines into
+    later queries over real tables."""
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP FUNCTION IF EXISTS sq1fn")
+    eng.query("CREATE FUNCTION sq1fn(a BIGINT) RETURNS BIGINT "
+              "DETERMINISTIC RETURN a * a + 1")
+    return eng.query(
+        "SELECT n_nationkey AS k, sq1fn(n_nationkey) AS sq1 "
+        "FROM nation WHERE n_nationkey < 6 ORDER BY k")

@@ -1422,3 +1422,23 @@ def test_nested_convert_rewrites(eng):
         (42,)]
     assert rows(eng.query(
         "SELECT CONVERT(CONVERT(7 , CHAR) USING utf8) AS c")) == [("7",)]
+
+
+def test_ansi_quotes_mode(eng):
+    """sql_mode='ANSI_QUOTES': double quotes delimit identifiers, single
+    quotes stay strings (reference ansi_quotes_queries.go)."""
+    eng.query("SET sql_mode = 'ANSI_QUOTES'")
+    try:
+        assert rows(eng.query('SELECT "i" FROM "mytable" WHERE "s" = '
+                              "'first row'")) == [(1,)]
+        eng.query('CREATE TABLE "aqt" ("thekey" BIGINT PRIMARY KEY, '
+                  '"v" VARCHAR(10))')
+        eng.query('INSERT INTO "aqt" VALUES (1, \'x\')')
+        assert rows(eng.query('SELECT "thekey", "v" FROM "aqt"')) == [
+            (1, "x")]
+        # without the mode, "i" is a plain string literal again
+        eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+        assert rows(eng.query('SELECT "i" AS c FROM mytable LIMIT 1')) == [
+            ("i",)]
+    finally:
+        eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
