@@ -280,6 +280,55 @@ def _lax_signed_expr(x: str) -> str:
     )
 
 
+def _rewrite_cast_datetime(sql: str) -> str:
+    """CAST(x AS DATETIME[(n)]) — Spark has no DATETIME type. Map to
+    TIMESTAMP with MySQL's fractional-second handling: plain DATETIME
+    rounds to whole seconds, DATETIME(n) rounds to n fractional digits
+    (reference sql/types/datetime.go ConvertToDatetime rounding)."""
+    pat = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        body = sql[m.end():close]
+        mm = re.search(r"\s+AS\s+(DATETIME(?:\s*\(\s*(\d)\s*\))?|DATE)\s*$",
+                       body, re.IGNORECASE)
+        if not mm:
+            pos = m.end()
+            continue
+        inner = _rewrite_cast_datetime(body[:mm.start()])
+        # MySQL parses the longest valid temporal PREFIX ('2020-01-01 a'
+        # → midnight, trailing junk dropped); Spark's cast NULLs instead —
+        # extract the prefix first, then round to the target precision
+        if mm.group(1).upper() == "DATE":
+            # already-temporal operands (to_timestamp/to_date/typed
+            # literals) can't carry trailing junk — keep the plain cast so
+            # Catalyst folds/pushes it
+            if re.match(r"\s*(to_timestamp|to_date|date_add|date_sub|"
+                        r"timestamp_micros|DATE\s|TIMESTAMP\s)",
+                        inner, re.IGNORECASE):
+                pos = m.end()
+                continue
+            dprefix = r"^\\s*(\\d{4}-\\d{1,2}-\\d{1,2})"
+            repl = (f"to_date(nullif(regexp_extract(CAST(({inner}) AS "
+                    f"STRING), '{dprefix}', 1), ''))")
+            sql = sql[:m.start()] + repl + sql[close + 1:]
+            pos = m.start() + len(repl)
+            continue
+        digits = int(mm.group(2)) if mm.group(2) else 0
+        scale = 10 ** (6 - digits)
+        prefix = (r"^\\s*(\\d{4}-\\d{1,2}-\\d{1,2}(?:[ T]\\d{1,2}"
+                  r"(?::\\d{1,2}(?::\\d{1,2}(?:\\.\\d+)?)?)?)?)")
+        ts = (f"to_timestamp(nullif(regexp_extract(CAST(({inner}) AS "
+              f"STRING), '{prefix}', 1), ''))")
+        repl = (f"timestamp_micros(CAST(ROUND(unix_micros({ts}) "
+                f"/ {scale}) * {scale} AS BIGINT))")
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_cast_signed(sql: str) -> str:
     """CAST(x AS SIGNED) → MySQL lax numeric-prefix parse (never NULL)."""
     pos = 0
@@ -748,6 +797,138 @@ _CLAUSE_END = re.compile(
     r"INTERSECT)\b", re.IGNORECASE)
 
 
+_TUPLE_CMP = re.compile(
+    r"\(([^()]+)\)\s*(<=|>=|<>|!=|=|<|>)\s*\(([^()]+)\)")
+
+
+_TUPLE_IN = re.compile(
+    r"\(([^()]+,[^()]*)\)\s+(NOT\s+)?IN\s*"
+    r"\(\s*(\([^()]+\)(?:\s*,\s*\([^()]+\))*)\s*\)", re.IGNORECASE)
+
+
+def _rewrite_tuple_in(sql: str) -> str:
+    """(a, b) IN ((c, d), (e, f)) → OR of row equalities. Spark's struct
+    IN uses set membership with two-valued logic; MySQL's row IN is the
+    disjunction of row comparisons with NULL propagation — (1,1) IN
+    ((NULL,NULL)) is NULL, not FALSE."""
+    def repl(m: re.Match) -> str:
+        left = [a.strip() for a in _split_args(m.group(1))]
+        if len(left) < 2:
+            return m.group(0)
+        groups = re.findall(r"\(([^()]+)\)", m.group(3))
+        ors = []
+        for gtext in groups:
+            right = [a.strip() for a in _split_args(gtext)]
+            if len(right) != len(left):
+                return m.group(0)
+            ors.append("(" + " AND ".join(
+                f"(({a}) = ({b}))" for a, b in zip(left, right)) + ")")
+        body = "(" + " OR ".join(ors) + ")"
+        return f"(NOT {body})" if m.group(2) else body
+
+    return _TUPLE_IN.sub(repl, sql)
+
+
+def _rewrite_tuple_compare(sql: str) -> str:
+    """Row-value comparisons with per-element coercion: MySQL compares
+    (1, 1) = (1.1, 1.1) element-wise with numeric coercion; Spark's
+    struct comparison requires identical field types and errors. Expanding
+    to scalar conjunctions/lexicographic chains lets Spark's own pairwise
+    coercion apply (reference sql/expression/tuple comparisons)."""
+    def lex(azip, strict_op, base_op):
+        # lexicographic (a1,a2) < (b1,b2) → a1<b1 OR (a1=b1 AND a2<b2)
+        (a, b), rest = azip[0], azip[1:]
+        if not rest:
+            return f"({a}) {base_op} ({b})"
+        return (f"(({a}) {strict_op} ({b})) OR ((({a}) = ({b})) AND "
+                f"({lex(rest, strict_op, base_op)}))")
+
+    def repl(m: re.Match) -> str:
+        left = [a.strip() for a in _split_args(m.group(1))]
+        right = [a.strip() for a in _split_args(m.group(3))]
+        op = m.group(2)
+        if len(left) < 2 or len(left) != len(right):
+            return m.group(0)
+        pairs = list(zip(left, right))
+        if op == "=":
+            return "(" + " AND ".join(
+                f"(({a}) = ({b}))" for a, b in pairs) + ")"
+        if op in ("<>", "!="):
+            return "(NOT (" + " AND ".join(
+                f"(({a}) = ({b}))" for a, b in pairs) + "))"
+        strict = op[0]  # '<' or '>'
+        return "(" + lex(pairs, strict, op) + ")"
+
+    return _TUPLE_CMP.sub(repl, sql)
+
+
+def wrap_truthy_if(sql: str) -> str:
+    """MySQL truthiness in IF(cond, a, b)'s first argument (`IF(1, x, y)`)
+    — wrap it as CAST(cond AS DOUBLE) <> 0. Retry-only."""
+    masked, lits = mask_literals(sql)
+    pat = re.compile(r"\bIF\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            break
+        close = _find_close(masked, m.end() - 1)
+        args = _split_args(masked[m.end():close])
+        if len(args) != 3 or args[0].strip().startswith("(CAST(("):
+            pos = m.end()
+            continue
+        cond = args[0].strip()
+        repl = (f"IF( (CAST(({cond}) AS DOUBLE) <> 0.0) ,"
+                f"{args[1]},{args[2]})")
+        masked = masked[:m.start()] + repl + masked[close + 1:]
+        pos = m.start() + len(repl)
+    return unmask_literals(masked, lits)
+
+
+def wrap_truthy_case(sql: str) -> str:
+    """MySQL truthiness in searched-CASE conditions (`CASE WHEN COUNT(*)
+    THEN ...`): wrap each WHEN body of a SEARCHED case (no subject between
+    CASE and the first WHEN) as CAST(body AS DOUBLE) <> 0. Value-form
+    CASE x WHEN v compares, not tests — left untouched. Retry-only,
+    like wrap_truthy_filters."""
+    masked, lits = mask_literals(sql)
+
+    def one_pass(text: str):
+        toks = list(re.finditer(r"\b(CASE|END|WHEN|THEN)\b", text, re.I))
+        stack: list[dict] = []
+        repls: list[tuple[int, int]] = []
+        for t in toks:
+            kw = t.group(1).upper()
+            if kw == "CASE":
+                stack.append({"start": t.end(), "searched": None,
+                              "pending": None})
+            elif kw == "WHEN" and stack:
+                top = stack[-1]
+                if top["searched"] is None:
+                    top["searched"] = text[top["start"]:t.start()].strip() == ""
+                top["pending"] = t.end()
+            elif kw == "THEN" and stack:
+                top = stack[-1]
+                if top["pending"] is not None:
+                    if top["searched"]:
+                        repls.append((top["pending"], t.start()))
+                    top["pending"] = None
+            elif kw == "END" and stack:
+                stack.pop()
+        # innermost/rightmost first, one edit per pass (spans can nest)
+        for s, e in sorted(repls, reverse=True):
+            body = text[s:e].strip()
+            if body and not body.startswith("(CAST(("):
+                return (text[:s] + f" (CAST(({body}) AS DOUBLE) <> 0.0) "
+                        + text[e:]), True
+        return text, False
+
+    changed = True
+    while changed:
+        masked, changed = one_pass(masked)
+    return unmask_literals(masked, lits)
+
+
 def wrap_truthy_filters(sql: str) -> str:
     """MySQL accepts any expression as a filter (`WHERE 1`, `WHERE col`):
     non-zero is true, 0/NULL is false. Spark's analyzer requires BOOLEAN
@@ -821,7 +1002,24 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
     # MySQL CAST target types with no Spark spelling
+    sql = _rewrite_tuple_in(sql)
+    sql = _rewrite_tuple_compare(sql)
+    # integer literals wider than BIGINT parse as DOUBLE in Spark (losing
+    # exactness); MySQL keeps them DECIMAL — spell them as decimal
+    # literals (BD suffix), up to Spark's 38-digit cap
+    sql = re.sub(r"\b(\d{20,38})\b(?!\s*\.)(?![\w.])", r"\1BD", sql)
+    # CAST(x AS JSON): MySQL's JSON values print as their text form — the
+    # string cast is the closest Spark analogue (JSON stays a string
+    # column throughout this engine). Boolean literals must map to JSON's
+    # true/false words BEFORE the generic TRUE→1 cast rewrite below.
+    sql = re.sub(r"\bCAST\s*\(\s*TRUE\s+AS\s+JSON\s*\)", "'true'", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bCAST\s*\(\s*FALSE\s+AS\s+JSON\s*\)", "'false'", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+JSON\s*\)", "AS STRING)", sql,
+                 flags=re.IGNORECASE)
     sql = _rewrite_convert(sql)
+    sql = _rewrite_cast_datetime(sql)
     sql = _rewrite_cast_signed(sql)
     sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
                  flags=re.IGNORECASE)
@@ -900,13 +1098,20 @@ def transpile_select(sql: str) -> str:
     # FROM DUAL is MySQL's explicit no-table source; Spark's bare SELECT
     # is the same relation (reference dual-table handling in planbuilder)
     sql = re.sub(r"\bFROM\s+DUAL\b", "", sql, flags=re.IGNORECASE)
-    # MySQL's BINARY prefix operator forces a case-sensitive (binary)
-    # comparison; our string compares are binary by default, so the
-    # operator is an identity — drop it, but keep the CAST(x AS BINARY)
-    # type spelling intact (protected before, restored after).
+    # MySQL's BINARY prefix operator casts to a binary string (forces
+    # case-sensitive comparison AND a binary-typed result). Spark's
+    # string<->binary comparison coerces pairwise, so CAST(x AS BINARY)
+    # reproduces both effects. CAST(x AS BINARY) spelled directly is
+    # protected from the prefix-operator regex.
     sql = re.sub(r"\bAS\s+BINARY\b", "AS \x01BINARY\x01", sql,
                  flags=re.IGNORECASE)
-    sql = re.sub(r"\bBINARY\s+(?=[\x00(\w'])", "", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bBINARY\s+(?=[\x00(\w'])",
+                 "\x01BINCAST\x01", sql, flags=re.IGNORECASE)
+    # wrap the single following atom: literal, number, column, or parens
+    sql = re.sub(r"\x01BINCAST\x01(\x00\d+\x00|\d+\.?\d*|"
+                 r"`?\w+`?(?:\.`?\w+`?)*|\([^()]*\))",
+                 r"CAST(\1 AS BINARY)", sql)
+    sql = sql.replace("\x01BINCAST\x01", "")  # unmatched → drop operator
     sql = sql.replace("\x01BINARY\x01", "BINARY")
     sql = _unquote_numeric_args(sql, lits)
     return unmask_literals(sql, lits)

@@ -536,11 +536,20 @@ class Engine:
         final = transpile_select(sql)
         try:
             return self.spark.sql(final)
-        except Exception as exc:  # MySQL truthiness retry (see below)
-            if "FILTER_NOT_BOOLEAN" not in str(exc):
+        except Exception as exc:
+            # MySQL truthiness retry: non-boolean WHERE/HAVING or a
+            # numeric searched-CASE condition — rewrite and re-run once
+            msg = str(exc)
+            if "FILTER_NOT_BOOLEAN" not in msg and not (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and ("CASE WHEN" in msg or '"(IF(' in msg)
+            ):
                 raise
-            from .dialect.transpiler import wrap_truthy_filters
-            return self.spark.sql(wrap_truthy_filters(final))
+            from .dialect.transpiler import (wrap_truthy_case,
+                                             wrap_truthy_filters,
+                                             wrap_truthy_if)
+            return self.spark.sql(
+                wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final))))
 
     def _rewrite_enum_order(self, sql: str) -> str:
         """ENUM columns sort by declaration ordinal, not lexicographically

@@ -1073,6 +1073,47 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT FROM_VECTOR(TO_VECTOR('[1.0, 2.0]')) AS v, "
      "ROUND(DISTANCE('[0,0]', '[3,4]'), 4) AS d",
      "SELECT '[1.0,2.0]' AS v, 25.0 AS d"),
+    # ---- r4: golden-sweep fixes (reference queries.go literal slices) ----
+    ("case_when_numeric_truthiness",
+     "SELECT CASE WHEN COUNT(*) THEN 'some' ELSE 'none' END AS c "
+     "FROM nation",
+     "SELECT 'some' AS c"),
+    ("case_when_null_condition",
+     "SELECT CASE WHEN NULLIF(1, 1) THEN 'y' ELSE 'n' END AS c",
+     "SELECT 'n' AS c"),
+    ("cast_datetime_lax_prefix",
+     "SELECT CAST('2020-01-01 a' AS DATETIME) AS a, "
+     "CAST('garbage' AS DATETIME) AS b",
+     "SELECT CAST('2020-01-01 00:00:00' AS TIMESTAMP) AS a, "
+     "CAST(NULL AS TIMESTAMP) AS b"),
+    ("cast_datetime_rounds_seconds",
+     "SELECT CAST('2020-01-01 12:34:56.6' AS DATETIME) AS c",
+     "SELECT CAST('2020-01-01 12:34:57' AS TIMESTAMP) AS c"),
+    ("cast_datetime_fractional_precision",
+     "SELECT CAST('2020-01-01 12:34:56.123456abc' AS DATETIME(2)) AS c",
+     "SELECT CAST('2020-01-01 12:34:56.12' AS TIMESTAMP) AS c"),
+    ("cast_date_lax_prefix",
+     "SELECT CAST('2020-01-01abc123' AS DATE) AS c",
+     "SELECT CAST('2020-01-01' AS DATE) AS c"),
+    ("binary_operator_yields_binary",
+     "SELECT BINARY 'hi' AS c",
+     "SELECT CAST('hi' AS BLOB) AS c"),
+    ("tuple_compare_mixed_numeric",
+     "SELECT (1, 1) = (1.1, 1.1) AS a, (1, 2) = (1, 2.0) AS b, "
+     "(2, 1) > (2.1, 2) AS c",
+     "SELECT FALSE AS a, TRUE AS b, FALSE AS c"),
+    ("tuple_in_null_semantics",
+     "SELECT (1, 1) IN ((NULL, NULL)) AS a, "
+     "(1, 2) IN ((3, 4), (1, 2)) AS b",
+     "SELECT CAST(NULL AS BOOLEAN) AS a, TRUE AS b"),
+    ("huge_integer_literal_decimal",
+     # string-compare for exactness (the harness floats DECIMAL cells)
+     "SELECT CAST(809826404100301269648758758005707100 AS CHAR) AS c",
+     "SELECT CAST(809826404100301269648758758005707100 AS VARCHAR) AS c"),
+    ("cast_json_scalars",
+     "SELECT CAST(TRUE AS JSON) = TRUE AS a, "
+     "CAST('18446744073709551615' AS JSON) AS b",
+     "SELECT TRUE AS a, '18446744073709551615' AS b"),
     # ---- r4: mixed-type comparisons (reference queries.go:3311
     # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
     ("str_num_eq",
