@@ -929,6 +929,38 @@ def wrap_truthy_case(sql: str) -> str:
     return unmask_literals(masked, lits)
 
 
+def wrap_truthy_operands(sql: str) -> str:
+    """MySQL truthiness inside boolean operators: `NOT col`,
+    `0.000 AND true`. Wraps the ATOM operand of NOT and bare numeric
+    literals adjacent to AND/OR as CAST(x AS DOUBLE) <> 0. Retry-only,
+    like the other truthiness wraps."""
+    masked, lits = mask_literals(sql)
+    atom = r"`?\w+`?(?:\.`?\w+`?)*|[-+]?\d+\.?\d*"
+
+    def wrap(s):
+        return f"(CAST(({s}) AS DOUBLE) <> 0.0)"
+
+    def not_repl(m):
+        a = m.group(1)
+        if a.upper() in ("TRUE", "FALSE", "NULL", "IN", "BETWEEN", "LIKE",
+                         "EXISTS", "NOT", "REGEXP", "RLIKE", "CAST"):
+            return m.group(0)
+        return f"NOT {wrap(a)}"
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = re.sub(rf"\bNOT\s+({atom})\b(?!\s*\()", not_repl,
+                        masked, flags=re.IGNORECASE)
+    masked = re.sub(r"([-+]?\d+\.?\d*)\s+(AND|OR)\s+", lambda m:
+                    f"{wrap(m.group(1))} {m.group(2)} ", masked,
+                    flags=re.IGNORECASE)
+    masked = re.sub(r"\b(AND|OR)\s+([-+]?\d+\.?\d*)(?![\w.])",
+                    lambda m: f"{m.group(1)} {wrap(m.group(2))}", masked,
+                    flags=re.IGNORECASE)
+    return unmask_literals(masked, lits)
+
+
 def wrap_truthy_filters(sql: str) -> str:
     """MySQL accepts any expression as a filter (`WHERE 1`, `WHERE col`):
     non-zero is true, 0/NULL is false. Spark's analyzer requires BOOLEAN

@@ -540,16 +540,22 @@ class Engine:
             # MySQL truthiness retry: non-boolean WHERE/HAVING or a
             # numeric searched-CASE condition — rewrite and re-run once
             msg = str(exc)
-            if "FILTER_NOT_BOOLEAN" not in msg and not (
-                "UNEXPECTED_INPUT_TYPE" in msg
-                and ("CASE WHEN" in msg or '"(IF(' in msg)
-            ):
+            retryable = (
+                "FILTER_NOT_BOOLEAN" in msg
+                or ("UNEXPECTED_INPUT_TYPE" in msg
+                    and ("CASE WHEN" in msg or '"(IF(' in msg
+                         or '"(NOT ' in msg))
+                or ("BINARY_OP_DIFF_TYPES" in msg
+                    and (" AND " in msg or " OR " in msg))
+            )
+            if not retryable:
                 raise
             from .dialect.transpiler import (wrap_truthy_case,
                                              wrap_truthy_filters,
-                                             wrap_truthy_if)
-            return self.spark.sql(
-                wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final))))
+                                             wrap_truthy_if,
+                                             wrap_truthy_operands)
+            return self.spark.sql(wrap_truthy_operands(
+                wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final)))))
 
     def _rewrite_enum_order(self, sql: str) -> str:
         """ENUM columns sort by declaration ordinal, not lexicographically

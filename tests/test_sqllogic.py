@@ -1114,6 +1114,17 @@ CORPUS: list[tuple[str, str, str | None]] = [
      "SELECT CAST(TRUE AS JSON) = TRUE AS a, "
      "CAST('18446744073709551615' AS JSON) AS b",
      "SELECT TRUE AS a, '18446744073709551615' AS b"),
+    ("not_numeric_truthiness",
+     "SELECT COUNT(*) AS c FROM nation WHERE NOT n_regionkey",
+     "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+     "WHERE n_regionkey = 0"),
+    ("if_numeric_truthiness",
+     "SELECT IF(2, 'a', 'b') AS x, IF(0, 'a', 'b') AS y, "
+     "IF(NULLIF(1, 1), 'a', 'b') AS z",
+     "SELECT 'a' AS x, 'b' AS y, 'b' AS z"),
+    ("and_numeric_literal_operand",
+     "SELECT COUNT(*) AS c FROM nation WHERE 1 AND n_nationkey < 5",
+     "SELECT CAST(5 AS BIGINT) AS c"),
     # ---- r4: mixed-type comparisons (reference queries.go:3311
     # "i = 1 and i = '1'" block; MySQL coerces string<->number) -----------
     ("str_num_eq",
