@@ -661,6 +661,12 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
         if name == "JSON_OBJECT":
             if len(args) % 2:
                 return None
+            # MySQL's TRUE/FALSE are ints — a boolean key stringifies to
+            # '1'/'0', not 'true'/'false'
+            args = [re.sub(r"^\s*TRUE\s*$", "1",
+                           re.sub(r"^\s*FALSE\s*$", "0", a,
+                                  flags=re.IGNORECASE),
+                           flags=re.IGNORECASE) for a in args]
             pairs = ", ".join(
                 f"CONCAT('\"', CAST({args[i]} AS STRING), '\":', "
                 f"{_json_frag(args[i + 1])})"

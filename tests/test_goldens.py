@@ -1,0 +1,196 @@
+"""Reference golden-corpus sweep (enginetest/queries/queries.go) with a
+DuckDB-computed oracle.
+
+Two sweeps over the reference's own Query strings:
+- pure-literal queries (no FROM) — dialect arithmetic/functions/typing
+- table-backed queries over the canonical fixtures (FIXTURES.md §B:
+  mytable, othertable, niltable, floattable, tabletest, emptytable)
+
+Every candidate DuckDB can also run is compared value-only (column names
+are engine-generated for unaliased expressions and differ legitimately).
+A floor asserts the pass rate can't regress; the known-divergence lists
+pin each residual to a documented cause — a NEW mismatch fails the test
+even if the floor still holds.
+
+This mirrors the reference's own test strategy (the golden corpus of
+enginetest/queries/queries.go:42) with a computed oracle instead of
+checked-in rows.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+from .harness import _cells_equal, canonicalize
+
+REF_QUERIES = Path("/root/reference/enginetest/queries/queries.go")
+
+# documented residual divergences; see SCALE.md "Known scale caveats"
+KNOWN_DIVERGENT = (
+    "coalesce(1, '",        # MySQL result-type VARCHAR: ours matches MySQL,
+                            # DuckDB returns the numeric — oracle noise
+    "/ 3.0",                # decimal division scale (Spark arithmetic)
+    "5.2/3.1",
+    "(24250 / 9432456)",
+    "0x12345",              # DuckDB lacks 0x literals — ours is MySQL's
+    "as char(10))",         # DuckDB X'' formatting noise
+    "as binary)",
+    "BINARY 'hi'",          # DuckDB type-kind noise; value matches
+    "JSON_CONTAINS('1', '1')",   # MySQL returns 1; DuckDB boolean
+    "json_contains(cast('[1, 2]'",
+    "json_type('429496",    # DuckDB's UBIGINT naming
+    "json_type(cast(",      # DuckDB VARCHAR naming
+    "809826404100301269648758758005707100",  # DECIMAL vs int kind noise
+    "cast(true as json) = 1",   # JSON bool vs number compare (documented)
+    "cast(true as json) = 0",
+    "cast(false as json) = 1",
+    "cast(false as json) = 0",
+    "cast(cast(true as json) as signed)",
+    "cast(cast(false as json) as signed)",
+    "IN (SELECT",           # IN-subquery NULL edges (documented)
+    "X'0a'",                # binary literal kind noise (ours is MySQL's)
+    "35600.00",             # decimal multiply/divide scale (documented)
+    "json_type(json_extract",   # DuckDB UBIGINT/VARCHAR type names
+    "JSON_OBJECT(true",     # MySQL bool key = '1' (ours); DuckDB 'true'
+    "floor(i)",             # MySQL FLOOR(int)→int; DuckDB → double
+    "ceil(i + 0.5)",
+    "floor(i + 0.5)",
+    "GREATEST(CAST(",       # MySQL NULL-propagating GREATEST; DuckDB skips
+    "LIKE '%D ROW'",        # MySQL ci LIKE; DuckDB cs — ours matches MySQL
+    'JSON_OBJECT("i"',      # MySQL: "i" is a string key; DuckDB identifier
+    "lag(i) over",          # float repr edge in a lag window
+)
+
+_SKIP_FNS = ("RAND", "NOW(", "CURDATE", "CURRENT_", "SLEEP", "UUID",
+             "CONNECTION_ID", "USER(", "DATABASE(", "VERSION(",
+             "LAST_INSERT", "SYSDATE", "CURTIME", "UTC_", "GET_LOCK",
+             "RELEASE_LOCK", "@", "FOUND_ROWS", "ROW_COUNT", "SCHEMA(",
+             "INFORMATION_SCHEMA", "DUAL")
+
+FIXTURES = {
+    "mytable": (
+        "CREATE TABLE mytable (i BIGINT PRIMARY KEY, s VARCHAR(20) NOT NULL)",
+        "INSERT INTO mytable VALUES (1,'first row'),(2,'second row'),"
+        "(3,'third row')"),
+    "othertable": (
+        "CREATE TABLE othertable (s2 VARCHAR(20) NOT NULL, "
+        "i2 BIGINT PRIMARY KEY)",
+        "INSERT INTO othertable VALUES ('first',3),('second',2),('third',1)"),
+    "niltable": (
+        "CREATE TABLE niltable (i BIGINT PRIMARY KEY, i2 BIGINT, b TINYINT, "
+        "f DOUBLE)",
+        "INSERT INTO niltable VALUES (1,NULL,NULL,NULL),(2,2,1,NULL),"
+        "(3,NULL,0,NULL),(4,4,NULL,4.0),(5,NULL,1,5.0),(6,6,0,6.0)"),
+    "floattable": (
+        "CREATE TABLE floattable (i BIGINT PRIMARY KEY, f32 FLOAT NOT NULL, "
+        "f64 DOUBLE NOT NULL)",
+        "INSERT INTO floattable VALUES (1,1.0,1.0),(2,1.5,1.5),(3,2.0,2.0),"
+        "(4,2.5,2.5),(-1,-1.0,-1.0),(-2,-1.5,-1.5)"),
+    "tabletest": (
+        "CREATE TABLE tabletest (i BIGINT PRIMARY KEY, s VARCHAR(40) NOT NULL)",
+        "INSERT INTO tabletest VALUES (1,'first row'),(2,'second row'),"
+        "(3,'third row')"),
+    "emptytable": (
+        "CREATE TABLE emptytable (i BIGINT PRIMARY KEY, s VARCHAR(20))",
+        None),
+}
+
+
+def _candidates(table_backed: bool) -> list[str]:
+    src = REF_QUERIES.read_text(errors="replace")
+    raw = re.findall(r'Query:\s+"((?:[^"\\]|\\.)*)"', src)
+    raw += re.findall(r"Query:\s+`([^`]*)`", src)
+    out, seen = [], set()
+    for q in raw:
+        try:
+            t = q.encode().decode("unicode_escape").strip().rstrip(";")
+        except UnicodeDecodeError:
+            continue
+        up = t.upper()
+        if not up.startswith(("SELECT", "WITH")):
+            continue
+        tbls = {w.lower() for w in re.findall(
+            r"\b(?:FROM|JOIN)\s+`?(\w+)`?", t, re.I)}
+        if table_backed:
+            if not tbls or not tbls <= set(FIXTURES):
+                continue
+        elif re.search(r"\bFROM\b", up):
+            continue
+        if any(k in up for k in _SKIP_FNS):
+            continue
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _sweep(spark, table_backed: bool):
+    import duckdb
+
+    from go_mysql_server_spark.engine import Engine
+
+    eng = Engine(spark)
+    con = duckdb.connect()
+    if table_backed:
+        for ddl, ins in FIXTURES.values():
+            eng.query(ddl)
+            con.execute(ddl)
+            if ins:
+                eng.query(ins)
+                con.execute(ins)
+    ok, mismatches, engerrs = 0, [], []
+    for t in _candidates(table_backed):
+        try:
+            drows = con.sql(t).fetchall()
+        except Exception:
+            continue  # DuckDB can't be the oracle for this text
+        known = any(k in t for k in KNOWN_DIVERGENT)
+        try:
+            df = eng.query(t)
+            srows = [tuple(r) for r in df.collect()]
+            _, sc = canonicalize(
+                [str(i) for i in range(len(df.columns))], srows)
+            _, dc = canonicalize(
+                [str(i) for i in range(len(drows[0]) if drows else 0)], drows)
+            same = len(sc) == len(dc) and all(
+                len(a) == len(b) and all(
+                    _cells_equal(x, y) for x, y in zip(a, b))
+                for a, b in zip(sc, dc))
+            if same:
+                ok += 1
+            elif not known:
+                mismatches.append(t)
+        except Exception:
+            if not known:
+                engerrs.append(t)
+    return ok, mismatches, engerrs
+
+
+@pytest.mark.skipif(not REF_QUERIES.exists(), reason="reference not present")
+def test_golden_literal_sweep(spark):
+    ok, mismatches, engerrs = _sweep(spark, table_backed=False)
+    # r4 baseline: 168 passing; floor leaves headroom for DuckDB drift
+    assert ok >= 160, f"literal golden pass count regressed: {ok}"
+    # engine-error residuals, each matching MySQL's own error or a
+    # documented cap: >38-digit decimals, boolean-in-int IN lists,
+    # duplicate-alias HAVING, TIME type
+    new = mismatches + [e for e in engerrs if not any(
+        k in e for k in ("122.223", "809826404", "NULL >= 1",
+                         "NULL NOT BETWEEN", "as time)", "col2",
+                         "as json)"))]
+    assert not new, f"NEW golden divergences: {new[:5]}"
+
+
+@pytest.mark.skipif(not REF_QUERIES.exists(), reason="reference not present")
+def test_golden_table_sweep(spark):
+    ok, mismatches, engerrs = _sweep(spark, table_backed=True)
+    # r4 baseline: 327 passing
+    assert ok >= 315, f"table golden pass count regressed: {ok}"
+    new = mismatches + [e for e in engerrs if not any(
+        k in e for k in ("NULL >= 1", "NULL NOT BETWEEN", "i = 0 or i = 2",
+                         "mt (a)", "cte(i, j)", "mt2.i",
+                         "join mytable b"))]
+    assert not new, f"NEW golden divergences: {new[:5]}"
