@@ -803,7 +803,11 @@ _CLAUSE_END = re.compile(
     r"INTERSECT)\b", re.IGNORECASE)
 
 
+# The leading lookbehind keeps this off a call's argument list
+# (`POINT(a, b) = ...` must not have POINT's own args rewritten); genuine
+# row-value constructors are never preceded by an identifier character.
 _TUPLE_CMP = re.compile(
+    r"(?<![A-Za-z0-9_`$])"
     r"\(([^()]+)\)\s*(<=|>=|<>|!=|=|<|>)\s*\(([^()]+)\)")
 
 
@@ -850,6 +854,11 @@ def _rewrite_tuple_compare(sql: str) -> str:
                 f"({lex(rest, strict_op, base_op)}))")
 
     def repl(m: re.Match) -> str:
+        # row-vs-subquery ((a,b) = (SELECT x, y ...)) must stay intact —
+        # splitting a SELECT body on commas produces broken SQL
+        if re.match(r"\s*SELECT\b", m.group(1), re.IGNORECASE) or \
+                re.match(r"\s*SELECT\b", m.group(3), re.IGNORECASE):
+            return m.group(0)
         left = [a.strip() for a in _split_args(m.group(1))]
         right = [a.strip() for a in _split_args(m.group(3))]
         op = m.group(2)
@@ -958,12 +967,51 @@ def wrap_truthy_operands(sql: str) -> str:
         prev = masked
         masked = re.sub(rf"\bNOT\s+({atom})\b(?!\s*\()", not_repl,
                         masked, flags=re.IGNORECASE)
-    masked = re.sub(r"([-+]?\d+\.?\d*)\s+(AND|OR)\s+", lambda m:
-                    f"{wrap(m.group(1))} {m.group(2)} ", masked,
+
+    # A numeric literal adjacent to AND/OR is only a *boolean operand* when
+    # it stands alone — `WHERE 1 AND 0`. It must NOT be wrapped when it is
+    # a comparison operand (`x = 1 AND y`) or a BETWEEN bound
+    # (`d BETWEEN 1 AND 10` — that AND belongs to BETWEEN, not the boolean
+    # algebra); wrapping those produced broken/mis-typed SQL on retry.
+    between_and = re.compile(
+        r"\bBETWEEN\b(?:[^()]|\([^()]*\))*?\b(AND)\b", re.IGNORECASE)
+    _STANDALONE_BEFORE = re.compile(
+        r"(\bAND|\bOR|\bWHERE|\bHAVING|\bWHEN|\bON|\bTHEN|\bELSE|"
+        r"\bSELECT|\bNOT|\(|,)$", re.IGNORECASE)
+    _STANDALONE_AFTER = re.compile(
+        r"(\)|,|;|AND\b|OR\b|THEN\b|ELSE\b|END\b|WHEN\b|GROUP\b|ORDER\b|"
+        r"HAVING\b|LIMIT\b|UNION\b|EXCEPT\b|INTERSECT\b|WINDOW\b|"
+        r"QUALIFY\b)", re.IGNORECASE)
+
+    def _between_ands(text: str) -> set[int]:
+        return {m.start(1) for m in between_and.finditer(text)}
+
+    skip = _between_ands(masked)
+
+    def lit_before(m):
+        if m.start(2) in skip:
+            return m.group(0)
+        prefix = masked[:m.start(1)].rstrip()
+        if prefix and not _STANDALONE_BEFORE.search(prefix):
+            return m.group(0)
+        return f"{wrap(m.group(1))} {m.group(2)} "
+
+    masked = re.sub(r"([-+]?\d+\.?\d*)\s+(AND|OR)\s+", lit_before, masked,
                     flags=re.IGNORECASE)
-    masked = re.sub(r"\b(AND|OR)\s+([-+]?\d+\.?\d*)(?![\w.])",
-                    lambda m: f"{m.group(1)} {wrap(m.group(2))}", masked,
-                    flags=re.IGNORECASE)
+
+    skip = _between_ands(masked)  # positions shifted by the first pass
+
+    def lit_after(m):
+        if m.start(1) in skip:
+            return m.group(0)
+        rest = masked2[m.end(2):].lstrip()
+        if rest and not _STANDALONE_AFTER.match(rest):
+            return m.group(0)
+        return f"{m.group(1)} {wrap(m.group(2))}"
+
+    masked2 = masked
+    masked = re.sub(r"\b(AND|OR)\s+([-+]?\d+\.?\d*)(?![\w.])", lit_after,
+                    masked, flags=re.IGNORECASE)
     return unmask_literals(masked, lits)
 
 

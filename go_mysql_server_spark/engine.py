@@ -479,13 +479,21 @@ class Engine:
         # the very @names we need to assign. MySQL accepts the clause both
         # at statement end and between the select list and FROM
         # (reference sql/plan/into.go).
-        into_vars = re.search(r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s*$", sql, re.I)
+        # searched on literal-masked text: a string literal containing
+        # " INTO @a FROM " must not be excised from the statement
+        from .dialect.transpiler import mask_literals as _mask, \
+            unmask_literals as _unmask
+        _masked0, _lits0 = _mask(sql)
+        into_vars = re.search(r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s*$",
+                              _masked0, re.I)
         if not into_vars:
             into_vars = re.search(
-                r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s+(?=FROM\b)", sql, re.I)
+                r"\bINTO\s+(@\w+(?:\s*,\s*@\w+)*)\s+(?=FROM\b)",
+                _masked0, re.I)
         if into_vars:
             # drop only the INTO clause (it may sit mid-statement)
-            sql = sql[:into_vars.start()] + sql[into_vars.end():]
+            sql = _unmask(_masked0[:into_vars.start()]
+                          + _masked0[into_vars.end():], _lits0)
         sql = self._substitute_vars(sql)
         from .dialect.transpiler import mask_literals, unmask_literals
         masked, lits = mask_literals(sql)
@@ -1448,10 +1456,16 @@ class Engine:
                 from . import admin
                 im = re.match(
                     r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s*[`]?(\w+)?[`]?\s*"
-                    r"\(([^)]*)\)", action, re.I)
+                    r"\(", action, re.I)
                 if im:
+                    # scan to the BALANCED close paren — prefix-length
+                    # columns like (a(10), b) contain nested parens, and
+                    # stopping at the first ')' would drop column b
+                    from .dialect.transpiler import _find_close
+                    close = _find_close(action, im.end() - 1)
+                    col_body = action[im.end():close] if close > 0 else ""
                     cols = tuple(c.strip().strip("`").split("(")[0]
-                                 for c in im.group(3).split(","))
+                                 for c in col_body.split(","))
                     ts.indexes.append(admin.IndexDef(
                         im.group(2) or cols[0], cols,
                         unique=bool(im.group(1))))

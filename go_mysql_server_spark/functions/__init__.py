@@ -149,14 +149,27 @@ def _register_misc_sql(spark: SparkSession) -> None:
          lambda ts: None if ts is None
          else _dt.datetime.fromisoformat(str(ts).replace("T", " ")).microsecond,
          T.IntegerType())
-    _reg("utc_timestamp",
-         lambda: _dt.datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S"),
-         T.StringType())
-    _reg("uuid_short",
-         lambda: int.from_bytes(_os.urandom(7), "big"), T.LongType())
-    _reg("random_bytes",
-         lambda n: None if n is None else _secrets.token_bytes(int(n)),
-         T.BinaryType())
+    # volatile functions: registered asNondeterministic so Catalyst never
+    # constant-folds or CSE-shares a call — a "deterministic" uuid_short
+    # would return one value for every row of a scan
+    from pyspark.sql import functions as _F
+
+    def _reg_volatile(name, fn, rtype):
+        if not spark.catalog.functionExists(name):
+            spark.udf.register(name, _F.udf(fn, rtype).asNondeterministic())
+
+    _reg_volatile(
+        "utc_timestamp",
+        lambda: _dt.datetime.now(_dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"),
+        T.StringType())
+    _reg_volatile(
+        "uuid_short",
+        lambda: int.from_bytes(_os.urandom(7), "big"), T.LongType())
+    _reg_volatile(
+        "random_bytes",
+        lambda n: None if n is None else _secrets.token_bytes(int(n)),
+        T.BinaryType())
     _reg("load_file", lambda p: None, T.StringType())  # priv-gated → NULL
     _reg("is_used_lock", lambda name: None, T.LongType())  # no lock held
     _reg("is_binary",

@@ -83,7 +83,7 @@ def join_inner(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     cust = t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey")
     )

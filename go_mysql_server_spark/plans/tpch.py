@@ -9,8 +9,13 @@ columns.
 Scale notes (how each would behave at 100 TB):
 - lineitem/orders joins are equi-joins on the fact keys → Spark sort-merge or
   shuffled-hash; AQE switches to broadcast when a filtered side is small.
-- nation/region/supplier/customer are dimensions → explicit F.broadcast so
-  the fact table never shuffles for them.
+- explicit F.broadcast ONLY on relations whose cardinality is bounded by
+  construction (nation=25, region=5, nation aliases, single-row aggregates).
+  customer/supplier/part/partsupp SCALE with the data — at 100 TB they are
+  hundreds of GB, and a forced hint would bypass autoBroadcastJoinThreshold
+  and AQE and OOM the executors. Those joins carry no hint: Catalyst's
+  size stats (and AQE at runtime) still broadcast them at small SF, and
+  switch to shuffled joins when they outgrow the threshold.
 - Aggregates are partial+final (map-side combine) automatically; no
   collect()-driven logic anywhere.
 """
@@ -92,7 +97,7 @@ def q3(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -159,8 +164,8 @@ def q5(spark, sf_dir):
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust),
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust,
               (orders.o_custkey == cust.c_custkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -219,8 +224,8 @@ def q7(spark, sf_dir):
     n2 = t(spark, sf_dir, "nation").alias("n2")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
         .filter(
@@ -268,7 +273,7 @@ def q10(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
@@ -327,7 +332,7 @@ def q14(spark, sf_dir):
     rev = revenue()
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(F.lit(100.0) * promo / F.sum(rev), 4).alias("promo_revenue"))
     )
 
@@ -360,7 +365,7 @@ def q18(spark, sf_dir):
     return (
         orders.join(big.withColumnRenamed("l_orderkey", "bk"),
                     orders.o_orderkey == F.col("bk"), "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
@@ -392,7 +397,7 @@ def q19(spark, sf_dir):
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(revenue()), 2).alias("revenue"))
     )

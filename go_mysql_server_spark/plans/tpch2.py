@@ -48,9 +48,9 @@ def q8(spark, sf_dir):
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
         .join(F.broadcast(region), F.col("n2.n_regionkey") == region.r_regionkey)
         .select(
@@ -101,8 +101,8 @@ def q9(spark, sf_dir):
     amount = revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(F.col("n_name").alias("nation"),
                 F.year("o_orderdate").alias("o_year"),

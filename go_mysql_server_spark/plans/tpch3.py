@@ -99,11 +99,11 @@ def q2(spark, sf_dir):
               nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+    eu_ps = ps.join(eu, ps.ps_suppkey == eu.s_suppkey)
     min_cost = eu_ps.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost"))
     return (
-        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        eu_ps.join(part, eu_ps.ps_partkey == part.p_partkey)
         .join(min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
               (F.col("p_partkey") == F.col("mc_partkey"))
               & (F.col("ps_supplycost") == F.col("min_cost")))
@@ -146,7 +146,7 @@ def q11(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     nat_ps = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("ps_partkey",
                 (F.col("ps_supplycost") * F.col("ps_availqty"))
@@ -199,9 +199,9 @@ def q16(spark, sf_dir):
     bad = t(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey,
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey,
                 "left_anti")
-        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(part, F.col("ps_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -248,7 +248,7 @@ def q20(spark, sf_dir):
         .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
     )
     qualifying = (
-        ps.join(F.broadcast(promo_parts),
+        ps.join(promo_parts,
                 ps.ps_partkey == F.col("p_partkey"), "left_semi")
         .join(shipped,
               (F.col("ps_partkey") == F.col("sh_partkey"))

@@ -313,3 +313,37 @@ def test_query_expansion_final_pass_is_scan_side(spark):
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange (" not in plan or plan.count("Exchange (") <= 1
+
+
+def test_no_forced_broadcast_on_sf_scaling_tables():
+    """Source lint for the bounded-dim broadcast rule (r4 verdict #1): an
+    explicit F.broadcast() hint bypasses autoBroadcastJoinThreshold AND AQE,
+    so it is only safe on relations whose cardinality is bounded by
+    construction — nation (25), region (5), nation aliases, band tables,
+    single-row aggregates. customer/supplier/part/partsupp scale with the
+    data (hundreds of GB at 100 TB) and must reach the optimizer unhinted so
+    it can pick broadcast at small SF and shuffle at large SF."""
+    import pathlib
+    import re
+
+    allowed = {"nation", "region", "n1", "n2", "bands", "avg_bal", "total",
+               "s2"}  # s2: theta join is BroadcastNestedLoop by necessity
+    plans_dir = pathlib.Path(__file__).parent.parent / \
+        "go_mysql_server_spark" / "plans"
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*[),]")
+    offenders = []
+    for py in plans_dir.glob("*.py"):
+        for m in pat.finditer(py.read_text()):
+            var = m.group(1)
+            if var not in allowed and re.search(
+                    r"(cust|supp|part|lineitem|orders|ps)", var):
+                offenders.append(f"{py.name}: F.broadcast({var})")
+    assert not offenders, offenders
+
+
+def test_q3_customer_join_unhinted_still_broadcasts(spark):
+    """With the forced hint gone, Catalyst's size stats must still pick a
+    broadcast join for customer at test SF — proving the rule costs nothing
+    locally while removing the 100x OOM risk."""
+    plan = formatted_plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
