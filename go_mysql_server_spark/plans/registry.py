@@ -96,13 +96,24 @@ def _ensure_loaded() -> None:
 # whatever fix this round landed.
 
 
-def _load_driver_verified() -> frozenset[str]:
+def _load_driver_verified() -> dict[str, int]:
+    """name -> round number of the most recent green driver row.
+
+    The round matters (r4 verdict task 3): with the catalog closed, a
+    membership-only set made the driver's 50-row budget re-check the same
+    first-50 names every round. Recording WHEN each name was last green
+    lets `_ordered` emit least-recently-verified first, so the budget
+    rotates through the whole catalog across rounds.
+    """
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):  # unreadable/partial file: skip
@@ -118,11 +129,11 @@ def _load_driver_verified() -> frozenset[str]:
                     and res.get("rows_match") is True)
             )
             if ok:
-                green.add(name)
+                green[name] = max(rnd, green.get(name, 0))
             else:
                 # a later red overrides an earlier green: re-verify first
-                green.discard(name)
-    return frozenset(green)
+                green.pop(name, None)
+    return green
 
 
 DRIVER_VERIFIED = _load_driver_verified()
@@ -130,7 +141,10 @@ DRIVER_VERIFIED = _load_driver_verified()
 
 def _ordered(names: list[str]) -> list[str]:
     fresh = [n for n in names if n not in DRIVER_VERIFIED]
-    seen = [n for n in names if n in DRIVER_VERIFIED]
+    # stale greens first: a name last verified in r1 re-checks before one
+    # verified in r4; ties keep registration order (sort is stable)
+    seen = sorted((n for n in names if n in DRIVER_VERIFIED),
+                  key=lambda n: DRIVER_VERIFIED[n])
     return fresh + seen
 
 

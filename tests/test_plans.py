@@ -347,3 +347,35 @@ def test_q3_customer_join_unhinted_still_broadcasts(spark):
     locally while removing the 100x OOM risk."""
     plan = formatted_plan(spark, "tpch_q3_shipping_priority")
     assert "BroadcastHashJoin" in plan
+
+
+def test_driver_verified_staleness_ordering():
+    """r5: the driver budget re-checks least-recently-verified greens first
+    — a name green only in r1 must sort before a name green in r4."""
+    import json
+    from pathlib import Path
+
+    from go_mysql_server_spark.plans.registry import (
+        DRIVER_VERIFIED, all_queries)
+
+    root = Path(__file__).resolve().parents[1]
+    rounds: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in f.stem if ch.isdigit()))
+        for name, res in json.loads(f.read_text()).items():
+            green = res.get("err") is None and (
+                res.get("hash_match") is True
+                or (res.get("hash_match") is None and res.get("rows_match")))
+            if green:
+                rounds[name] = max(rnd, rounds.get(name, 0))
+            else:
+                rounds.pop(name, None)
+    assert dict(DRIVER_VERIFIED) == rounds
+
+    names = list(all_queries())
+    verified_rounds = [DRIVER_VERIFIED[n] for n in names
+                       if n in DRIVER_VERIFIED]
+    assert verified_rounds == sorted(verified_rounds), (
+        "verified entries must be emitted least-recently-verified first")
+    # the corpus actually exercises the property: several distinct rounds
+    assert len(set(verified_rounds)) >= 2
