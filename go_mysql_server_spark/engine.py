@@ -338,6 +338,30 @@ class Engine:
 
     # ---- public API --------------------------------------------------------
 
+    def register_function(self, name: str, fn, return_type="string"):
+        """Integrator-supplied scalar function, SQL-callable under `name` —
+        the embedding surface of the reference's Catalog.RegisterFunction
+        (reference engine.go:116-122, sql/function.go). Row-at-a-time
+        Python: fine for integrator extension points, never used by the
+        engine's own hot paths."""
+        return self.spark.udf.register(name, fn, return_type)
+
+    def register_aggregate(self, name: str, fn, return_type="double"):
+        """Integrator-supplied aggregation, SQL-callable in GROUP BY — the
+        mirror of registering a custom sql.Aggregation with the reference
+        catalog (reference engine.go:116-122,
+        sql/expression/function/aggregation/). `fn` takes one pandas
+        Series per argument column and returns one scalar per group;
+        execution is an Arrow-batched grouped-agg pandas UDF, so each
+        group's values stream to Python once per shuffle partition — no
+        per-row Python, and the grouping exchange is the same one a
+        built-in aggregate would use."""
+        from pyspark.sql import functions as F
+
+        udf = F.pandas_udf(fn, return_type, F.PandasUDFType.GROUPED_AGG)
+        self.spark.udf.register(name, udf)
+        return udf
+
     def query(self, sql: str) -> DataFrame | OkResult:
         from . import admin
         sql = sql.strip().rstrip(";").strip()

@@ -170,3 +170,57 @@ def func_spatial_extended(spark, sf_dir):
         st_astext(fn("st_swapxy", line), "linestring").alias("swapped"),
         F.round(fn("st_length", line), 6).alias("linelen"),
     )
+
+
+@query(
+    "func_custom_udaf",
+    oracle="""
+WITH src AS (
+  SELECT o_orderpriority AS pri,
+         o_totalprice AS v,
+         CAST(o_custkey % 10 + 1 AS DOUBLE) AS w
+  FROM orders
+),
+ranked AS (
+  SELECT pri, v, w,
+         SUM(w) OVER (PARTITION BY pri ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY pri) AS tw
+  FROM src
+)
+SELECT pri, ROUND(MIN(v), 2) AS wmedian
+FROM ranked WHERE cw >= tw / 2.0
+GROUP BY pri ORDER BY pri
+""",
+)
+def func_custom_udaf(spark, sf_dir):
+    """Integrator UDAF surface (SURVEY §2.10): Engine.register_aggregate
+    mirrors registering a custom sql.Aggregation with the reference
+    catalog (reference engine.go:116-122,
+    sql/expression/function/aggregation/). A weighted-median aggregate is
+    registered as an Arrow-batched grouped-agg pandas UDF and called from
+    SQL text through the engine's statement router; the oracle computes
+    the same weighted median declaratively (cumulative-weight crossing of
+    half the total, ties resolved by MIN over qualifying values — the
+    same rule the pandas reduction applies)."""
+    import pandas as pd
+
+    from ..engine import Engine
+
+    def weighted_median(v: pd.Series, w: pd.Series) -> float:
+        df = pd.DataFrame({"v": v, "w": w}).dropna().sort_values("v")
+        if df.empty:
+            return None
+        cw = df["w"].cumsum()
+        return float(df["v"][cw >= df["w"].sum() / 2.0].iloc[0])
+
+    eng = Engine(spark)
+    eng.register_aggregate("weighted_median_udaf", weighted_median, "double")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return eng.query("""
+        SELECT o_orderpriority AS pri,
+               ROUND(weighted_median_udaf(
+                   o_totalprice,
+                   CAST(o_custkey % 10 + 1 AS DOUBLE)), 2) AS wmedian
+        FROM orders GROUP BY o_orderpriority ORDER BY pri
+    """)

@@ -1442,3 +1442,26 @@ def test_ansi_quotes_mode(eng):
             ("i",)]
     finally:
         eng.query("SET sql_mode = 'STRICT_TRANS_TABLES'")
+
+
+def test_register_aggregate_and_function(eng):
+    """Integrator registration surface (reference engine.go:116-122):
+    custom scalar and custom aggregation, both SQL-callable. The UDAF runs
+    as a grouped-agg pandas UDF — one Python call per group per partition,
+    not per row."""
+    import pandas as pd
+
+    eng.register_function("shout_udf", lambda s: None if s is None
+                          else str(s).upper() + "!", "string")
+
+    def wsum(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum())
+
+    eng.register_aggregate("wsum_udaf", wsum, "double")
+    eng.query("DROP TABLE IF EXISTS udafreg")
+    eng.query("CREATE TABLE udafreg (g VARCHAR(4), v DOUBLE, w DOUBLE)")
+    eng.query("INSERT INTO udafreg VALUES ('a', 1, 2), ('a', 3, 4), "
+              "('b', 5, 6)")
+    assert rows(eng.query(
+        "SELECT g, wsum_udaf(v, w) AS s, shout_udf(g) AS u FROM udafreg "
+        "GROUP BY g ORDER BY g")) == [("a", 14.0, "A!"), ("b", 30.0, "B!")]
