@@ -348,13 +348,21 @@ def q_analyze(eng, sql: str):
 
 def create_index(eng, sql: str):
     from .engine import OkResult, SqlError
-    m = re.match(r"CREATE\s+(UNIQUE\s+)?INDEX\s+[`]?(\w+)[`]?\s+ON\s+([`\w.]+)"
-                 r"\s*\(([^)]*)\)", sql, re.I)
+    m = re.match(r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+"
+                 r"[`]?(\w+)[`]?\s+ON\s+([`\w.]+)\s*\(([^)]*)\)", sql, re.I)
     if not m:
         raise SqlError(f"cannot parse CREATE INDEX: {sql[:60]!r}")
     ts = eng._table(m.group(3))
     cols = tuple(c.strip().strip("`").split("(")[0] for c in m.group(4).split(","))
-    ts.indexes.append(IndexDef(m.group(2), cols, unique=bool(m.group(1))))
+    kind = (m.group(1) or "").strip().upper()
+    if kind == "FULLTEXT":
+        # materialize the postings index now and maintain it through DML
+        # (reference sql/fulltext/fulltext.go CreateFulltextIndexes)
+        eng._ft_create(ts, m.group(2), cols)
+        ts.indexes.append(IndexDef(m.group(2), cols, kind="FULLTEXT"))
+        return OkResult(0, info="fulltext index materialized")
+    ts.indexes.append(IndexDef(m.group(2), cols, unique=kind == "UNIQUE",
+                               kind="SPATIAL" if kind == "SPATIAL" else "BTREE"))
     return OkResult(
         0, info="index recorded (advisory: Spark pushdown/pruning replace lookups)")
 
@@ -365,6 +373,7 @@ def drop_index(eng, sql: str):
     if m:
         ts = eng._table(m.group(2))
         ts.indexes = [ix for ix in ts.indexes if ix.name != m.group(1)]
+        ts.fulltext = [fx for fx in ts.fulltext if fx.name != m.group(1)]
     return OkResult(0)
 
 

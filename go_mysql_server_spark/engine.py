@@ -106,6 +106,9 @@ class TableState:
     # timestamp-based AS OF.
     history: list[DataFrame] = field(default_factory=list)
     history_ts: list[float] = field(default_factory=list)
+    # FULLTEXT indexes: postings DataFrames maintained through the DML
+    # path (reference sql/fulltext/fulltext.go, multi_editor.go)
+    fulltext: list = field(default_factory=list)  # [FulltextIndex]
 
     @property
     def schema(self) -> T.StructType:
@@ -362,6 +365,174 @@ class Engine:
         self.spark.udf.register(name, udf)
         return udf
 
+    # ---- FULLTEXT index maintenance (reference sql/fulltext/) -------------
+
+    def _ft_create(self, ts: TableState, idx_name: str,
+                   cols: tuple[str, ...]) -> None:
+        """CREATE FULLTEXT INDEX: materialize the postings table now
+        (reference fulltext.go CreateFulltextIndexes builds the config/
+        word tables up front) and register it for DML maintenance."""
+        from .operators.fulltext_index import FulltextIndex, build_postings
+        if not ts.primary_key or len(ts.primary_key) != 1:
+            raise SqlError(
+                "FULLTEXT index requires a single-column PRIMARY KEY "
+                "(the postings doc key)")
+        key = ts.primary_key[0]
+        postings = build_postings(ts.df, key, cols).localCheckpoint(
+            eager=True)
+        fx = FulltextIndex(idx_name, tuple(cols), key, postings,
+                           base_version=len(ts.history))
+        ts.fulltext = [f for f in ts.fulltext if f.name != idx_name] + [fx]
+
+    def _ft_after_insert(self, ts: TableState, incoming: DataFrame,
+                         incremental: bool) -> None:
+        """DML write-path hook (reference multi_editor.go): plain INSERT /
+        REPLACE maintain the postings from the delta alone; ODKU folds
+        rows into updates whose delta isn't threaded through, so those
+        mark the index for lazy rebuild at the next MATCH."""
+        for fx in ts.fulltext:
+            if incremental:
+                fx.apply_insert(incoming)
+                fx.base_version = len(ts.history)
+            else:
+                fx.pending_rebuild = True
+
+    def _ft_sync(self, ts: TableState) -> None:
+        """Bring every fulltext index up to date with the table snapshot
+        and (re)bind its temp view. UPDATE/DELETE/ALTER don't thread
+        deltas, so staleness is detected by snapshot version and repaired
+        with a rebuild — correct always, incremental where the write path
+        provided the delta."""
+        for fx in ts.fulltext:
+            if fx.pending_rebuild or fx.base_version != len(ts.history):
+                fx.rebuild(ts.df)
+                fx.base_version = len(ts.history)
+            fx.checkpoint_if_due()
+            fx.view = f"__ft_{ts.name}_{fx.name}"
+            fx.postings.createOrReplaceTempView(fx.view)
+
+    def _rewrite_match_against(self, sql: str) -> str:
+        """MATCH(col, ...) AGAINST('query' [IN NATURAL LANGUAGE MODE |
+        IN BOOLEAN MODE]) (reference sql/expression/matchagainst.go).
+
+        Indexed path: when the statement's FROM table carries a FULLTEXT
+        index on exactly the MATCH columns, relevance comes from the
+        maintained postings view via a correlated scalar subquery —
+        Catalyst decorrelates it to an aggregate + left join against the
+        index, so the text column is never re-tokenized (the point of a
+        persisted index; reference fulltext.go routes MATCH through its
+        word tables the same way).
+
+        Fallback: no index → the on-the-fly tokenize expression (same
+        relevance model, corpus-scanning)."""
+        if not re.search(r"\bMATCH\b", sql, re.I):
+            return sql
+        from .dialect.transpiler import (_find_close, mask_literals,
+                                         unmask_literals)
+        masked, lits = mask_literals(sql)
+        pat = re.compile(
+            r"\bMATCH\s*\(([^()]+)\)\s+AGAINST\s*\(", re.I)
+        fm = re.search(r"\bFROM\s+(\x00\d+\x00|[\w.]+)", masked, re.I)
+        ts = None
+        if fm:
+            tname = fm.group(1)
+            if tname.startswith("\x00"):
+                tname = lits[int(tname.strip("\x00"))].strip("`")
+            try:
+                ts = self._table(tname)
+            except Exception:
+                ts = None
+        while True:
+            m = pat.search(masked)
+            if not m:
+                break
+            close = _find_close(masked, m.end() - 1)
+            if close < 0:
+                break
+            body = masked[m.end():close]
+            bm = re.match(
+                r"\s*(\x00\d+\x00)\s*"
+                r"(?:IN\s+NATURAL\s+LANGUAGE\s+MODE|IN\s+BOOLEAN\s+MODE"
+                r"|WITH\s+QUERY\s+EXPANSION)?\s*$", body, re.I)
+            if not bm:
+                break
+            boolean_mode = bool(re.search(r"BOOLEAN\s+MODE", body, re.I))
+            qtext = lits[int(bm.group(1).strip("\x00"))][1:-1]
+            match_cols = tuple(c.strip().strip("`")
+                               for c in m.group(1).split(","))
+            expr = self._ft_match_expr(ts, match_cols, qtext, boolean_mode)
+            # bare MATCH as a WHERE predicate means relevance > 0 (MySQL
+            # truthiness); detect the bare-predicate context so the
+            # statement doesn't need the analyzer-retry wrap
+            before = masked[:m.start()].rstrip()
+            after = masked[close + 1:].lstrip()
+            bare = (re.search(r"(\bWHERE|\bAND|\bOR|\()$", before, re.I)
+                    and (not after or re.match(
+                        r"(\)|AND\b|OR\b|ORDER\b|GROUP\b|LIMIT\b|HAVING\b"
+                        r"|UNION\b|;|$)", after, re.I)))
+            if bare:
+                expr = f"(({expr}) > 0)"
+            masked = masked[:m.start()] + expr + masked[close + 1:]
+        return unmask_literals(masked, lits)
+
+    def _ft_match_expr(self, ts, match_cols: tuple[str, ...], qtext: str,
+                       boolean_mode: bool) -> str:
+        from .operators.fulltext_index import parse_boolean_query
+        fx = None
+        if ts is not None:
+            for cand in ts.fulltext:
+                if tuple(cand.columns) == match_cols:
+                    fx = cand
+                    break
+        if boolean_mode:
+            required, excluded, optional = parse_boolean_query(qtext)
+        else:
+            required, excluded = [], []
+            optional = [w.lower() for w in qtext.split() if w]
+
+        def inlist(terms):
+            return ", ".join("'" + t.replace("'", "''") + "'"
+                             for t in terms)
+
+        if fx is not None:
+            self._ft_sync(ts)
+            corr = f"p.k = {ts.name}.{fx.key}"
+
+            def tf_sum(terms):
+                return (f"COALESCE((SELECT SUM(p.tf) FROM {fx.view} p "
+                        f"WHERE p.word IN ({inlist(terms)}) AND {corr}), 0)")
+
+            score_terms = optional + required
+            score = (f"CAST({tf_sum(score_terms)} AS BIGINT)"
+                     if score_terms else "CAST(0 AS BIGINT)")
+            conds = [f"{tf_sum([t])} > 0" for t in required]
+            conds += [f"{tf_sum([t])} = 0" for t in excluded]
+            if conds:
+                return (f"(CASE WHEN {' AND '.join(conds)} "
+                        f"THEN {score} ELSE CAST(0 AS BIGINT) END)")
+            return f"({score})"
+
+        # on-the-fly fallback: tokenize the matched columns in place
+        col_expr = (match_cols[0] if len(match_cols) == 1 else
+                    "CONCAT_WS(' ', " + ", ".join(
+                        f"COALESCE(CAST({c} AS STRING), '')"
+                        for c in match_cols) + ")")
+        toks = f"split(lower(trim({col_expr})), ' +')"
+
+        def tok_count(terms):
+            return (f"size(filter({toks}, "
+                    f"x -> x IN ({inlist(terms)})))")
+
+        score_terms = optional + required
+        score = (f"CAST({tok_count(score_terms)} AS BIGINT)"
+                 if score_terms else "CAST(0 AS BIGINT)")
+        conds = [f"{tok_count([t])} > 0" for t in required]
+        conds += [f"{tok_count([t])} = 0" for t in excluded]
+        if conds:
+            return (f"(CASE WHEN {' AND '.join(conds)} "
+                    f"THEN {score} ELSE CAST(0 AS BIGINT) END)")
+        return f"({score})"
+
     def query(self, sql: str) -> DataFrame | OkResult:
         from . import admin
         sql = sql.strip().rstrip(";").strip()
@@ -543,6 +714,7 @@ class Engine:
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_as_of(sql)
+        sql = self._rewrite_match_against(sql)
         if into_vars:  # SELECT ... INTO @a, @b (reference sql/plan/into.go:1-135)
             names = [v.strip().lstrip("@") for v in into_vars.group(1).split(",")]
             df = self.spark.sql(transpile_select(sql))
@@ -1250,7 +1422,8 @@ class Engine:
             body = transpile_select(self._substitute_vars(m.group(2)))
             self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {body}")
             return OkResult(0)
-        if re.match(r"CREATE\s+(UNIQUE\s+)?INDEX", upper):
+        if re.match(r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX",
+                    upper):
             return admin.create_index(self, sql)
         # CREATE TABLE ... LIKE (reference ddl.go createTableLike: clone
         # columns, PK, indexes, checks — not the data, not foreign keys)
@@ -1401,8 +1574,13 @@ class Engine:
         if not m:
             raise SqlError(f"cannot parse ALTER: {sql[:60]!r}")
         ts = self._table(m.group(1))
+        df_mutated = False  # metadata-only actions skip the re-materialize
         for action in _split_top_level(m.group(2)):
             up = action.upper()
+            if not up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
+                                  "ADD FULLTEXT", "DROP INDEX", "DROP KEY",
+                                  "ADD PRIMARY", "ADD CONSTRAINT")):
+                df_mutated = True
             if up.startswith("ADD COLUMN") or (up.startswith("ADD ")
                                                and "INDEX" not in up
                                                and "KEY" not in up
@@ -1473,14 +1651,14 @@ class Engine:
                         c.nullable = "NOT NULL" not in parts[1].upper()
                 ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
             elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
-                                "DROP INDEX", "DROP KEY")):
+                                "ADD FULLTEXT", "DROP INDEX", "DROP KEY")):
                 # record in the index bookkeeping (SHOW INDEX /
                 # information_schema.statistics); advisory for execution —
                 # Spark pushdown/pruning replace index lookups
                 from . import admin
                 im = re.match(
-                    r"ADD\s+(UNIQUE\s+)?(?:INDEX|KEY)\s*[`]?(\w+)?[`]?\s*"
-                    r"\(", action, re.I)
+                    r"ADD\s+(UNIQUE\s+|FULLTEXT\s+)?(?:INDEX|KEY)?\s*"
+                    r"[`]?(\w+)?[`]?\s*\(", action, re.I)
                 if im:
                     # scan to the BALANCED close paren — prefix-length
                     # columns like (a(10), b) contain nested parens, and
@@ -1490,9 +1668,14 @@ class Engine:
                     col_body = action[im.end():close] if close > 0 else ""
                     cols = tuple(c.strip().strip("`").split("(")[0]
                                  for c in col_body.split(","))
+                    ikind = (im.group(1) or "").strip().upper()
+                    if ikind == "FULLTEXT":
+                        self._ft_create(ts, im.group(2) or cols[0], cols)
                     ts.indexes.append(admin.IndexDef(
                         im.group(2) or cols[0], cols,
-                        unique=bool(im.group(1))))
+                        unique=ikind == "UNIQUE",
+                        kind="FULLTEXT" if ikind == "FULLTEXT"
+                        else "BTREE"))
                 else:
                     dm2 = re.match(r"DROP\s+(?:INDEX|KEY)\s+[`]?(\w+)[`]?",
                                    action, re.I)
@@ -1500,11 +1683,19 @@ class Engine:
                         ts.indexes = [ix for ix in ts.indexes
                                       if ix.name != dm2.group(1)]
                 continue
-            elif up.startswith(("ADD CONSTRAINT", "ADD PRIMARY")):
+            elif up.startswith("ADD PRIMARY"):
+                pm = re.match(r"ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)",
+                              action, re.I)
+                if pm:  # recorded: FULLTEXT/dup checks key off it
+                    ts.primary_key = tuple(
+                        c.strip().strip("`") for c in pm.group(1).split(","))
+                continue
+            elif up.startswith("ADD CONSTRAINT"):
                 continue  # advisory on Spark
             else:
                 raise SqlError(f"unsupported ALTER action: {action[:50]!r}")
-        ts.df = ts.df.localCheckpoint(eager=True)
+        if df_mutated:
+            ts.df = ts.df.localCheckpoint(eager=True)
         self._register(ts)
         return OkResult(0)
 
@@ -1698,6 +1889,11 @@ class Engine:
         affected = n_new - n_clash if verb == "INSERT" else n_new
         ts.df = result
         self._register(ts)
+        if ts.fulltext:
+            # ODKU mutates existing rows without a threaded delta → lazy
+            # rebuild; INSERT/IGNORE/REPLACE maintain incrementally from
+            # `incoming` (exactly the net-new/overwriting rows)
+            self._ft_after_insert(ts, incoming, incremental=odku is None)
         if last_id is not None:
             self.last_insert_id = last_id
         uuid_cols = [c.name for c in ts.columns

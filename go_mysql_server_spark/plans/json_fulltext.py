@@ -339,3 +339,52 @@ def fulltext_query_expansion(spark, sf_dir):
         .orderBy(F.desc("relevance"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "fulltext_indexed_match",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL SELECT 900001, 'spark data window join'
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                              x -> x IN ('spark', 'window', 'join'))) AS BIGINT)
+             AS relevance
+  FROM corpus
+)
+SELECT doc_id, relevance FROM scored
+WHERE relevance > 0
+ORDER BY relevance DESC, doc_id
+LIMIT 50
+""",
+)
+def fulltext_indexed_match(spark, sf_dir):
+    """Persisted fulltext index + incremental maintenance (reference
+    sql/fulltext/fulltext.go CreateFulltextIndexes, multi_editor.go DML
+    hooks): CREATE FULLTEXT INDEX materializes a postings table
+    (word, doc key, tf); a later INSERT maintains it incrementally from
+    the delta alone; MATCH ... AGAINST routes through the postings via a
+    correlated scalar subquery that Catalyst decorrelates to an
+    aggregate + join — the returned plan never re-tokenizes the text
+    column (pinned by test_plans), which is the property that matters
+    when the corpus is 100 TB and the query is repeated."""
+    from ..engine import Engine
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    eng = Engine(spark)
+    eng.query("DROP TABLE IF EXISTS docs_ft")
+    # CTAS seeds lazily (no per-row conversion/checkpoint jobs — keeps
+    # this entry inside the driver-sim time budget)
+    eng.query("CREATE TABLE docs_ft AS SELECT doc_id, text FROM documents"
+              " WHERE doc_id % 4 = 0")  # half corpus: driver-sim time budget
+    eng.query("ALTER TABLE docs_ft ADD PRIMARY KEY (doc_id)")
+    eng.query("CREATE FULLTEXT INDEX ft_text ON docs_ft (text)")
+    # incremental: only this row is tokenized (O(delta) maintenance)
+    eng.query("INSERT INTO docs_ft VALUES (900001, 'spark data window join')")
+    return eng.query(
+        "SELECT doc_id, MATCH(text) AGAINST('spark window join') AS relevance"
+        " FROM docs_ft WHERE MATCH(text) AGAINST('spark window join')"
+        " ORDER BY relevance DESC, doc_id LIMIT 50")

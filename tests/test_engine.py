@@ -1465,3 +1465,48 @@ def test_register_aggregate_and_function(eng):
     assert rows(eng.query(
         "SELECT g, wsum_udaf(v, w) AS s, shout_udf(g) AS u FROM udafreg "
         "GROUP BY g ORDER BY g")) == [("a", 14.0, "A!"), ("b", 30.0, "B!")]
+
+
+def test_fulltext_index_dml_maintenance(eng):
+    """DML-then-MATCH script (reference sql/fulltext/multi_editor.go):
+    INSERT maintains the postings incrementally; UPDATE/DELETE repair
+    lazily at the next MATCH; REPLACE overwrites a doc's postings."""
+    eng.query("DROP TABLE IF EXISTS ftmx")
+    eng.query("CREATE TABLE ftmx (id BIGINT PRIMARY KEY, body TEXT)")
+    eng.query("INSERT INTO ftmx VALUES (1, 'spark join window spark'), "
+              "(2, 'window only here'), (3, 'nothing relevant')")
+    eng.query("CREATE FULLTEXT INDEX ft_body ON ftmx (body)")
+    q = ("SELECT id, MATCH(body) AGAINST('spark window') AS rel "
+         "FROM ftmx ORDER BY id")
+    assert rows(eng.query(q)) == [(1, 3), (2, 1), (3, 0)]
+    # incremental insert — only the delta is tokenized
+    eng.query("INSERT INTO ftmx VALUES (4, 'spark spark spark')")
+    assert rows(eng.query(q)) == [(1, 3), (2, 1), (3, 0), (4, 3)]
+    # REPLACE overwrites doc 4's postings
+    eng.query("REPLACE INTO ftmx VALUES (4, 'window')")
+    assert rows(eng.query(q)) == [(1, 3), (2, 1), (3, 0), (4, 1)]
+    # UPDATE / DELETE: staleness detected, index rebuilt at next MATCH
+    eng.query("UPDATE ftmx SET body = 'silence' WHERE id = 1")
+    eng.query("DELETE FROM ftmx WHERE id = 2")
+    assert rows(eng.query(q)) == [(1, 0), (3, 0), (4, 1)]
+    # boolean mode through the index
+    assert rows(eng.query(
+        "SELECT id FROM ftmx "
+        "WHERE MATCH(body) AGAINST('+window -spark' IN BOOLEAN MODE) "
+        "ORDER BY id")) == [(4,)]
+    # bare WHERE predicate means relevance > 0
+    assert rows(eng.query(
+        "SELECT id FROM ftmx WHERE MATCH(body) AGAINST('window') "
+        "ORDER BY id")) == [(4,)]
+
+
+def test_fulltext_fallback_without_index(eng):
+    """MATCH on an unindexed column: on-the-fly tokenize expression
+    (reference matchagainst.go computes relevance without an index the
+    same way)."""
+    eng.query("DROP TABLE IF EXISTS ftnx")
+    eng.query("CREATE TABLE ftnx (id BIGINT PRIMARY KEY, s TEXT)")
+    eng.query("INSERT INTO ftnx VALUES (1, 'alpha beta'), (2, 'gamma')")
+    assert rows(eng.query(
+        "SELECT id, MATCH(s) AGAINST('beta gamma') AS rel FROM ftnx "
+        "ORDER BY id")) == [(1, 1), (2, 1)]

@@ -379,3 +379,25 @@ def test_driver_verified_staleness_ordering():
         "verified entries must be emitted least-recently-verified first")
     # the corpus actually exercises the property: several distinct rounds
     assert len(set(verified_rounds)) >= 2
+
+
+def test_fulltext_indexed_match_reads_index_not_corpus(spark):
+    """The persisted-fulltext entry's MATCH must be answered from the
+    maintained postings table: the final plan contains no tokenization
+    (split) and no explode (Generate) — relevance comes from an
+    aggregate over the index joined back on the doc key (reference
+    fulltext.go routes MATCH through its word tables the same way)."""
+    df = QUERIES["fulltext_indexed_match"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    gen_idx = [i for i, ln in enumerate(lines) if "Generate" in ln]
+    assert gen_idx, "the incremental delta's tokenization should be visible"
+    for i in gen_idx:
+        # each explode(split(...)) must sit over the inlined delta row
+        # (LocalTableScan), never over the corpus (Scan ExistingRDD)
+        assert "LocalTableScan" in lines[i + 1], lines[i:i + 2]
+    # the corpus (checkpointed table state) is scanned at most for the
+    # outer row keys — never fed to a tokenizer
+    for i, ln in enumerate(lines):
+        if "Scan ExistingRDD" in ln and "text" in ln:
+            assert i == 0 or "Generate" not in lines[i - 1], lines[i - 1:i + 1]
