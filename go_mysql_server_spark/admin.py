@@ -53,6 +53,9 @@ class EventDef:
     enabled: bool = True
     preserve: bool = False            # ON COMPLETION PRESERVE
     last_run: float | None = None
+    # LAST_EXECUTED bookkeeping (reference eventscheduler/event_executor.go
+    # records execution times; surfaced by SHOW EVENTS)
+    last_executed: float | None = None
     created: float = field(default_factory=time.time)
 
 
@@ -249,6 +252,7 @@ def run_due_events(eng) -> None:
             for stmt in split_statements(ev.body):
                 if stmt.strip():
                     eng.query(stmt)
+            ev.last_executed = now
             if ev.at_ts is not None:  # one-shot
                 if ev.preserve:
                     ev.enabled = False
@@ -291,15 +295,20 @@ def set_event_scheduler(eng, enabled: bool) -> None:
 
 
 def show_events(eng) -> DataFrame:
+    import datetime as _dt
+
     rows = []
     for ev in eng.events.values():
         kind = "ONE TIME" if ev.at_ts is not None else "RECURRING"
+        last = (_dt.datetime.utcfromtimestamp(ev.last_executed)
+                .strftime("%Y-%m-%d %H:%M:%S")
+                if ev.last_executed is not None else None)
         rows.append((eng.current_db, ev.name, "root@localhost", kind,
-                     "ENABLED" if ev.enabled else "DISABLED"))
-    return eng.spark.createDataFrame(
-        rows, "Db string, Name string, Definer string, Type string, Status string"
-    ) if rows else eng.spark.createDataFrame(
-        [], "Db string, Name string, Definer string, Type string, Status string")
+                     "ENABLED" if ev.enabled else "DISABLED", last))
+    schema = ("Db string, Name string, Definer string, Type string, "
+              "Status string, Last_Executed string")
+    return (eng.spark.createDataFrame(rows, schema) if rows
+            else eng.spark.createDataFrame([], schema))
 
 
 # ---- ANALYZE / statistics ---------------------------------------------------

@@ -1510,3 +1510,37 @@ def test_fulltext_fallback_without_index(eng):
     assert rows(eng.query(
         "SELECT id, MATCH(s) AGAINST('beta gamma') AS rel FROM ftnx "
         "ORDER BY id")) == [(1, 1), (2, 1)]
+
+
+def test_async_recurring_event_fires_unattended(eng):
+    """ON SCHEDULE EVERY 1 SECOND under the background scheduler: the
+    event fires repeatedly with NO intervening statement (reference
+    eventscheduler/event_scheduler.go executes on its own goroutine), and
+    LAST_EXECUTED bookkeeping records each firing
+    (eventscheduler/event_executor.go)."""
+    import time
+
+    eng.query("DROP TABLE IF EXISTS evtr")
+    eng.query("CREATE TABLE evtr (i BIGINT)")
+    eng.query("CREATE EVENT bg_tick ON SCHEDULE EVERY 1 SECOND "
+              "DO INSERT INTO evtr VALUES (1)")
+    eng.query("SET GLOBAL event_scheduler = ON")
+    try:
+        deadline = time.time() + 25
+        # poll engine STATE only — no eng.query() calls, so firings can
+        # come only from the scheduler thread
+        while time.time() < deadline:
+            ev = eng.events.get("bg_tick")
+            if ev is not None and ev.last_executed is not None and \
+                    eng._db(None)["evtr"].df.count() >= 2:
+                break
+            time.sleep(0.2)
+        ev = eng.events["bg_tick"]
+        assert ev.last_executed is not None, "recurring event never fired"
+        assert eng._db(None)["evtr"].df.count() >= 2, "expected >=2 firings"
+    finally:
+        eng.query("SET GLOBAL event_scheduler = OFF")
+        eng.query("DROP EVENT bg_tick")
+    # LAST_EXECUTED surfaced by SHOW EVENTS (for remaining events)
+    out = eng.query("SHOW EVENTS")
+    assert "Last_Executed" in out.columns
