@@ -1201,3 +1201,58 @@ def transpile_select(sql: str) -> str:
     sql = sql.replace("\x01BINARY\x01", "BINARY")
     sql = _unquote_numeric_args(sql, lits)
     return unmask_literals(sql, lits)
+
+
+def flatten_correlated_in(sql: str) -> str:
+    """Reduce correlation depth of `X IN (SELECT c FROM t WHERE c = K)`
+    to `(X = K AND X IN (SELECT c FROM t))` — first-order equivalent
+    (the subquery returns c's equal to K, so membership means X = K and
+    K appears in t; UNKNOWN/FALSE coincide in WHERE context). MySQL
+    resolves K across any number of scopes (reference join_queries.go
+    nested-IN tests); Spark's analyzer only reaches one scope up, so a
+    two-level correlation fails UNRESOLVED_COLUMN — after this rewrite K
+    sits one level closer. Retry-only."""
+    masked, lits = mask_literals(sql)
+    pat = re.compile(
+        r"(\w+(?:\.\w+)?)\s+IN\s*\(\s*SELECT\s+(\w+)\s+FROM\s+(\w+)\s+"
+        r"WHERE\s+(\w+)\s*=\s*(\w+(?:\.\w+)?)\s*\)", re.IGNORECASE)
+
+    def repl(m: re.Match) -> str:
+        x, c, t, lhs, k = m.groups()
+        if lhs.lower() != c.lower():
+            return m.group(0)
+        return f"({x} = {k} AND {x} IN (SELECT {c} FROM {t}))"
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = pat.sub(repl, masked)
+    return unmask_literals(masked, lits)
+
+
+def resolve_projection_alias_in_subquery(sql: str) -> str:
+    """MySQL lets a scalar subquery in the select list reference a
+    sibling projection alias (`SELECT 1 AS a, (SELECT a) AS b`); Spark
+    resolves subqueries against relations only. Inline the alias's
+    expression for the exact shape `(SELECT <alias>)`. Retry-only."""
+    masked, lits = mask_literals(sql)
+    m = re.match(r"\s*SELECT\s+(.*?)\s+FROM\s", masked,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        return sql
+    aliases: dict[str, str] = {}
+    for item in _split_args(m.group(1)):
+        am = re.match(r"(.+?)\s+AS\s+[`]?(\w+)[`]?\s*$", item.strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if am and "(" not in am.group(1):
+            aliases.setdefault(am.group(2).lower(), am.group(1).strip())
+    if not aliases:
+        return sql
+
+    def repl(sm: re.Match) -> str:
+        expr = aliases.get(sm.group(1).lower())
+        return f"({expr})" if expr is not None else sm.group(0)
+
+    masked = re.sub(r"\(\s*SELECT\s+[`]?(\w+)[`]?\s*\)", repl, masked,
+                    flags=re.IGNORECASE)
+    return unmask_literals(masked, lits)

@@ -752,6 +752,21 @@ class Engine:
                 or ("BINARY_OP_DIFF_TYPES" in msg
                     and (" AND " in msg or " OR " in msg))
             )
+            if "UNRESOLVED_COLUMN" in msg:
+                # MySQL resolves two scopings Spark's analyzer doesn't:
+                # correlation more than one scope deep, and projection
+                # aliases referenced from sibling scalar subqueries
+                # (reference join_queries.go nested-IN tests,
+                # column_alias_queries.go). Retry with the semantic-
+                # preserving rewrites; re-raise the original on no change.
+                from .dialect.transpiler import (
+                    flatten_correlated_in,
+                    resolve_projection_alias_in_subquery)
+                rewritten = resolve_projection_alias_in_subquery(
+                    flatten_correlated_in(final))
+                if rewritten != final:
+                    return self.spark.sql(rewritten)
+                raise
             if not retryable:
                 raise
             from .dialect.transpiler import (wrap_truthy_case,

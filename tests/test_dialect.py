@@ -89,3 +89,30 @@ def test_locking_reads_and_index_hints_stripped():
     # literals survive untouched
     assert transpile_select("SELECT 'USE INDEX (x) FOR UPDATE' AS s") == \
         "SELECT 'USE INDEX (x) FOR UPDATE' AS s"
+
+
+def test_flatten_correlated_in():
+    """X IN (SELECT c FROM t WHERE c = K) → (X = K AND X IN (SELECT c
+    FROM t)): first-order equivalent that brings a two-scope correlation
+    within Spark's one-scope analyzer reach (reference join_queries.go
+    nested-IN tests)."""
+    from go_mysql_server_spark.dialect.transpiler import flatten_correlated_in
+
+    out = flatten_correlated_in(
+        "select * from ab where b in "
+        "(select y from xy where y in (select v from uv where v = b))")
+    assert "(y = b AND y IN (SELECT v FROM uv))" in out
+    # non-matching shapes untouched
+    sql = "select * from ab where b in (select y from xy where y > 1)"
+    assert flatten_correlated_in(sql) == sql
+
+
+def test_resolve_projection_alias_in_subquery():
+    from go_mysql_server_spark.dialect.transpiler import (
+        resolve_projection_alias_in_subquery as fix)
+
+    assert fix("SELECT 1 as a, (select a) as b from xy") == \
+        "SELECT 1 as a, (1) as b from xy"
+    # only bare-(SELECT alias) shapes; anything else untouched
+    sql = "SELECT 1 as a, (select x from xy) from xy"
+    assert fix(sql) == sql

@@ -99,8 +99,10 @@ FIXTURES = {
 }
 
 
-def _candidates(table_backed: bool) -> list[str]:
-    src = REF_QUERIES.read_text(errors="replace")
+def _candidates(table_backed: bool, src_path: Path = REF_QUERIES,
+                fixtures: dict | None = None) -> list[str]:
+    fixtures = FIXTURES if fixtures is None else fixtures
+    src = src_path.read_text(errors="replace")
     raw = re.findall(r'Query:\s+"((?:[^"\\]|\\.)*)"', src)
     raw += re.findall(r"Query:\s+`([^`]*)`", src)
     out, seen = [], set()
@@ -115,7 +117,7 @@ def _candidates(table_backed: bool) -> list[str]:
         tbls = {w.lower() for w in re.findall(
             r"\b(?:FROM|JOIN)\s+`?(\w+)`?", t, re.I)}
         if table_backed:
-            if not tbls or not tbls <= set(FIXTURES):
+            if not tbls or not tbls <= set(fixtures):
                 continue
         elif re.search(r"\bFROM\b", up):
             continue
@@ -127,22 +129,24 @@ def _candidates(table_backed: bool) -> list[str]:
     return out
 
 
-def _sweep(spark, table_backed: bool):
+def _sweep(spark, table_backed: bool, src_path: Path = REF_QUERIES,
+           fixtures: dict | None = None):
     import duckdb
 
     from go_mysql_server_spark.engine import Engine
 
+    fixtures = FIXTURES if fixtures is None else fixtures
     eng = Engine(spark)
     con = duckdb.connect()
     if table_backed:
-        for ddl, ins in FIXTURES.values():
+        for ddl, ins in fixtures.values():
             eng.query(ddl)
             con.execute(ddl)
             if ins:
                 eng.query(ins)
                 con.execute(ins)
     ok, mismatches, engerrs = 0, [], []
-    for t in _candidates(table_backed):
+    for t in _candidates(table_backed, src_path, fixtures):
         try:
             drows = con.sql(t).fetchall()
         except Exception:
@@ -194,3 +198,101 @@ def test_golden_table_sweep(spark):
                          "mt (a)", "cte(i, j)", "mt2.i",
                          "join mytable b"))]
     assert not new, f"NEW golden divergences: {new[:5]}"
+
+
+# ---- r5 widening: join corpus + null-range + column-alias corpora ----------
+
+REF_JOINS = REF_QUERIES.parent / "join_queries.go"
+REF_NULL_RANGES = REF_QUERIES.parent / "null_range_tests.go"
+REF_COL_ALIAS = REF_QUERIES.parent / "column_alias_queries.go"
+
+# reference enginetest/scriptgen/setup/scripts/{xy,null_ranges}: same rows,
+# index clauses dropped (indexes are advisory here — Spark pushdown/pruning
+# replace lookups; SURVEY §2.1)
+JOIN_FIXTURES = {
+    "xy": ("CREATE TABLE xy (x INT PRIMARY KEY, y INT)",
+           "INSERT INTO xy VALUES (1,0),(2,1),(0,2),(3,3)"),
+    "uv": ("CREATE TABLE uv (u INT PRIMARY KEY, v INT)",
+           "INSERT INTO uv VALUES (0,1),(1,1),(2,2),(3,2)"),
+    "ab": ("CREATE TABLE ab (a INT PRIMARY KEY, b INT)",
+           "INSERT INTO ab VALUES (0,2),(1,2),(2,2),(3,1)"),
+    "pq": ("CREATE TABLE pq (p INT PRIMARY KEY, q INT)",
+           "INSERT INTO pq VALUES (0,0),(1,1),(2,2),(3,3)"),
+    "mn": ("CREATE TABLE mn (m INT PRIMARY KEY, n INT)",
+           "INSERT INTO mn VALUES (2,0),(3,1),(4,2),(5,3)"),
+    "rs": ("CREATE TABLE rs (r INT PRIMARY KEY, s INT)",
+           "INSERT INTO rs VALUES (0,0),(1,0),(2,0),(4,4),(5,4)"),
+    "xy_hasnull": ("CREATE TABLE xy_hasnull (x INT PRIMARY KEY, y INT)",
+                   "INSERT INTO xy_hasnull VALUES (1,0),(2,1),(0,2),(3,NULL)"),
+    "ab_hasnull": ("CREATE TABLE ab_hasnull (a INT PRIMARY KEY, b INT)",
+                   "INSERT INTO ab_hasnull VALUES (0,2),(1,2),(2,NULL),(3,1)"),
+    "xy_hasnull_idx": (
+        "CREATE TABLE xy_hasnull_idx (x INT PRIMARY KEY, y INT)",
+        "INSERT INTO xy_hasnull_idx VALUES (1,0),(2,1),(0,2),(3,NULL)"),
+}
+
+NULL_RANGE_FIXTURES = {
+    "null_ranges": ("CREATE TABLE null_ranges (x INT PRIMARY KEY, y INT)",
+                    "INSERT INTO null_ranges VALUES "
+                    "(0,0),(1,1),(2,2),(3,NULL),(4,NULL)"),
+}
+
+ALIAS_FIXTURES = {**FIXTURES, **JOIN_FIXTURES}
+
+KNOWN_DIVERGENT_JOIN: tuple[str, ...] = ()
+KNOWN_JOIN_ENGERR: tuple[str, ...] = ()
+KNOWN_DIVERGENT_ALIAS: tuple[str, ...] = ()
+# documented residuals (sweep runs the corpus against the join fixtures;
+# some column_alias entries come from ScriptTests with different rows):
+KNOWN_ALIAS_ENGERR: tuple[str, ...] = (
+    # multi-row scalar subquery under the join-fixture data — MySQL
+    # errors identically (1242); DuckDB silently picks a row, so it can't
+    # oracle this one
+    "(select u from uv where v = y)",
+    # Skip: true in the reference itself (GMS issue #1286 — duplicate
+    # alias in subquery)
+    "0 as a, 1 as a",
+    # scalar correlation two scopes deep — Spark analyzer cap, same class
+    # as the (rewritten) nested-IN correlation but with no first-order
+    # flattening available
+    "(select (select y as q))",
+)
+
+
+@pytest.mark.skipif(not REF_JOINS.exists(), reason="reference not present")
+def test_golden_join_sweep(spark):
+    ok, mismatches, engerrs = _sweep(
+        spark, table_backed=True, src_path=REF_JOINS,
+        fixtures=JOIN_FIXTURES)
+    # r5 baseline: 31 of the corpus's 181 queries stay inside the xy
+    # fixture family and are DuckDB-runnable; all 31 pass
+    assert ok >= 28, f"join golden pass count regressed: {ok}"
+    new = [q for q in mismatches if not any(
+        k in q for k in KNOWN_DIVERGENT_JOIN)]
+    new += [e for e in engerrs if not any(k in e for k in KNOWN_JOIN_ENGERR)]
+    assert not new, f"NEW join-golden divergences ({len(new)}): {new[:5]}"
+
+
+@pytest.mark.skipif(not REF_NULL_RANGES.exists(),
+                    reason="reference not present")
+def test_golden_null_range_sweep(spark):
+    ok, mismatches, engerrs = _sweep(
+        spark, table_backed=True, src_path=REF_NULL_RANGES,
+        fixtures=NULL_RANGE_FIXTURES)
+    # r5 baseline: 15/15
+    assert ok >= 14, f"null-range golden pass count regressed: {ok}"
+    assert not mismatches and not engerrs, (mismatches + engerrs)[:5]
+
+
+@pytest.mark.skipif(not REF_COL_ALIAS.exists(),
+                    reason="reference not present")
+def test_golden_column_alias_sweep(spark):
+    ok, mismatches, engerrs = _sweep(
+        spark, table_backed=True, src_path=REF_COL_ALIAS,
+        fixtures=ALIAS_FIXTURES)
+    # r5 baseline: 11 passing + 3 documented residuals
+    assert ok >= 10, f"column-alias golden pass count regressed: {ok}"
+    new = [q for q in mismatches if not any(
+        k in q for k in KNOWN_DIVERGENT_ALIAS)]
+    new += [e for e in engerrs if not any(k in e for k in KNOWN_ALIAS_ENGERR)]
+    assert not new, f"NEW alias-golden divergences ({len(new)}): {new[:5]}"
