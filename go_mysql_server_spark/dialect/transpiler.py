@@ -197,6 +197,15 @@ def _rewrite_collate(sql: str) -> str:
         operand, coll = m.group(1), m.group(2).lower()
         if coll.endswith("_ci"):
             return f"mysql_ci_key({operand})"
+        if coll in ("utf8mb4_ja_0900_as_cs", "utf8mb4_ja_0900_as_cs_ks"):
+            # ICU-weight key for the Japanese collation (restricted code
+            # point set — dialect/collation_ja.py); _ks kana-sensitivity
+            # is approximated by the same key (documented). Inlined as a
+            # full expression: Spark 4 rejects SQL UDFs inside Sort
+            # (UNSUPPORTED_SQL_UDF_USAGE), so ORDER BY ... COLLATE needs
+            # the expanded text.
+            from .collation_ja import ja_key_sql_body
+            return ja_key_sql_body(operand)
         return operand  # _bin / _cs: binary compare is the Spark default
 
     return _COLLATE.sub(repl, sql)

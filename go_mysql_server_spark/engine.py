@@ -301,6 +301,8 @@ class Engine:
             register_udfs(self.spark)  # UDF-backed MySQL fns for SQL text
             from .dialect.collation import register_sql as _register_ci
             _register_ci(self.spark)   # mysql_ci_key macro (COLLATE)
+            from .dialect.collation_ja import register_sql as _register_ja
+            _register_ja(self.spark)   # mysql_ja_key macro (ja collation)
             from .dialect.sql_macros import register_sql_macros
             register_sql_macros(self.spark)  # TIME/date shims for SQL text
             spark.conf.set("spark.gms.fnRegistered", "1")

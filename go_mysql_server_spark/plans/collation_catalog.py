@@ -123,3 +123,45 @@ def collation_ci_nonlatin(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.min("s").alias("sample"))
         .orderBy("folded")
     )
+
+
+# Japanese corpus for utf8mb4_ja_0900_as_cs (dialect/collation_ja.py —
+# ICU weights extracted from the reference's full table, reference
+# sql/encodings/generate/utf8mb4_ja_0900_as_cs.go). Expected order is the
+# reference rune-weight order: latin case pairs a<A, accent-sensitive
+# か<が, kana-INsensitive からす=カラス (id tiebreak), kanji by weight.
+_JA_ROWS = [
+    (1, "ガラス"), (2, "からす"), (3, "カラス"), (4, "がらす"),
+    (5, "さくら"), (6, "アート"), (7, "日本"), (8, "abc"), (9, "ABC"),
+    (10, "東京"), (11, "とうきょう"),
+]
+
+_JA_EXPECTED = [  # (ordinal, id, s) under (ja_key, id) ordering
+    (1, 8, "abc"), (2, 9, "ABC"), (3, 6, "アート"), (4, 2, "からす"),
+    (5, 3, "カラス"), (6, 1, "ガラス"), (7, 4, "がらす"),
+    (8, 5, "さくら"), (9, 11, "とうきょう"), (10, 10, "東京"),
+    (11, 7, "日本"),
+]
+
+
+@query(
+    "collation_ja_order",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({o}, {i}, '{s}')" for o, i, s in _JA_EXPECTED)
+    + ") AS t(ord, id, s) ORDER BY ord",
+)
+def collation_ja_order(spark, sf_dir):
+    """ORDER BY under utf8mb4_ja_0900_as_cs: the ARRAY<INT> ICU-weight
+    key (JVM map-literal transform, no UDF) reproduces the reference's
+    rune-weight comparison for the restricted code point set; oracle is
+    the golden expected order (the weights ARE the spec — computed from
+    the reference table, cited in dialect/collation_ja.py)."""
+    from pyspark.sql.window import Window
+
+    from ..dialect.collation_ja import ja_sort_key
+
+    df = spark.createDataFrame(_JA_ROWS, "id int, s string")
+    w = Window.orderBy(ja_sort_key("s"), F.col("id"))
+    return (df.select(F.row_number().over(w).cast("int").alias("ord"),
+                      "id", "s")
+            .orderBy("ord"))

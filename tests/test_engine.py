@@ -1544,3 +1544,23 @@ def test_async_recurring_event_fires_unattended(eng):
     # LAST_EXECUTED surfaced by SHOW EVENTS (for remaining events)
     out = eng.query("SHOW EVENTS")
     assert "Last_Executed" in out.columns
+
+
+def test_ja_collation_order_and_equality(eng):
+    """utf8mb4_ja_0900_as_cs through SQL text (reference
+    sql/encodings/generate/utf8mb4_ja_0900_as_cs.go weights): accent-
+    sensitive (か<が), kana-insensitive (からす=カラス), case-sensitive
+    latin (a<A), kanji by ICU weight."""
+    eng.query("DROP TABLE IF EXISTS jat")
+    eng.query("CREATE TABLE jat (id BIGINT PRIMARY KEY, s VARCHAR(40))")
+    eng.query("INSERT INTO jat VALUES (1,'ガラス'),(2,'からす'),"
+              "(3,'カラス'),(4,'がらす'),(5,'さくら'),(6,'アート'),"
+              "(7,'日本'),(8,'abc'),(9,'ABC')")
+    assert [r[0] for r in rows(eng.query(
+        "SELECT s FROM jat ORDER BY s COLLATE utf8mb4_ja_0900_as_cs, id"
+    ))] == ["abc", "ABC", "アート", "からす", "カラス", "ガラス",
+            "がらす", "さくら", "日本"]
+    assert rows(eng.query(
+        "SELECT id FROM jat WHERE s COLLATE utf8mb4_ja_0900_as_cs = "
+        "'カラス' COLLATE utf8mb4_ja_0900_as_cs ORDER BY id")) == [
+        (2,), (3,)]
