@@ -1099,6 +1099,7 @@ def transpile_select(sql: str) -> str:
     # MySQL CAST target types with no Spark spelling
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_tuple_compare(sql)
+    sql = _rewrite_having_no_group(sql)
     # integer literals wider than BIGINT parse as DOUBLE in Spark (losing
     # exactness); MySQL keeps them DECIMAL — spell them as decimal
     # literals (BD suffix), up to Spark's 38-digit cap
@@ -1210,6 +1211,44 @@ def transpile_select(sql: str) -> str:
     sql = sql.replace("\x01BINARY\x01", "BINARY")
     sql = _unquote_numeric_args(sql, lits)
     return unmask_literals(sql, lits)
+
+
+def _top_level_match(text: str, pat: str):
+    for m in re.finditer(pat, text, re.IGNORECASE):
+        before = text[:m.start()]
+        if before.count("(") == before.count(")"):
+            return m
+    return None
+
+
+def _rewrite_having_no_group(sql: str) -> str:
+    """MySQL permits HAVING without GROUP BY, filtering on select-list
+    aliases (`SELECT x AS r FROM t HAVING r > 4`); Spark raises
+    MISSING_GROUP_BY unless the query aggregates. Wrap the select in a
+    derived table and turn the HAVING into a WHERE. Operates on masked
+    text; only the top-level clause is touched, and queries that DO
+    aggregate (single-group HAVING is then valid Spark) pass through."""
+    hm = _top_level_match(sql, r"\bHAVING\b")
+    if not hm or _top_level_match(sql, r"\bGROUP\s+BY\b"):
+        return sql
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return sql
+    # only a TOP-LEVEL aggregate makes no-GROUP-BY HAVING valid Spark; an
+    # aggregate inside a (scalar sub)query's parens doesn't count
+    for am in re.finditer(r"\b(COUNT|SUM|AVG|MIN|MAX|STDDEV\w*|VAR\w*|"
+                          r"GROUP_CONCAT|BIT_AND|BIT_OR|BIT_XOR)\s*\(",
+                          sql, re.IGNORECASE):
+        before = sql[:am.start()]
+        if before.count("(") == before.count(")"):
+            return sql
+    head = sql[:hm.start()].rstrip()
+    rest = sql[hm.end():]
+    em = _top_level_match(rest, r"\b(ORDER\s+BY|LIMIT|WINDOW|UNION|"
+                                r"EXCEPT|INTERSECT)\b")
+    cond = rest[:em.start()] if em else rest
+    tail = rest[em.start():] if em else ""
+    return (f"SELECT * FROM ({head}) __having_q WHERE {cond.strip()} "
+            f"{tail}")
 
 
 def flatten_correlated_in(sql: str) -> str:

@@ -376,9 +376,11 @@ class Engine:
         word tables up front) and register it for DML maintenance."""
         from .operators.fulltext_index import FulltextIndex, build_postings
         if not ts.primary_key or len(ts.primary_key) != 1:
-            raise SqlError(
-                "FULLTEXT index requires a single-column PRIMARY KEY "
-                "(the postings doc key)")
+            # keyless / composite-key table: no per-row doc key to
+            # correlate postings on — skip materialization; MATCH answers
+            # through the on-the-fly tokenize path (still correct, pays a
+            # corpus scan per query like the pre-index engine did)
+            return
         key = ts.primary_key[0]
         postings = build_postings(ts.df, key, cols).localCheckpoint(
             eager=True)
@@ -453,16 +455,37 @@ class Engine:
                 break
             body = masked[m.end():close]
             bm = re.match(
-                r"\s*(\x00\d+\x00)\s*"
+                r"\s*(\x00\d+\x00|NULL)\s*"
                 r"(?:IN\s+NATURAL\s+LANGUAGE\s+MODE|IN\s+BOOLEAN\s+MODE"
                 r"|WITH\s+QUERY\s+EXPANSION)?\s*$", body, re.I)
             if not bm:
                 break
             boolean_mode = bool(re.search(r"BOOLEAN\s+MODE", body, re.I))
-            qtext = lits[int(bm.group(1).strip("\x00"))][1:-1]
             match_cols = tuple(c.strip().strip("`")
                                for c in m.group(1).split(","))
-            expr = self._ft_match_expr(ts, match_cols, qtext, boolean_mode)
+            if bm.group(1).upper() == "NULL":
+                # MATCH AGAINST(NULL) scores 0 on every row (reference
+                # fulltext corpus "NULL handling"); WHERE 0 keeps no rows
+                expr = "CAST(0 AS BIGINT)"
+            else:
+                qtext = lits[int(bm.group(1).strip("\x00"))][1:-1]
+                # a MATCH inside top-level ORDER BY can't use the indexed
+                # correlated-subquery form (Spark disallows subqueries in
+                # Sort) — and an ORDER BY relevance ranks every row
+                # anyway, so the scan-side expression IS the right plan
+                depth = 0
+                in_order_by = False
+                for om in re.finditer(r"[()]|\bORDER\s+BY\b", masked[:m.start()], re.I):
+                    tok = om.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        in_order_by = True
+                expr = self._ft_match_expr(ts, match_cols, qtext,
+                                           boolean_mode,
+                                           force_fallback=in_order_by)
             # bare MATCH as a WHERE predicate means relevance > 0 (MySQL
             # truthiness); detect the bare-predicate context so the
             # statement doesn't need the analyzer-retry wrap
@@ -478,12 +501,14 @@ class Engine:
         return unmask_literals(masked, lits)
 
     def _ft_match_expr(self, ts, match_cols: tuple[str, ...], qtext: str,
-                       boolean_mode: bool) -> str:
-        from .operators.fulltext_index import parse_boolean_query
+                       boolean_mode: bool,
+                       force_fallback: bool = False) -> str:
+        from .operators.fulltext_index import (MAX_WORD_LENGTH,
+                                               parse_boolean_query)
         fx = None
-        if ts is not None:
+        if ts is not None and not force_fallback:
             for cand in ts.fulltext:
-                if tuple(cand.columns) == match_cols:
+                if set(cand.columns) == set(match_cols):
                     fx = cand
                     break
         if boolean_mode:
@@ -491,6 +516,17 @@ class Engine:
         else:
             required, excluded = [], []
             optional = [w.lower() for w in qtext.split() if w]
+        # words over the reference's maxWordLength (sql/fulltext/
+        # schema.go:24) are never indexed: they can't score, a required
+        # one can never be satisfied, an excluded one is always satisfied
+        impossible = any(len(t) > MAX_WORD_LENGTH for t in required)
+        optional = [t for t in optional if len(t) <= MAX_WORD_LENGTH]
+        required = [t for t in required if len(t) <= MAX_WORD_LENGTH]
+        excluded = [t for t in excluded if len(t) <= MAX_WORD_LENGTH]
+        if impossible:
+            return "(CAST(0 AS BIGINT))"
+        if not (optional or required or excluded):
+            return "(CAST(0 AS BIGINT))"
 
         def inlist(terms):
             return ", ".join("'" + t.replace("'", "''") + "'"
@@ -1494,6 +1530,11 @@ class Engine:
         ts.df = self._empty_df(ts)
         tables[tbl] = ts
         self._register(ts)
+        for ix in ts.indexes:
+            if ix.kind == "FULLTEXT":
+                # inline FULLTEXT KEY (reference fulltext.go: bookkeeping
+                # tables are created with the table)
+                self._ft_create(ts, ix.name, ix.columns)
         return OkResult(0)
 
     _FK_DEF = re.compile(
@@ -1533,15 +1574,19 @@ class Engine:
                     checks.append(cm.group(1))
                     continue
                 im = re.match(
-                    r"(UNIQUE\s+)?(?:KEY|INDEX)\s*[`]?(\w*)[`]?\s*\(([^)]*)\)",
+                    r"(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)?"
+                    r"\s*[`]?(\w*)[`]?\s*\(([^)]*)\)",
                     item, re.I)
                 if im:
                     from .admin import IndexDef
                     idx_cols = tuple(c.strip().strip("`").split("(")[0]
                                      for c in im.group(3).split(","))
+                    ikind = (im.group(1) or "").strip().upper()
                     indexes.append(IndexDef(
                         im.group(2) or f"idx_{len(indexes)}", idx_cols,
-                        unique=bool(im.group(1))))
+                        unique=ikind == "UNIQUE",
+                        kind=ikind if ikind in ("FULLTEXT", "SPATIAL")
+                        else "BTREE"))
                 continue
             if up.startswith("CHECK"):
                 checks.append(item[item.index("("):].strip()[1:-1])
@@ -1596,7 +1641,9 @@ class Engine:
             up = action.upper()
             if not up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
                                   "ADD FULLTEXT", "DROP INDEX", "DROP KEY",
-                                  "ADD PRIMARY", "ADD CONSTRAINT")):
+                                  "ADD PRIMARY", "ADD CONSTRAINT",
+                                  "RENAME INDEX", "RENAME KEY",
+                                  "DROP PRIMARY")):
                 df_mutated = True
             if up.startswith("ADD COLUMN") or (up.startswith("ADD ")
                                                and "INDEX" not in up
@@ -1629,8 +1676,19 @@ class Engine:
                     fill = F.expr(default).cast(dtype)
                 else:
                     fill = F.lit(None).cast(dtype)
-                ts.columns.append(col)
-                ts.df = ts.df.withColumn(col.name, fill)
+                posm = re.search(r"\b(?:(FIRST)|AFTER\s+[`]?(\w+)[`]?)\s*$",
+                                 cm.group(2), re.I)
+                if posm and posm.group(1):
+                    idx_at = 0
+                elif posm and posm.group(2):
+                    names = [c.name for c in ts.columns]
+                    idx_at = names.index(posm.group(2)) + 1 \
+                        if posm.group(2) in names else len(ts.columns)
+                else:
+                    idx_at = len(ts.columns)
+                ts.columns.insert(idx_at, col)
+                ts.df = ts.df.withColumn(col.name, fill).select(
+                    *[c.name for c in ts.columns])
             elif up.startswith("DROP COLUMN") or (up.startswith("DROP ")
                                                   and "INDEX" not in up
                                                   and "KEY" not in up):
@@ -1646,6 +1704,24 @@ class Engine:
                         c.name = new
                 ts.primary_key = tuple(new if k == old else k for k in ts.primary_key)
                 ts.df = ts.df.withColumnRenamed(old, new)
+            elif up.startswith("RENAME INDEX") or up.startswith("RENAME KEY"):
+                rm2 = re.match(r"RENAME\s+(?:INDEX|KEY)\s+[`]?(\w+)[`]?\s+"
+                               r"TO\s+[`]?(\w+)[`]?", action, re.I)
+                if rm2:
+                    for ix in ts.indexes:
+                        if ix.name == rm2.group(1):
+                            ix.name = rm2.group(2)
+                    for fx in ts.fulltext:
+                        if fx.name == rm2.group(1):
+                            fx.name = rm2.group(2)
+                continue
+            elif up.startswith("DROP PRIMARY"):
+                # reference alter_table.go DropPrimaryKey: data unchanged;
+                # fulltext indexes keyed off the PK fall back to the
+                # on-the-fly MATCH path
+                ts.primary_key = ()
+                ts.fulltext = []
+                continue
             elif up.startswith("RENAME TO") or up.startswith("RENAME "):
                 new = action.split()[-1].strip("`")
                 tables = self._db(None)
@@ -1667,6 +1743,19 @@ class Engine:
                         c.set_values = set_vals
                         c.nullable = "NOT NULL" not in parts[1].upper()
                 ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
+                posm = re.search(r"\b(?:(FIRST)|AFTER\s+[`]?(\w+)[`]?)\s*$",
+                                 parts[1], re.I)
+                if posm:  # reposition (reference alter_table.go ModifyColumn)
+                    col = next(c for c in ts.columns if c.name == cname)
+                    ts.columns.remove(col)
+                    if posm.group(1):
+                        at = 0
+                    else:
+                        names = [c.name for c in ts.columns]
+                        at = names.index(posm.group(2)) + 1 \
+                            if posm.group(2) in names else len(names)
+                    ts.columns.insert(at, col)
+                    ts.df = ts.df.select(*[c.name for c in ts.columns])
             elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
                                 "ADD FULLTEXT", "DROP INDEX", "DROP KEY")):
                 # record in the index bookkeeping (SHOW INDEX /
@@ -2034,9 +2123,11 @@ class Engine:
             lo, hi = c.int_bounds
             wide = "decimal(38,0)"
             base = expr.cast(wide)
+            # bounds as string literals: BIGINT UNSIGNED's 2^64-1 doesn't
+            # fit a JVM long, so a raw-int lit would overflow in py4j
             clamped = F.least(
-                F.greatest(base, F.lit(lo).cast(wide)),
-                F.lit(hi).cast(wide))
+                F.greatest(base, F.lit(str(lo)).cast(wide)),
+                F.lit(str(hi)).cast(wide))
             # greatest/least skip NULLs — keep NULL NULL (the NOT NULL
             # implicit-default coalesce below handles it if needed). A
             # non-NULL value whose wide cast is NULL ('abc' into INT) is
@@ -2070,8 +2161,10 @@ class Engine:
                 continue
             lo, hi = c.int_bounds
             v = exprs[c.name].cast("decimal(38,0)")
+            lo_l = F.lit(str(lo)).cast("decimal(38,0)")
+            hi_l = F.lit(str(hi)).cast("decimal(38,0)")
             checks.append((
-                v.isNotNull() & ((v < lo) | (v > hi)),
+                v.isNotNull() & ((v < lo_l) | (v > hi_l)),
                 f"out of range value for column {c.name!r}"))
         if not checks:
             return

@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, functions as F
 # (plans/json_fulltext.py: split(lower(trim(text)), ' +'))
 _CHECKPOINT_EVERY = 8
 
+# words longer than this are not indexed and can never match
+# (reference sql/fulltext/schema.go:24 maxWordLength = 84)
+MAX_WORD_LENGTH = 84
+
 
 def tokenize(col):
     return F.split(F.lower(F.trim(col)), " +")
@@ -48,7 +52,8 @@ def build_postings(df: DataFrame, key_col: str,
     return (
         df.select(F.col(key_col).alias("k"),
                   F.explode(tokenize(text)).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "")
+                & (F.length("word") <= MAX_WORD_LENGTH))
         .groupBy("k", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
