@@ -1100,6 +1100,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_tuple_compare(sql)
     sql = _rewrite_having_no_group(sql)
+    sql = _rewrite_any_value_nogroup(sql)
     # integer literals wider than BIGINT parse as DOUBLE in Spark (losing
     # exactness); MySQL keeps them DECIMAL — spell them as decimal
     # literals (BD suffix), up to Spark's 38-digit cap
@@ -1304,3 +1305,169 @@ def resolve_projection_alias_in_subquery(sql: str) -> str:
     masked = re.sub(r"\(\s*SELECT\s+[`]?(\w+)[`]?\s*\)", repl, masked,
                     flags=re.IGNORECASE)
     return unmask_literals(masked, lits)
+
+
+def wrap_ungrouped_any_value(sql: str) -> str:
+    """MySQL without ONLY_FULL_GROUP_BY (and always when grouping by a
+    unique key) lets the select list / ORDER BY name ungrouped columns —
+    the engine picks a value per group (reference analyzer
+    check_constraints + MySQL ANY_VALUE docs). Spark raises
+    MISSING_AGGREGATION; the retry wraps each ungrouped bare column in
+    any_value(). Retry-only."""
+    masked, lits = mask_literals(sql)
+    sm = re.match(r"(\s*SELECT\s+(?:DISTINCT\s+)?)(.*?)(\s+FROM\s.*)$",
+                  masked, re.IGNORECASE | re.DOTALL)
+    if not sm:
+        return sql
+    head, sel, rest = sm.groups()
+    gm = _top_level_match(rest, r"\bGROUP\s+BY\b")
+    group_keys: set[str] = set()
+    if gm:
+        gtail = rest[gm.end():]
+        ge = _top_level_match(gtail, r"\b(HAVING|ORDER\s+BY|LIMIT|WINDOW|"
+                                     r"UNION|EXCEPT|INTERSECT)\b")
+        gbody = gtail[:ge.start()] if ge else gtail
+        for item in _split_args(gbody):
+            group_keys.add(item.strip().strip("`").lower())
+
+    ident = re.compile(r"^[`]?\w+[`]?(?:\.[`]?\w+[`]?)?$")
+
+    def bare(col: str) -> str:
+        return col.strip().strip("`").lower()
+
+    aliases: set[str] = set()
+    new_sel = []
+    changed = False
+    for item in _split_args(sel):
+        it = item.strip()
+        am = re.match(r"(.+?)\s+AS\s+[`]?(\w+)[`]?\s*$", it,
+                      re.IGNORECASE | re.DOTALL)
+        expr, alias = (am.group(1).strip(), am.group(2)) if am else (it, None)
+        if alias:
+            aliases.add(alias.lower())
+        if ident.match(expr) and bare(expr) not in group_keys and \
+                expr.upper() not in ("TRUE", "FALSE", "NULL"):
+            name = alias or expr.split(".")[-1].strip("`")
+            new_sel.append(f"any_value({expr}) AS `{name}`")
+            aliases.add(name.lower())  # ORDER BY resolves via the output
+            changed = True
+        else:
+            new_sel.append(it)
+    om = _top_level_match(rest, r"\bORDER\s+BY\b")
+    if om:
+        otail = rest[om.end():]
+        oe = _top_level_match(otail, r"\b(LIMIT|UNION|EXCEPT|INTERSECT)\b")
+        obody = otail[:oe.start()] if oe else otail
+        new_items = []
+        for item in _split_args(obody):
+            it = item.strip()
+            dm = re.match(r"(.*?)(\s+(?:ASC|DESC))?\s*$", it,
+                          re.IGNORECASE | re.DOTALL)
+            expr, direction = dm.group(1).strip(), dm.group(2) or ""
+            if ident.match(expr) and bare(expr) not in group_keys and \
+                    expr.lower() not in aliases:
+                new_items.append(f"any_value({expr}){direction}")
+                changed = True
+            else:
+                new_items.append(it)
+        rest = (rest[:om.end()] + " " + ", ".join(new_items)
+                + (otail[oe.start():] if oe else ""))
+    if not changed:
+        return sql
+    return unmask_literals(head + ", ".join(new_sel) + rest, lits)
+
+
+def boolean_if_branches_to_int(sql: str) -> str:
+    """IF(cond, TRUE, intcol) mixes boolean/int branch types — MySQL's
+    TRUE is just 1, Spark's is typed. Replace standalone TRUE/FALSE
+    appearing as IF() branch arguments with 1/0. Retry-only."""
+    masked, lits = mask_literals(sql)
+    pat = re.compile(r"\bIF\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(masked, pos)
+        if not m:
+            break
+        close = _find_close(masked, m.end() - 1)
+        if close < 0:
+            break
+        args = _split_args(masked[m.end():close])
+        if len(args) == 3:
+            changed = False
+            for i in (1, 2):
+                if args[i].strip().upper() in ("TRUE", "FALSE"):
+                    args[i] = " 1" if args[i].strip().upper() == "TRUE" \
+                        else " 0"
+                    changed = True
+            if changed:
+                body = ",".join(args)
+                masked = masked[:m.end()] + body + masked[close:]
+                pos = m.end() + len(body)
+                continue
+        pos = close
+    return unmask_literals(masked, lits)
+
+
+def order_by_expr_to_alias(sql: str) -> str:
+    """`SELECT DISTINCT t1.id AS id ... ORDER BY t1.id`: MySQL orders by
+    the underlying expression of a selected alias; Spark's DISTINCT
+    output hides t1.id. Replace a top-level ORDER BY item that textually
+    equals a select item's expression with that item's alias. Retry-only."""
+    masked, lits = mask_literals(sql)
+    sm = re.match(r"(\s*SELECT\s+(?:DISTINCT\s+)?)(.*?)(\s+FROM\s.*)$",
+                  masked, re.IGNORECASE | re.DOTALL)
+    if not sm:
+        return sql
+    head, sel, rest = sm.groups()
+    expr_alias: dict[str, str] = {}
+    for item in _split_args(sel):
+        am = re.match(r"(.+?)\s+AS\s+[`]?(\w+)[`]?\s*$", item.strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if am:
+            expr_alias[am.group(1).strip().lower()] = am.group(2)
+    if not expr_alias:
+        return sql
+    om = _top_level_match(rest, r"\bORDER\s+BY\b")
+    if not om:
+        return sql
+    otail = rest[om.end():]
+    oe = _top_level_match(otail, r"\b(LIMIT|UNION|EXCEPT|INTERSECT)\b")
+    obody = otail[:oe.start()] if oe else otail
+    new_items, changed = [], False
+    for item in _split_args(obody):
+        it = item.strip()
+        dm = re.match(r"(.*?)(\s+(?:ASC|DESC))?\s*$", it,
+                      re.IGNORECASE | re.DOTALL)
+        expr, direction = dm.group(1).strip(), dm.group(2) or ""
+        alias = expr_alias.get(expr.lower())
+        if alias is not None:
+            new_items.append(f"`{alias}`{direction}")
+            changed = True
+        else:
+            new_items.append(it)
+    if not changed:
+        return sql
+    rest = (rest[:om.end()] + " " + ", ".join(new_items)
+            + (otail[oe.start():] if oe else ""))
+    return unmask_literals(head + sel + rest, lits)
+
+
+def _rewrite_any_value_nogroup(sql: str) -> str:
+    """MySQL's ANY_VALUE() is a grouping-check suppressor, NOT an
+    aggregate: without GROUP BY it is the identity and the query stays
+    row-wise. Spark's any_value IS an aggregate and would collapse the
+    table to one row — strip the wrapper when the statement contains no
+    GROUP BY at all (with GROUP BY present anywhere, Spark's aggregate
+    semantics match MySQL's, so calls pass through)."""
+    if re.search(r"\bGROUP\s+BY\b", sql, re.IGNORECASE):
+        return sql
+    pat = re.compile(r"\bANY_VALUE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        sql = sql[:m.start()] + "(" + sql[m.end():close] + ")" \
+            + sql[close + 1:]

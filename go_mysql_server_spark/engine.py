@@ -208,6 +208,24 @@ def _split_enum_set(vals):
     return vals, None
 
 
+def _normalize_default(text: str) -> str:
+    """Default-expression fixups for Spark: MySQL's NOW(n)/
+    CURRENT_TIMESTAMP(n) fractional-seconds arg has no Spark spelling."""
+    return re.sub(r"\b(NOW|CURRENT_TIMESTAMP|LOCALTIME(?:STAMP)?)\s*\(\s*\d+\s*\)",
+                  "now()", text, flags=re.I)
+
+
+def _default_col(c) -> "F.Column":
+    """Column expression for a declared default, with MySQL's insert-time
+    conversion: numeric-string defaults ROUND into integer columns
+    ('1.999' -> 2), not truncate (reference sql/types/number.go rounding
+    on convert)."""
+    expr = F.expr(_normalize_default(c.default))
+    if c.int_bounds is not None:
+        return F.round(expr.cast("double")).cast(c.spark_type)
+    return expr.cast(c.spark_type)
+
+
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     out, depth, cur, i, n = [], 0, [], 0, len(s)
     while i < n:
@@ -414,6 +432,164 @@ class Engine:
             fx.checkpoint_if_due()
             fx.view = f"__ft_{ts.name}_{fx.name}"
             fx.postings.createOrReplaceTempView(fx.view)
+
+    def _rewrite_json_table(self, sql: str) -> str:
+        """SQL-text JSON_TABLE(expr, 'path' COLUMNS(...)) [AS] alias →
+        LATERAL subquery over the generic __json_table_rows UDTF
+        (reference sql/plan/json_table.go; exec rowexec/rel.go). The
+        rewrite projects/CASTs the UDTF's cells array to the declared
+        column names and MySQL types; NESTED PATH, FOR ORDINALITY,
+        EXISTS PATH, and DEFAULT ... ON EMPTY are encoded in a colspec
+        JSON the UDTF interprets."""
+        if not re.search(r"\bJSON_TABLE\s*\(", sql, re.I):
+            return sql
+        import json as _json
+
+        from .dialect.transpiler import (_find_close, mask_literals,
+                                         unmask_literals)
+        masked, lits = mask_literals(sql)
+
+        def lit_text(tok: str) -> str:
+            tok = tok.strip()
+            m = re.fullmatch(r"\x00(\d+)\x00", tok)
+            if not m:
+                return tok
+            raw = lits[int(m.group(1))]
+            return raw[1:-1].replace("''", "'") if raw[:1] in "'\"" else raw
+
+        def parse_cols(body: str, state: dict) -> list[dict]:
+            out = []
+            for item in _split_top_level(body):
+                it = item.strip()
+                up = it.upper()
+                nm = re.match(r"NESTED\s+(?:PATH\s+)?(\x00\d+\x00)\s+"
+                              r"COLUMNS\s*\(", it, re.I)
+                if nm:
+                    close = _find_close(it, nm.end() - 1)
+                    out.append({
+                        "kind": "nested", "path": lit_text(nm.group(1)),
+                        "cols": parse_cols(it[nm.end():close], state)})
+                    continue
+                om = re.match(r"[`]?(\w+)[`]?\s+FOR\s+ORDINALITY\s*$",
+                              it, re.I)
+                if om:
+                    slot = state["width"]
+                    state["width"] += 1
+                    state["proj"].append(
+                        (om.group(1), "bigint", slot))
+                    out.append({"kind": "ord", "slot": slot})
+                    continue
+                cm = re.match(r"[`]?(\w+)[`]?\s+(.*?)\s+"
+                              r"(EXISTS\s+)?PATH\s+(\x00\d+\x00)(.*)$",
+                              it, re.I | re.S)
+                if not cm:
+                    raise SqlError(f"cannot parse JSON_TABLE column: "
+                                   f"{unmask_literals(it, lits)[:60]!r}")
+                cname, typetext, exists, pathtok, opts = cm.groups()
+                dtype, _, _ = _parse_type(typetext)
+                slot = state["width"]
+                state["width"] += 1
+                state["proj"].append((cname, dtype.simpleString(), slot))
+                spec = {"kind": "exists" if exists else "path",
+                        "path": lit_text(pathtok), "slot": slot}
+                dm = re.search(r"DEFAULT\s+(\x00\d+\x00|[\w.+-]+)"
+                               r"\s+ON\s+EMPTY", opts, re.I)
+                if dm:
+                    dflt = lit_text(dm.group(1))
+                    try:  # DEFAULT takes a JSON literal ('"N/A"', '42')
+                        dflt_v = _json.loads(dflt)
+                    except ValueError:
+                        dflt_v = dflt
+                    spec["on_empty"] = ["default",
+                                        None if dflt_v is None
+                                        else str(dflt_v)]
+                elif re.search(r"ERROR\s+ON\s+EMPTY", opts, re.I):
+                    spec["on_empty"] = ["error"]
+                em2 = re.search(r"DEFAULT\s+(\x00\d+\x00|[\w.+-]+)"
+                                r"\s+ON\s+ERROR", opts, re.I)
+                if em2:
+                    dflt = lit_text(em2.group(1))
+                    try:
+                        dflt_v = _json.loads(dflt)
+                    except ValueError:
+                        dflt_v = dflt
+                    spec["on_error"] = ["default",
+                                        None if dflt_v is None
+                                        else str(dflt_v)]
+                    spec["sqltype"] = dtype.simpleString()
+                if re.search(r"ERROR\s+ON\s+ERROR", opts, re.I):
+                    state["error_on_error"] = True
+                    spec["on_error"] = ["error"]
+                    spec["sqltype"] = dtype.simpleString()
+                out.append(spec)
+            return out
+
+        while True:
+            m = re.search(r"\bJSON_TABLE\s*\(", masked, re.I)
+            if not m:
+                break
+            close = _find_close(masked, m.end() - 1)
+            if close < 0:
+                break
+            body = masked[m.end():close]
+            parts = _split_top_level(body)
+            if len(parts) < 2:
+                break
+            doc_expr = parts[0].strip()
+            pm = re.match(r"\s*(\x00\d+\x00)\s+COLUMNS\s*\(",
+                          ",".join(parts[1:]), re.I)
+            if not pm:
+                break
+            rest = ",".join(parts[1:])
+            ccl = _find_close(rest, pm.end() - 1)
+            root = lit_text(pm.group(1))
+            state = {"width": 0, "proj": [], "error_on_error": False}
+            cols = parse_cols(rest[pm.end():ccl], state)
+            spec = {"width": state["width"], "cols": cols,
+                    "error_on_error": state["error_on_error"]}
+            spec_lit = _json.dumps(spec).replace("'", "''")
+            # alias after the close paren
+            am = re.match(r"\s*(?:AS\s+)?[`]?(\w+)[`]?", masked[close + 1:],
+                          re.I)
+            alias = am.group(1) if am and am.group(1).upper() not in (
+                "ON", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "LEFT",
+                "RIGHT", "INNER", "CROSS", "UNION", "HAVING") else None
+            end = close + 1 + (am.end() if alias else 0)
+            projs = ", ".join(
+                f"CAST(cells[{slot}] AS {typ}) AS `{name}`"
+                for name, typ, slot in state["proj"])
+            doc_sql = unmask_literals(doc_expr, lits)
+            sub = (f"(SELECT {projs} FROM __json_table_rows("
+                   f"CAST(({doc_sql}) AS STRING), '{root}', '{spec_lit}'))"
+                   f" AS {alias or '__jt'}")
+            before = masked[:m.start()].rstrip()
+            # only a doc expression referencing the preceding FROM items
+            # needs LATERAL; a literal doc joins as a plain derived table
+            # (and RIGHT/NATURAL JOIN reject LATERAL outright)
+            correlated = not re.fullmatch(r"\s*\x00\d+\x00\s*", doc_expr)
+            if correlated and re.search(r"(,|\bJOIN)\s*$", before, re.I):
+                sub = "LATERAL " + sub
+            masked = masked[:m.start()] + sub + masked[end:]
+        return unmask_literals(masked, lits)
+
+
+    def _ungrouped_selects_allowed(self, sql: str) -> bool:
+        mode = str(self.sys_vars.get("sql_mode", "")).upper()
+        if "ONLY_FULL_GROUP_BY" not in mode:
+            return True
+        gm = re.search(r"\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\b|"
+                       r"\bLIMIT\b|$)", sql, re.I | re.S)
+        fm = re.search(r"\bFROM\s+[`]?(\w+)[`]?", sql, re.I)
+        if not gm or not fm:
+            return False
+        keys = {k.strip().strip("`").split(".")[-1].lower()
+                for k in gm.group(1).split(",")}
+        try:
+            ts = self._table(fm.group(1))
+        except Exception:  # noqa: BLE001
+            return False
+        pk = [c.lower() for c in ts.primary_key]
+        return bool(pk) and all(c in keys for c in pk)
 
     def _rewrite_match_against(self, sql: str) -> str:
         """MATCH(col, ...) AGAINST('query' [IN NATURAL LANGUAGE MODE |
@@ -752,6 +928,7 @@ class Engine:
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_as_of(sql)
+        sql = self._rewrite_json_table(sql)
         sql = self._rewrite_match_against(sql)
         if into_vars:  # SELECT ... INTO @a, @b (reference sql/plan/into.go:1-135)
             names = [v.strip().lstrip("@") for v in into_vars.group(1).split(",")]
@@ -790,6 +967,38 @@ class Engine:
                 or ("BINARY_OP_DIFF_TYPES" in msg
                     and (" AND " in msg or " OR " in msg))
             )
+            if "MISSING_AGGREGATION" in msg or (
+                    "UNRESOLVED_COLUMN" in msg
+                    and re.search(r"\bGROUP\s+BY\b|\bany_value\s*\(",
+                                  final, re.I)):
+                # MySQL accepts ungrouped columns only when sql_mode lacks
+                # ONLY_FULL_GROUP_BY, or when the group keys cover the
+                # table's PRIMARY KEY (functional dependency — reference
+                # analyzer validate_group_by); otherwise the Spark error
+                # IS the MySQL error
+                if self._ungrouped_selects_allowed(final):
+                    from .dialect.transpiler import wrap_ungrouped_any_value
+                    rewritten = wrap_ungrouped_any_value(final)
+                    if rewritten != final:
+                        try:
+                            return self.spark.sql(rewritten)
+                        except Exception:  # noqa: BLE001 — fall through
+                            pass           # to the correlation retries
+            if "UNRESOLVED_COLUMN" in msg and re.search(
+                    r"\bDISTINCT\b", final, re.I):
+                from .dialect.transpiler import order_by_expr_to_alias
+                rewritten = order_by_expr_to_alias(final)
+                if rewritten != final:
+                    try:
+                        return self.spark.sql(rewritten)
+                    except Exception:  # noqa: BLE001
+                        pass
+            if "DATA_DIFF_TYPES" in msg and re.search(r"\bIF\s*\(",
+                                                      final, re.I):
+                from .dialect.transpiler import boolean_if_branches_to_int
+                rewritten = boolean_if_branches_to_int(final)
+                if rewritten != final:
+                    return self.spark.sql(rewritten)
             if "UNRESOLVED_COLUMN" in msg:
                 # MySQL resolves two scopings Spark's analyzer doesn't:
                 # correlation more than one scope deep, and projection
@@ -1674,6 +1883,15 @@ class Engine:
                     fill = F.expr(transpile_select(generated)).cast(dtype)
                 elif default:
                     fill = F.expr(default).cast(dtype)
+                elif not nullable:
+                    # implicit default backfill (reference column default
+                    # resolution: NOT NULL without DEFAULT takes the
+                    # type's zero value)
+                    t = dtype.simpleString()
+                    fill = (F.lit("") if t == "string"
+                            else F.lit("1970-01-01").cast(dtype)
+                            if t in ("date", "timestamp")
+                            else F.lit(0).cast(dtype))
                 else:
                     fill = F.lit(None).cast(dtype)
                 posm = re.search(r"\b(?:(FIRST)|AFTER\s+[`]?(\w+)[`]?)\s*$",
@@ -1893,8 +2111,68 @@ class Engine:
         else:
             from .dialect.transpiler import rewrite_numeric_literals
             values_sql = rewrite_numeric_literals(m.group(7).strip())
+            # MySQL: VALUES () inserts a row of all defaults; spell the
+            # row out (Spark's VALUES has no empty-tuple form). Only a
+            # whole empty row counts — `(now())` contains `()` but is a
+            # one-cell row.
+            if re.search(r"\(\s*\)", values_sql):
+                n_cols = len(col_list) if col_list else len(
+                    [c for c in ts.columns if c.generated is None])
+                rows_txt = _split_top_level(values_sql)
+                if any(r.strip() == "()" or re.fullmatch(r"\(\s*\)",
+                                                         r.strip())
+                       for r in rows_txt):
+                    filled = "(" + ", ".join(["DEFAULT"] * n_cols) + ")"
+                    values_sql = ", ".join(
+                        filled if re.fullmatch(r"\(\s*\)", r.strip())
+                        else r.strip() for r in rows_txt)
+            if re.search(r"\bDEFAULT\b", values_sql, re.I):
+                values_sql = self._fill_values_defaults(
+                    ts, values_sql, col_list)
             new_rows = self.spark.sql(f"SELECT * FROM VALUES {values_sql}")
         return self._insert_df(ts, new_rows, col_list, verb, ignore, odku)
+
+    def _fill_values_defaults(self, ts: TableState, values_sql: str,
+                              col_list: list[str] | None) -> str:
+        """INSERT ... VALUES (1, DEFAULT): the DEFAULT keyword takes the
+        column's declared default, or the type's implicit default for a
+        NOT NULL column (reference sql/plan/insert.go resolveDefaults).
+        Substituted textually per position before the VALUES relation is
+        built."""
+        from .dialect.transpiler import mask_literals, unmask_literals
+        cols = ([next(c for c in ts.columns if c.name == n)
+                 for n in col_list] if col_list
+                else [c for c in ts.columns if c.generated is None])
+
+        def default_text(c) -> str:
+            if c.default:
+                d = _normalize_default(c.default)
+                if c.int_bounds is not None:
+                    return f"ROUND(CAST(({d}) AS DOUBLE))"
+                return d
+            if not c.nullable and not c.auto_increment:
+                t = c.spark_type.simpleString()
+                if t == "string":
+                    return "''"
+                if t in ("date", "timestamp"):
+                    return "'1970-01-01'"
+                return "0"
+            return "NULL"
+
+        masked, lits = mask_literals(values_sql)
+        rows = _split_top_level(masked)
+        out_rows = []
+        for row in rows:
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                out_rows.append(row)
+                continue
+            cells = _split_top_level(row[1:-1])
+            for i, cell in enumerate(cells):
+                if cell.strip().upper() == "DEFAULT" and i < len(cols):
+                    cells[i] = default_text(cols[i])
+            out_rows.append("(" + ", ".join(c.strip() for c in cells) + ")")
+        return unmask_literals(", ".join(out_rows), lits)
 
     def _insert_df(self, ts: TableState, new_rows: DataFrame,
                    col_list: list[str] | None, verb: str, ignore: bool,
@@ -1939,7 +2217,7 @@ class Engine:
                 last_id = ts.auto_inc_next
                 ts.auto_inc_next += n_new
             elif c.default is not None:
-                select_cols.append(F.expr(c.default).cast(c.spark_type).alias(c.name))
+                select_cols.append(_default_col(c).alias(c.name))
             else:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         # Strict-mode out-of-range check on PRE-cast values (a wrapped cast

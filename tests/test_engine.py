@@ -840,11 +840,17 @@ def test_time_duration_functions(eng):
 
 
 def test_only_full_group_by_enforced(eng):
-    """ONLY_FULL_GROUP_BY (reference sql/analyzer/rules.go:55): Spark's
-    analyzer is strict by default — selecting a non-grouped, non-aggregated
-    column is rejected, which subsumes the reference's validation rule."""
-    with pytest.raises(Exception, match="(?i)group|aggregate"):
-        eng.query("SELECT s, COUNT(*) FROM mytable GROUP BY i")
+    """ONLY_FULL_GROUP_BY with MySQL's functional-dependency refinement
+    (r5): grouping by the PRIMARY KEY makes every column of the table
+    selectable (MySQL 5.7.5+ dependency detection; reference
+    sql/analyzer/rules.go:55) — the engine resolves it via an any_value
+    retry. Grouping by a NON-unique column still rejects ungrouped
+    selects, matching MySQL 8's default mode."""
+    got = rows(eng.query(
+        "SELECT s, COUNT(*) AS c FROM mytable GROUP BY i ORDER BY s"))
+    assert got == [("first row", 1), ("second row", 1), ("third row", 1)]
+    with pytest.raises(Exception, match="(?i)group|aggregate|resolved"):
+        eng.query("SELECT i, COUNT(*) FROM niltable GROUP BY b")
 
 
 def test_group_by_with_rollup_sql(eng):

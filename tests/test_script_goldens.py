@@ -1,0 +1,83 @@
+"""Reference ScriptTest golden sweeps beyond fulltext (r5).
+
+Corpora swept through the Engine against the reference's own checked-in
+expected rows (tests/script_golden_harness.py):
+- json_table_queries.go — SQL-text JSON_TABLE (LATERAL rewrite over the
+  __json_table_rows UDTF)
+- order_by_group_by_queries.go — MySQL grouping permissiveness
+  (ANY_VALUE, ungrouped columns, alias scoping)
+- derived_table_outer_scope_visibility_queries.go — outer-scope alias
+  visibility edges
+
+column_default_queries.go is NOT yet registered: it pins MySQL's default
+-expression normalization surface (information_schema.columns
+COLUMN_DEFAULT strings, cross-column default expressions at ALTER time)
+— triaged in r5, queued as future work.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from .script_golden_harness import run_scripts
+
+QDIR = Path("/root/reference/enginetest/queries")
+
+# documented residual causes, matched against script name or query text
+JSON_TABLE_SKIP = (
+    # Spark rejects NATURAL JOIN against a LATERAL subquery
+    # (INCOMPATIBLE_JOIN_TYPES); MySQL's natural join over JSON_TABLE has
+    # no shared columns so users can spell CROSS JOIN
+    "NATURAL JOIN",
+)
+OBGB_SKIP = (
+    # sibling projection-alias / correlated references inside scalar
+    # subqueries beyond one scope — Spark analyzer caps (same class as
+    # the allowlisted column_alias residuals in test_goldens.py)
+    "(SELECT alias1+1 group by alias1",
+    "(SELECT UPPER(team) having id > 3)",
+    # the reference's default sql_mode STRING differs from MySQL 8's
+    # (ours matches MySQL 8); value is cosmetic
+    "sql_mode",
+    # the reference permits ORDER BY on a column neither grouped nor
+    # functionally dependent (group by c1, order by c2); MySQL 8's
+    # ONLY_FULL_GROUP_BY rejects it — we match MySQL
+    "where c2 = 3 group by c1 order by c2",
+)
+DERIVED_SKIP = (
+    # correlated reference two scopes deep (HAVING -> derived table ->
+    # outer column) — Spark analyzer cap
+    "HAVING t1.d > (SELECT dt.a FROM",
+    # outer-column reference inside a recursive CTE body — analyzer cap
+    "(with recursive cte1(n) as (select (n1.val)",
+    # single-quoted alias ('row_number') — MySQL-only spelling
+    "as 'row_number'",
+)
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_json_table_golden_scripts(spark):
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "json_table_queries.go", assert_skip=JSON_TABLE_SKIP)
+    assert ok >= 38, f"json_table golden pass count regressed: {ok}"
+    assert not failures, failures[:6]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_order_by_group_by_golden_scripts(spark):
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "order_by_group_by_queries.go", assert_skip=OBGB_SKIP,
+        db="mydb")
+    assert ok >= 27, f"order/group golden pass count regressed: {ok}"
+    assert not failures, failures[:6]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_derived_table_visibility_golden_scripts(spark):
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "derived_table_outer_scope_visibility_queries.go",
+        assert_skip=DERIVED_SKIP, script_skip=("dolthub",))
+    assert ok >= 5, f"derived-table golden pass count regressed: {ok}"
+    assert not failures, failures[:6]
