@@ -388,3 +388,35 @@ def fulltext_indexed_match(spark, sf_dir):
         "SELECT doc_id, MATCH(text) AGAINST('spark window join') AS relevance"
         " FROM docs_ft WHERE MATCH(text) AGAINST('spark window join')"
         " ORDER BY relevance DESC, doc_id LIMIT 50")
+
+
+@query(
+    "json_table_sql_text",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 1, 'alpha', 2), (2, 1, 'beta', 5), (3, 1, 'gamma', 1))
+AS t(rid, ord, item_name, qty) ORDER BY rid, ord
+""",
+)
+def json_table_sql_text(spark, sf_dir):
+    """JSON_TABLE in SQL TEXT through the engine's statement router
+    (reference sql/plan/json_table.go; r5: LATERAL rewrite over the
+    __json_table_rows UDTF) — lateral over a table column, with
+    FOR ORDINALITY and typed PATH columns. Golden oracle (the doc is a
+    fixed literal corpus)."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.query("DROP TABLE IF EXISTS jt_src")
+    eng.query("CREATE TABLE jt_src (rid BIGINT PRIMARY KEY, doc TEXT)")
+    eng.query("""INSERT INTO jt_src VALUES
+        (1, '{"items": [{"n": "alpha", "q": 2}]}'),
+        (2, '{"items": [{"n": "beta", "q": 5}]}'),
+        (3, '{"items": [{"n": "gamma", "q": 1}]}')""")
+    return eng.query(
+        "SELECT rid, ord, item_name, qty FROM jt_src, "
+        "JSON_TABLE(doc, '$.items[*]' COLUMNS("
+        "  ord FOR ORDINALITY,"
+        "  item_name VARCHAR(10) PATH '$.n',"
+        "  qty INT PATH '$.q')) jt "
+        "ORDER BY rid, ord")

@@ -300,11 +300,15 @@ def pipeline_contamination_check(spark, sf_dir):
     small side and broadcast, so the corpus is scanned once with no
     all-to-all. Pairs with ≥3 shared spans are flagged (the n-gram-overlap
     decontamination rule used for pre-training corpora)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"))
+    # tokenize once into a column — a split() referenced inside the
+    # gram-window lambda is re-evaluated per gram (r5 profile)
     grams = F.array_distinct(F.expr(
-        "CASE WHEN size(split(lower(trim(text)), ' +')) >= 5 THEN "
-        "transform(sequence(0, size(split(lower(trim(text)), ' +')) - 5), "
-        "i -> array_join(slice(split(lower(trim(text)), ' +'), i + 1, 5), ' ')) "
+        "CASE WHEN size(_toks) >= 5 THEN "
+        "transform(sequence(0, size(_toks) - 5), "
+        "i -> array_join(slice(_toks, i + 1, 5), ' ')) "
         "ELSE array() END"
     ))
     probe = (

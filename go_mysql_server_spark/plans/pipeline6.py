@@ -496,8 +496,6 @@ def similarity_ivf_pq_search(spark, sf_dir):
     (sql/analyzer/replace_order_by_distance.go) with a real IVF-PQ index."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import dot, norm
-
     emb = t(spark, sf_dir, "embeddings")
     crows = [
         (int(r[0]), [float(x) for x in r[1]])
@@ -505,72 +503,74 @@ def similarity_ivf_pq_search(spark, sf_dir):
         .select("vec_id", "embedding").orderBy("vec_id").collect()
     ]
     seed = [v for _, v in crows[:PQ_K]]
-    cb_lit = F.array(*[
-        F.array(*[F.lit(float(x)).cast("double") for x in vec]) for vec in seed
-    ])
 
-    def lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
+    # Expressions are rendered as SQL TEXT and parsed with ONE F.expr call
+    # each — the Column-by-Column construction this replaces cost ~3 s of
+    # py4j round-trips per plan build (r5 profile), pure driver overhead.
+    # Literal doubles go through CAST('<repr>' AS DOUBLE): correctly-
+    # rounded parse, so the arithmetic (and the oracle hash) is unchanged.
 
-    def cnorm(vals):
-        s = 0.0
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def vec_sql(vals) -> str:
+        return "array(" + ", ".join(dlit(v) for v in vals) + ")"
+
+    cb_sql = "array(" + ", ".join(vec_sql(v) for v in seed) + ")"
+    e_dbl_sql = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+    def dot_sql(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+    def cnorm(vals) -> float:
+        sq = 0.0
         for x in vals:
-            s += x * x
-        return s ** 0.5
+            sq += x * x
+        return sq ** 0.5
 
-    def cell_scores(v):
-        vn = norm(v)
-        return [
-            F.round(dot(v, lit_vec(cv)) / (vn * F.lit(cnorm(cv))), 6)
-            for _, cv in crows
-        ]
+    v_sql = e_dbl_sql
+    vn_sql = f"SQRT({dot_sql(v_sql, v_sql)})"
+    score_sqls = [
+        f"ROUND({dot_sql(v_sql, vec_sql(cv))} / ({vn_sql} * {dlit(cnorm(cv))}), 6)"
+        for _, cv in crows
+    ]
+    scores_sql = "array(" + ", ".join(score_sqls) + ")"
+    assigned_sql = (f"CAST(array_position({scores_sql}, "
+                    f"array_max({scores_sql})) - 1 AS INT)")
+    probe_sql = ("slice(array_sort(array(" + ", ".join(
+        f"named_struct('ns', -({sc}), 'c', {int(c)})"
+        for sc, (c, _) in zip(score_sqls, crows)) +
+        f")), 1, {IVFPQ_NPROBE}).c")
 
-    def assigned_cell(v):
-        scores = F.array(*cell_scores(v))
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-    def probe_cells(v):
-        structs = F.array(*[
-            F.struct((-s).alias("ns"), F.lit(int(c)).alias("c"))
-            for s, (c, _) in zip(cell_scores(v), crows)
-        ])
-        return F.slice(F.array_sort(structs), 1, IVFPQ_NPROBE)["c"]
-
-    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cand = (
-        emb.withColumn("_cb", cb_lit)
-        .withColumn("_e", e_dbl)
-        .withColumn("cell", assigned_cell(F.col("embedding")))
+        emb.withColumn("_cb", F.expr(cb_sql))
+        .withColumn("_e", F.expr(e_dbl_sql))
+        .withColumn("cell", F.expr(assigned_sql))
     )
 
-    def sub_dist(m, code):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
-            F.lit(0.0),
-            lambda acc, i: acc + F.pow(
-                F.element_at(F.col("_e"), m * SUB_DIM + i + 1)
-                - F.element_at(F.element_at(F.col("_cb"), code + 1),
-                               m * SUB_DIM + i + 1), 2),
-        )
+    def sub_dist_sql(m: int, code: int) -> str:
+        return (f"aggregate(sequence(0, {SUB_DIM - 1}), "
+                f"CAST(0.0 AS DOUBLE), (acc, i) -> acc + POW("
+                f"element_at(_e, {m} * {SUB_DIM} + i + 1) - "
+                f"element_at(element_at(_cb, {code + 1}), "
+                f"{m} * {SUB_DIM} + i + 1), 2))")
 
-    picks = F.array(*[
-        F.array_min(F.array(*[
-            F.struct(sub_dist(m, c).alias("d"), F.lit(c).alias("c"))
-            for c in range(PQ_K)
-        ]))
-        for m in range(M_SUB)
-    ])
+    picks_sql = "array(" + ", ".join(
+        "array_min(array(" + ", ".join(
+            f"named_struct('d', {sub_dist_sql(m, c)}, 'c', {c})"
+            for c in range(PQ_K)) + "))"
+        for m in range(M_SUB)) + ")"
     cand = cand.withColumn(
-        "codes", F.transform(picks, lambda s: s["c"])
+        "codes", F.expr(f"transform({picks_sql}, s -> s.c)")
     ).select("vec_id", "cell", "codes", "_cb")
 
     q = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
         .select(
             F.col("vec_id").alias("qid"),
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
-            .alias("_q"),
-            F.explode(probe_cells(F.col("embedding"))).alias("cell"),
+            F.expr(e_dbl_sql).alias("_q"),
+            F.explode(F.expr(probe_sql)).alias("cell"),
         )
     )
 
@@ -578,22 +578,16 @@ def similarity_ivf_pq_search(spark, sf_dir):
         F.col("vec_id") != F.col("qid"))
     # ADC: per subspace, L2² from the query subvector to the candidate's
     # chosen codebook entry — summed in fixed m order
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc + F.aggregate(
-            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
-            F.lit(0.0),
-            lambda a2, i: a2 + F.pow(
-                F.element_at(F.col("_q"), m * SUB_DIM + i + 1)
-                - F.element_at(
-                    F.element_at(F.col("_cb"),
-                                 F.element_at(F.col("codes"), m + 1) + 1),
-                    m * SUB_DIM + i + 1), 2),
-        ),
-    )
+    adc_sql = (f"aggregate(sequence(0, {M_SUB - 1}), "
+               f"CAST(0.0 AS DOUBLE), (acc, m) -> acc + "
+               f"aggregate(sequence(0, {SUB_DIM - 1}), "
+               f"CAST(0.0 AS DOUBLE), (a2, i) -> a2 + POW("
+               f"element_at(_q, m * {SUB_DIM} + i + 1) - "
+               f"element_at(element_at(_cb, element_at(codes, m + 1) + 1), "
+               f"m * {SUB_DIM} + i + 1), 2)))")
     scored = joined.select(
-        "qid", "vec_id", "cell", F.round(adc, 6).alias("adc_dist"))
+        "qid", "vec_id", "cell",
+        F.expr(f"ROUND({adc_sql}, 6)").alias("adc_dist"))
     w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     return (
         scored.select("*", F.row_number().over(w).cast("int").alias("rank"))
@@ -653,24 +647,30 @@ def pipeline_decontaminate(spark, sf_dir):
     so AQE broadcasts it back for the anti-join-style left join); one final
     20-group aggregate. (No reference analogue; LLM-pipeline requirement.)"""
     docs = t(spark, sf_dir, "documents")
+    # tokenize ONCE into a column: referencing split(...) inside the
+    # gram-window lambda made Catalyst re-evaluate the split per gram
+    # (~46x per row at 50 tokens/doc — the r5 profile's hot spot)
+    toked = docs.select(
+        "doc_id", "source",
+        F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"))
     grams = F.array_distinct(F.expr(
-        "CASE WHEN size(split(lower(trim(text)), ' +')) >= 5 THEN "
-        "transform(sequence(0, size(split(lower(trim(text)), ' +')) - 5), "
-        "i -> array_join(slice(split(lower(trim(text)), ' +'), i + 1, 5), ' ')) "
+        "CASE WHEN size(_toks) >= 5 THEN "
+        "transform(sequence(0, size(_toks) - 5), "
+        "i -> array_join(slice(_toks, i + 1, 5), ' ')) "
         "ELSE array() END"
     ))
     probe_g = (
-        docs.filter(F.col("doc_id") % 97 == 0)
+        toked.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode(grams).alias("g")).distinct()
     )
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    corpus = toked.filter(F.col("doc_id") % 97 != 0)
     flagged = (
         corpus.select("doc_id", F.explode(grams).alias("g"))
         .join(F.broadcast(probe_g), "g")
         .select("doc_id").distinct()
         .withColumn("_hit", F.lit(1))
     )
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    n_tok = F.size(F.col("_toks")).cast("long")
     return (
         corpus.select("doc_id", "source", n_tok.alias("n_tok"))
         .join(flagged, "doc_id", "left")
