@@ -336,6 +336,13 @@ class Engine:
                         "ERROR_FOR_DIVISION_BY_ZERO,NO_ENGINE_SUBSTITUTION",
             "version": "8.0.0-gms-spark",
             "max_allowed_packet": 67108864,
+            # connection charset surface (SET NAMES / CHARACTER SET)
+            "character_set_client": "utf8mb4",
+            "character_set_connection": "utf8mb4",
+            "character_set_results": "utf8mb4",
+            "collation_connection": "utf8mb4_0900_ai_ci",
+            "innodb_autoinc_lock_mode": 2,
+            "foreign_key_checks": 1,
         }
         self.last_insert_id: int | None = None
         self.triggers: dict[str, list] = {}       # table → [Trigger]
@@ -2887,7 +2894,28 @@ class Engine:
 
     def _q_set(self, sql: str) -> OkResult:
         body = sql.split(None, 1)[1]
-        if body.upper().startswith(("NAMES", "CHARACTER SET", "CHARSET")):
+        # SET NAMES / CHARACTER SET / CHARSET (reference sql/plan/set.go
+        # charset shorthands): bind the three character_set_* variables
+        nm = re.match(r"NAMES\s+['\"]?(\w+)['\"]?"
+                      r"(?:\s+COLLATE\s+['\"]?(\w+)['\"]?)?", body, re.I)
+        if nm:
+            cs = nm.group(1).lower()
+            for v in ("character_set_client", "character_set_connection",
+                      "character_set_results"):
+                self.sys_vars[v] = cs
+            self.sys_vars["collation_connection"] = (
+                nm.group(2).lower() if nm.group(2)
+                else {"utf8mb4": "utf8mb4_0900_ai_ci"}.get(
+                    cs, cs + "_general_ci"))
+            return OkResult(0)
+        cm = re.match(r"(?:CHARACTER\s+SET|CHARSET)\s+['\"]?(\w+)['\"]?",
+                      body, re.I)
+        if cm:
+            cs = cm.group(1).lower()
+            self.sys_vars["character_set_client"] = cs
+            self.sys_vars["character_set_results"] = cs
+            # connection charset takes the DATABASE charset (MySQL docs)
+            self.sys_vars["character_set_connection"] = "utf8mb4"
             return OkResult(0)
         m = re.match(r"(?:GLOBAL\s+|@@global\.|@@)?event_scheduler\s*=\s*(\w+)",
                      body, re.I)
@@ -2897,21 +2925,73 @@ class Engine:
             self.sys_vars["event_scheduler"] = "ON" if on else "OFF"
             admin.set_event_scheduler(self, on)
             return OkResult(0)
+        scope = r"(?:(?:SESSION|LOCAL|GLOBAL)\s+)?"
         for assign in _split_top_level(body):
-            m = re.match(r"@@(?:session\.|global\.)?(\w+)\s*:?=\s*(.*)$", assign, re.I)
+            assign = assign.strip()
+            nm2 = re.match(r"NAMES\s+['\"]?(\w+)['\"]?"
+                           r"(?:\s+COLLATE\s+['\"]?(\w+)['\"]?)?\s*$",
+                           assign, re.I)
+            if nm2:  # NAMES / CHARSET may appear inside an assignment list
+                self.query(f"SET NAMES {nm2.group(1)}"
+                           + (f" COLLATE {nm2.group(2)}" if nm2.group(2)
+                              else ""))
+                continue
+            cm2 = re.match(r"(?:CHARACTER\s+SET|CHARSET)\s+"
+                           r"['\"]?(\w+)['\"]?\s*$", assign, re.I)
+            if cm2:
+                self.query(f"SET CHARACTER SET {cm2.group(1)}")
+                continue
+            m = re.match(rf"{scope}@@(?:session\.|local\.|global\.)?(\w+)"
+                         r"\s*:?=\s*(.*)$", assign, re.I)
             if m:
-                self.sys_vars[m.group(1).lower()] = self._eval_scalar(m.group(2))
+                self.sys_vars[m.group(1).lower()] = \
+                    self._eval_sysvar_value(m.group(1).lower(), m.group(2))
                 continue
             m = re.match(r"@(\w+)\s*:?=\s*(.*)$", assign)
             if m:
                 self.user_vars[m.group(1)] = self._eval_scalar(m.group(2))
                 continue
-            m = re.match(r"(\w+)\s*=\s*(.*)$", assign)  # bare sysvar
-            if m:
-                self.sys_vars[m.group(1).lower()] = self._eval_scalar(m.group(2))
+            m = re.match(rf"{scope}(\w+)\s*=\s*(.*)$", assign, re.I)
+            if m:  # bare sysvar, optionally SESSION/LOCAL/GLOBAL-scoped
+                self.sys_vars[m.group(1).lower()] = \
+                    self._eval_sysvar_value(m.group(1).lower(), m.group(2))
                 continue
             raise SqlError(f"cannot parse SET: {assign!r}")
         return OkResult(0)
+
+    def _eval_sysvar_value(self, name: str, raw: str):
+        """System-variable value coercion (reference sql/plan/set.go,
+        sql/system_variables.go): barewords ON/OFF/TRUE/FALSE are
+        booleans, other barewords are enum/set STRINGS (sql_mode =
+        ALLOW_INVALID_DATES), quoted booleans coerce for boolean-typed
+        variables, and sql_mode normalizes (split, drop empties,
+        uppercase, dedupe, sort)."""
+        raw = raw.strip()
+        up = raw.upper()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", raw):
+            if up in ("ON", "TRUE"):
+                value = 1
+            elif up in ("OFF", "FALSE"):
+                value = 0
+            elif up == "DEFAULT":
+                value = self.sys_vars.get(name)
+            else:
+                value = raw.upper()  # bareword enum/set member
+        else:
+            value = self._eval_scalar(raw)
+            if isinstance(value, str) and \
+                    value.upper() in ("ON", "TRUE", "OFF", "FALSE") and \
+                    not isinstance(self.sys_vars.get(name), str):
+                # boolean-typed (or unknown) variable: quoted booleans
+                # coerce like MySQL's TypeBool system variables
+                value = 1 if value.upper() in ("ON", "TRUE") else 0
+        if name == "sql_mode" and isinstance(value, str):
+            flags = {f.strip().upper() for f in value.split(",")
+                     if f.strip()}
+            combos = {"ANSI", "TRADITIONAL"}  # combination modes print
+            value = ",".join(sorted(flags - combos)       # last (MySQL
+                             + sorted(flags & combos))    # canonical form)
+        return value
 
     def _eval_scalar(self, expr: str) -> Any:
         expr = self._substitute_vars(expr)

@@ -163,6 +163,29 @@ def _parse_scripts(src_path: Path):
                 continue
             ordered = "ORDER BY" in query.upper()
             asserts.append((query, expected, ordered))
+        if not asserts:
+            # single-assertion form: top-level Query/Expected at script
+            # scope (two-tab indent), used by e.g. variable_queries.go
+            qm = re.search(
+                r'\n\t\tQuery:\s+(?:"((?:[^"\\]|\\.)*)"|`([^`]*)`)', body)
+            em = re.search(r"\n\t\tExpected:\s+(\[\]sql\.Row\{.*)",
+                           body, re.S)
+            if qm and em and not re.search(
+                    r"\n\t\t(Skip:\s*true|ExpectedErr)", body):
+                query = (qm.group(1).encode().decode("unicode_escape")
+                         if qm.group(1) is not None else qm.group(2))
+                if "types.OkResult" in em.group(1) or "types.NewOkResult" \
+                        in em.group(1) or not query.upper().lstrip(
+                        ).startswith(("SELECT", "WITH")):
+                    asserts.append((query, None, False))
+                else:
+                    try:
+                        expected = _parse_go_rows(em.group(1))
+                    except ValueError:
+                        expected = None
+                    if expected is not None:
+                        asserts.append((query, expected,
+                                        "ORDER BY" in query.upper()))
         if asserts:
             scripts.append((name, setup, asserts))
     return scripts
