@@ -391,15 +391,22 @@ def show_index(eng, sql: str) -> DataFrame:
     m = re.search(r"(?:FROM|IN)\s+([`\w.]+)", sql, re.I)
     if not m:
         raise SqlError("SHOW INDEX needs FROM <table>")
-    ts = eng._table(m.group(1))
+    schema = ("Table string, Non_unique int, Key_name string, "
+              "Seq_in_index int, Column_name string, Index_type string")
+    try:
+        ts = eng._table(m.group(1))
+    except SqlError:
+        # a VIEW has no indexes — SHOW KEYS/INDEX returns empty
+        _, vname = eng._split_name(m.group(1))
+        if eng.spark.catalog.tableExists(vname):
+            return eng.spark.createDataFrame([], schema)
+        raise
     rows = []
     for seq, col in enumerate(ts.primary_key, 1):
         rows.append((ts.name, 0, "PRIMARY", seq, col, "BTREE"))
     for ix in ts.indexes:
         for seq, col in enumerate(ix.columns, 1):
             rows.append((ts.name, 0 if ix.unique else 1, ix.name, seq, col, ix.kind))
-    schema = ("Table string, Non_unique int, Key_name string, "
-              "Seq_in_index int, Column_name string, Index_type string")
     return eng.spark.createDataFrame(rows, schema) if rows else \
         eng.spark.createDataFrame([], schema)
 

@@ -343,6 +343,7 @@ class Engine:
             "collation_connection": "utf8mb4_0900_ai_ci",
             "innodb_autoinc_lock_mode": 2,
             "foreign_key_checks": 1,
+            "time_zone": "SYSTEM",
         }
         self.last_insert_id: int | None = None
         self.triggers: dict[str, list] = {}       # table → [Trigger]
@@ -1144,6 +1145,25 @@ class Engine:
                 for ts in tables.values()
                 for i, c in enumerate(ts.columns)
             ]
+            # VIEWS surface their columns too (reference
+            # information_schema columns include views)
+            engine_tables = {t for db in self.databases.values()
+                             for t in db}
+            for r in self.spark.catalog.listTables():
+                if r.tableType != "TEMPORARY" or r.name in engine_tables \
+                        or r.name.startswith(("information_schema__",
+                                              "__ft_")):
+                    continue
+                try:
+                    fields = self.spark.table(r.name).schema.fields
+                except Exception:  # noqa: BLE001 — unreadable view
+                    continue
+                rows += [
+                    (self.current_db, r.name, f.name, i + 1,
+                     f.dataType.simpleString(),
+                     "YES" if f.nullable else "NO", "")
+                    for i, f in enumerate(fields)
+                ]
             self.spark.createDataFrame(
                 rows or [(self.current_db, None, None, 0, None, None, None)],
                 "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
@@ -1683,13 +1703,19 @@ class Engine:
         if upper.startswith("CREATE VIEW") or re.match(
             r"CREATE\s+OR\s+REPLACE\s+VIEW", upper
         ):
-            m = re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([`\w.]+)\s+AS\s+(.*)$",
+            m = re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+                         r"(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*"
+                         r"(\([^)]*\))?\s+AS\s+(.*)$",
                          sql, re.I | re.S)
             if not m:
                 raise SqlError("cannot parse CREATE VIEW")
-            _, vname = self._split_name(m.group(1))
-            body = transpile_select(self._substitute_vars(m.group(2)))
-            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {body}")
+            _, vname = self._split_name(m.group(2))
+            if m.group(1) and self.spark.catalog.tableExists(vname):
+                return OkResult(0)  # IF NOT EXISTS: keep the existing view
+            body = transpile_select(self._substitute_vars(m.group(4)))
+            cols = m.group(3) or ""
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {vname}{cols} AS {body}")
             return OkResult(0)
         if re.match(r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX",
                     upper):
@@ -2209,9 +2235,27 @@ class Engine:
                 # sees the row's final base-column values
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
             elif c.name in target_cols:
-                select_cols.append(
-                    (self._lenient_cast(c, F.col(c.name)) if lenient
-                     else F.col(c.name).cast(c.spark_type)).alias(c.name))
+                base_val = (self._lenient_cast(c, F.col(c.name)) if lenient
+                            else F.col(c.name).cast(c.spark_type))
+                if c.auto_increment:
+                    # MySQL: explicit 0/NULL into an AUTO_INCREMENT column
+                    # generates the next id (absent NO_AUTO_VALUE_ON_ZERO)
+                    gen_flag = F.col(c.name).isNull() | (
+                        F.col(c.name).cast("bigint") == 0)
+                    n_gen = named.filter(
+                        F.col(c.name).isNull()
+                        | (F.col(c.name).cast("bigint") == 0)).count()
+                    if n_gen:
+                        rn = F.row_number().over(
+                            Window.partitionBy(gen_flag.cast("int"))
+                            .orderBy(F.monotonically_increasing_id()))
+                        base_val = F.when(
+                            gen_flag,
+                            (rn + F.lit(ts.auto_inc_next - 1))
+                            .cast(c.spark_type)).otherwise(base_val)
+                        last_id = ts.auto_inc_next
+                        ts.auto_inc_next += n_gen
+                select_cols.append(base_val.alias(c.name))
             elif c.auto_increment:
                 named = named.withColumn(
                     "__rn",
@@ -3082,7 +3126,21 @@ class Engine:
         return self._describe_table(sql.split()[1])
 
     def _describe_table(self, name: str) -> DataFrame:
-        ts = self._table(name)
+        try:
+            ts = self._table(name)
+        except SqlError:
+            # a VIEW: answer from the session catalog's schema (reference
+            # information_schema exposes views in SHOW COLUMNS/DESCRIBE)
+            _, vname = self._split_name(name)
+            if self.spark.catalog.tableExists(vname):
+                rows = [(f.name, f.dataType.simpleString(),
+                         "YES" if f.nullable else "NO", "", None, "")
+                        for f in self.spark.table(vname).schema.fields]
+                return self.spark.createDataFrame(
+                    rows,
+                    "Field string, Type string, `Null` string, Key string, "
+                    "`Default` string, Extra string")
+            raise
         rows = [
             (
                 c.name,

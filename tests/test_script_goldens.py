@@ -102,3 +102,35 @@ def test_variable_golden_scripts(spark):
         db="mydb")
     assert ok >= 33, f"variable golden pass count regressed: {ok}"
     assert not failures, failures[:6]
+
+
+VIEW_SKIP = (
+    # cross-database views (base.xy): engine views live in the session
+    # catalog, which is database-unqualified — documented cap
+    "multi database view",
+    # MySQL prints a view's DECIMAL column as its string form; cosmetic
+    "WHERE decimal_col = 1.5",
+    # a view column literally named `1.5` — Spark rejects the dotted
+    # numeric identifier
+    "view with numeric column name",
+)
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_view_golden_scripts(spark):
+    """View surface vs view_queries.go: IF NOT EXISTS, explicit column
+    lists, SHOW KEYS/INDEX/COLUMNS + DESCRIBE against views,
+    information_schema.columns including view columns."""
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "view_queries.go", assert_skip=VIEW_SKIP,
+        script_skip=("multi database view", "view with numeric column"),
+        db="mydb")
+    assert ok >= 27, f"view golden pass count regressed: {ok}"
+    assert not failures, failures[:6]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_time_golden_scripts(spark):
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "time_queries.go", db="mydb")
+    assert ok >= 1 and not failures, (ok, failures[:4])
