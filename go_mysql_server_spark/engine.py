@@ -109,6 +109,7 @@ class TableState:
     # FULLTEXT indexes: postings DataFrames maintained through the DML
     # path (reference sql/fulltext/fulltext.go, multi_editor.go)
     fulltext: list = field(default_factory=list)  # [FulltextIndex]
+    check_names: list = field(default_factory=list)  # parallel to checks
 
     @property
     def schema(self) -> T.StructType:
@@ -206,6 +207,23 @@ def _split_enum_set(vals):
     if vals and vals[0] == "\x00set":
         return None, vals[1:]
     return vals, None
+
+
+_CHECK_KEYWORDS = frozenset(
+    "AND OR XOR NOT NULL IN LIKE BETWEEN CASE WHEN THEN ELSE END IS "
+    "TRUE FALSE DIV MOD REGEXP RLIKE ESCAPE".split())
+
+
+def _check_clause_mysql(ts, expr: str) -> str:
+    """information_schema.CHECK_CONSTRAINTS renders the clause with
+    backticked identifiers and outer parens (MySQL normal form). Bare
+    identifiers that aren't keywords or function calls get backticks."""
+    def tick(m: re.Match) -> str:
+        word = m.group(0)
+        return word if word.upper() in _CHECK_KEYWORDS else f"`{word}`"
+
+    out = re.sub(r"\b[A-Za-z_]\w*\b(?!\s*\()", tick, expr)
+    return f"({out})"
 
 
 def _normalize_default(text: str) -> str:
@@ -960,6 +978,7 @@ class Engine:
             df.coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
             return OkResult(df.count(), info=f"wrote {path}")
         sql = self._rewrite_enum_order(sql)
+        sql = self._rewrite_enum_arith(sql)
         final = transpile_select(sql)
         try:
             return self.spark.sql(final)
@@ -1030,6 +1049,33 @@ class Engine:
                                              wrap_truthy_operands)
             return self.spark.sql(wrap_truthy_operands(
                 wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final)))))
+
+    def _rewrite_enum_arith(self, sql: str) -> str:
+        """MySQL evaluates an ENUM column in NUMERIC context as its
+        1-based declaration ordinal ('' = 0) — `e + 0` is the standard
+        ordinal idiom (reference sql/types/enum.go). Rewrite arithmetic
+        on enum columns of the statement's FROM table."""
+        fm = re.search(r"\bFROM\s+[`]?(\w+)[`]?", sql, re.I)
+        if not fm:
+            return sql
+        ts = self._db(None).get(fm.group(1))
+        if ts is None:
+            return sql
+        enum_cols = {c.name: c.enum_values for c in ts.columns
+                     if c.enum_values}
+        if not enum_cols:
+            return sql
+        from .dialect.transpiler import mask_literals, unmask_literals
+        masked, lits = mask_literals(sql)
+        for cname, vals in enum_cols.items():
+            arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+            ordinal = (f"COALESCE(array_position(array({arr}), {cname}),"
+                       f" 0)")
+            masked = re.sub(
+                rf"\b{cname}\s*([+\-*/])", ordinal + r" \1", masked)
+            masked = re.sub(
+                rf"([+\-*/])\s*{cname}\b", r"\1 " + ordinal, masked)
+        return unmask_literals(masked, lits)
 
     def _rewrite_enum_order(self, sql: str) -> str:
         """ENUM columns sort by declaration ordinal, not lexicographically
@@ -1230,11 +1276,14 @@ class Engine:
                     for fk in ts.foreign_keys:
                         rows.append((f"fk_{ts.name}", db, ts.name, "FOREIGN KEY"))
                     for i, _ in enumerate(ts.checks):
-                        rows.append((f"chk_{ts.name}_{i}", db, ts.name, "CHECK"))
+                        names = getattr(ts, "check_names", [])
+                        nm = names[i] if i < len(names) and names[i] \
+                            else f"{ts.name}_chk_{i + 1}"
+                        rows.append((nm, db, ts.name, "CHECK"))
             self.spark.createDataFrame(
-                rows or [(None, None, None, None)],
+                [r + ("YES",) for r in rows] or [(None,) * 5],
                 "CONSTRAINT_NAME string, TABLE_SCHEMA string, TABLE_NAME string, "
-                "CONSTRAINT_TYPE string",
+                "CONSTRAINT_TYPE string, ENFORCED string",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__table_constraints")
         if "statistics" in needed:
@@ -1437,12 +1486,15 @@ class Engine:
             ).filter("CONSTRAINT_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__referential_constraints")
         if "check_constraints" in needed:
-            rows = [
-                ("def", db, f"{ts.name}_chk_{i + 1}", chk)
-                for db, tables in sorted(self.databases.items())
-                for ts in tables.values()
-                for i, chk in enumerate(ts.checks)
-            ]
+            rows = []
+            for db, tables in sorted(self.databases.items()):
+                for ts in tables.values():
+                    names = getattr(ts, "check_names", [])
+                    for i, chk in enumerate(ts.checks):
+                        nm = names[i] if i < len(names) and names[i] \
+                            else f"{ts.name}_chk_{i + 1}"
+                        rows.append(
+                            ("def", db, nm, _check_clause_mysql(ts, chk)))
             self.spark.createDataFrame(
                 rows or [(None, None, None, None)],
                 "CONSTRAINT_CATALOG string, CONSTRAINT_SCHEMA string, "
@@ -1589,7 +1641,8 @@ class Engine:
 
     _CREATE_TABLE = re.compile(
         r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*"
-        r"(ENGINE[^)]*|DEFAULT\s+CHARSET[^)]*|COLLATE[^)]*)?$",
+        r"((?:ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|"
+        r"AUTO_INCREMENT|ROW_FORMAT|KEY_BLOCK_SIZE)\b[^)]*)?$",
         re.I | re.S,
     )
 
@@ -1769,6 +1822,10 @@ class Engine:
                 return OkResult(0)
             raise SqlError(f"table {tbl!r} exists")
         ts = self._parse_table_body(tbl, body)
+        opts = m.group(4) or ""
+        om2 = re.search(r"AUTO_INCREMENT\s*=?\s*(\d+)", opts, re.I)
+        if om2:
+            ts.auto_inc_next = int(om2.group(1))
         ts.df = self._empty_df(ts)
         tables[tbl] = ts
         self._register(ts)
@@ -1790,6 +1847,7 @@ class Engine:
         columns: list[ColumnDef] = []
         pk: tuple[str, ...] = ()
         checks: list[str] = []
+        check_names: list = []
         fks: list[ForeignKey] = []
         indexes: list = []
         for item in _split_top_level(body):
@@ -1814,6 +1872,8 @@ class Engine:
                 cm = re.search(r"CHECK\s*\((.*)\)\s*$", item, re.I | re.S)
                 if cm:
                     checks.append(cm.group(1))
+                    cn = re.match(r"CONSTRAINT\s+[`]?(\w+)[`]?", item, re.I)
+                    check_names.append(cn.group(1) if cn else None)
                     continue
                 im = re.match(
                     r"(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)?"
@@ -1832,6 +1892,7 @@ class Engine:
                 continue
             if up.startswith("CHECK"):
                 checks.append(item[item.index("("):].strip()[1:-1])
+                check_names.append(None)
                 continue
             cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", item, re.S)
             if not cm:
@@ -1865,7 +1926,8 @@ class Engine:
             for c in columns:
                 if c.name in pk:
                     c.nullable = False
-        return TableState(tbl, columns, pk, checks, fks, indexes=indexes)
+        return TableState(tbl, columns, pk, checks, fks, indexes=indexes,
+                          check_names=check_names)
 
     def _q_alter(self, sql: str) -> OkResult:
         """ALTER TABLE add/drop/modify/rename column, rename table
@@ -1887,10 +1949,11 @@ class Engine:
                                   "RENAME INDEX", "RENAME KEY",
                                   "DROP PRIMARY")):
                 df_mutated = True
-            if up.startswith("ADD COLUMN") or (up.startswith("ADD ")
-                                               and "INDEX" not in up
-                                               and "KEY" not in up
-                                               and "CONSTRAINT" not in up):
+            if up.startswith("ADD COLUMN") or (
+                    up.startswith("ADD ")
+                    and not re.match(r"ADD\s+(INDEX|KEY|UNIQUE|FULLTEXT|"
+                                     r"SPATIAL|CHECK|CONSTRAINT|PRIMARY|"
+                                     r"FOREIGN)\b", up)):
                 body = re.sub(r"^ADD\s+(COLUMN\s+)?", "", action, flags=re.I)
                 cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", body, re.S)
                 dtype, enum_vals, bounds = _parse_type(cm.group(2))
@@ -1914,6 +1977,10 @@ class Engine:
                 if generated is not None:
                     # ALTER ADD generated column backfills over existing rows
                     fill = F.expr(transpile_select(generated)).cast(dtype)
+                elif "AUTO_INCREMENT" in rest_up:
+                    fill = F.row_number().over(
+                        Window.orderBy(F.monotonically_increasing_id())
+                    ).cast(dtype)
                 elif default:
                     fill = F.expr(default).cast(dtype)
                 elif not nullable:
@@ -1937,9 +2004,13 @@ class Engine:
                         if posm.group(2) in names else len(ts.columns)
                 else:
                     idx_at = len(ts.columns)
+                if "AUTO_INCREMENT" in rest_up:
+                    col.auto_increment = True
                 ts.columns.insert(idx_at, col)
                 ts.df = ts.df.withColumn(col.name, fill).select(
                     *[c.name for c in ts.columns])
+                if "AUTO_INCREMENT" in rest_up:
+                    ts.auto_inc_next = (ts.df.count() or 0) + 1
             elif up.startswith("DROP COLUMN") or (up.startswith("DROP ")
                                                   and "INDEX" not in up
                                                   and "KEY" not in up):
@@ -1955,6 +2026,10 @@ class Engine:
                         c.name = new
                 ts.primary_key = tuple(new if k == old else k for k in ts.primary_key)
                 ts.df = ts.df.withColumnRenamed(old, new)
+                # CHECK expressions follow the rename (MySQL rewrites the
+                # stored constraint; reference alter_table.go RenameColumn)
+                ts.checks = [re.sub(rf"(?<![`\w]){re.escape(old)}(?![`\w])",
+                                    new, chk) for chk in ts.checks]
             elif up.startswith("RENAME INDEX") or up.startswith("RENAME KEY"):
                 rm2 = re.match(r"RENAME\s+(?:INDEX|KEY)\s+[`]?(\w+)[`]?\s+"
                                r"TO\s+[`]?(\w+)[`]?", action, re.I)
@@ -1981,19 +2056,56 @@ class Engine:
                 ts.name = new
                 tables[new] = ts
             elif up.startswith(("MODIFY", "CHANGE")):
+                is_change = up.startswith("CHANGE")
                 body = re.sub(r"^(MODIFY|CHANGE)\s+(COLUMN\s+)?", "", action, flags=re.I)
+                if is_change:
+                    # CHANGE old_name new_name TYPE...: rename then retype
+                    cparts = body.split(None, 2)
+                    old_name = cparts[0].strip("`")
+                    new_name = cparts[1].strip("`")
+                    if old_name != new_name:
+                        for c in ts.columns:
+                            if c.name == old_name:
+                                c.name = new_name
+                        ts.df = ts.df.withColumnRenamed(old_name, new_name)
+                        ts.primary_key = tuple(
+                            new_name if k == old_name else k
+                            for k in ts.primary_key)
+                        ts.checks = [
+                            re.sub(rf"(?<![`\w]){re.escape(old_name)}"
+                                   rf"(?![`\w])", new_name, chk)
+                            for chk in ts.checks]
+                    body = new_name + " " + (cparts[2] if len(cparts) > 2
+                                             else "")
                 parts = body.split(None, 1)
                 cname = parts[0].strip("`")
                 dtype, enum_vals, bounds = _parse_type(parts[1])
                 enum_vals, set_vals = _split_enum_set(enum_vals)
+                modify_up = parts[1].upper()
                 for c in ts.columns:
                     if c.name == cname:
                         c.spark_type = dtype
                         c.enum_values = enum_vals
                         c.int_bounds = bounds
                         c.set_values = set_vals
-                        c.nullable = "NOT NULL" not in parts[1].upper()
-                ts.df = ts.df.withColumn(cname, F.col(cname).cast(dtype))
+                        c.nullable = "NOT NULL" not in modify_up
+                        was_ai = c.auto_increment
+                        c.auto_increment = "AUTO_INCREMENT" in modify_up
+                        if c.auto_increment and not was_ai:
+                            # newly auto-inc: seed past existing max
+                            mxr = ts.df.agg(F.max(
+                                F.col(cname).cast("bigint"))).first()[0]
+                            ts.auto_inc_next = max(
+                                ts.auto_inc_next, int(mxr or 0) + 1)
+                # converting to an integer type ROUNDS (MySQL number
+                # conversion), it doesn't truncate: 127.9 -> 128
+                conv = (F.round(F.col(cname).cast("double")).cast(dtype)
+                        if bounds is not None
+                        and not isinstance(ts.df.schema[cname].dataType,
+                                           (T.LongType, T.IntegerType,
+                                            T.ShortType, T.ByteType))
+                        else F.col(cname).cast(dtype))
+                ts.df = ts.df.withColumn(cname, conv)
                 posm = re.search(r"\b(?:(FIRST)|AFTER\s+[`]?(\w+)[`]?)\s*$",
                                  parts[1], re.I)
                 if posm:  # reposition (reference alter_table.go ModifyColumn)
@@ -2007,6 +2119,52 @@ class Engine:
                             if posm.group(2) in names else len(names)
                     ts.columns.insert(at, col)
                     ts.df = ts.df.select(*[c.name for c in ts.columns])
+            elif up.startswith("ADD CHECK") or re.match(
+                    r"ADD\s+CONSTRAINT\s+[`]?\w*[`]?\s+CHECK", up):
+                nm3 = re.match(r"ADD\s+CONSTRAINT\s+[`]?(\w+)[`]?", action,
+                               re.I)
+                ckm = re.search(r"CHECK\s*\(", action, re.I)
+                close = _find_close_paren(action, ckm.end() - 1)
+                ts.checks.append(action[ckm.end():close])
+                ts.check_names.append(nm3.group(1) if nm3 else None)
+                continue
+            elif up.startswith("DROP CHECK") or re.match(
+                    r"DROP\s+CONSTRAINT\b", up):
+                dnm = re.match(r"DROP\s+(?:CHECK|CONSTRAINT)\s+"
+                               r"[`]?(\w+)[`]?", action, re.I)
+                if dnm and dnm.group(1) in ts.check_names:
+                    idx = ts.check_names.index(dnm.group(1))
+                    ts.checks.pop(idx)
+                    ts.check_names.pop(idx)
+                else:
+                    ts.checks, ts.check_names = [], []
+                continue
+            elif re.match(r"AUTO_INCREMENT\s*=?\s*\d+", up):
+                n = int(re.search(r"(\d+)", action).group(1))
+                # MySQL: can only raise the counter, never lower it
+                ts.auto_inc_next = max(ts.auto_inc_next, n)
+                continue
+            elif re.match(r"(COLLATE|CHARACTER\s+SET|CHARSET|COMMENT|"
+                          r"ENGINE|ROW_FORMAT)\b", up) or \
+                    re.match(r"(DISABLE|ENABLE)\s+KEYS\b", up):
+                continue  # table-option metadata: accepted, advisory
+            elif re.match(r"ALTER\s+(COLUMN\s+)?[`]?\w+[`]?\s+SET\s+"
+                          r"DEFAULT\b", up):
+                am2 = re.match(r"ALTER\s+(?:COLUMN\s+)?[`]?(\w+)[`]?\s+"
+                               r"SET\s+DEFAULT\s+(.*)$", action,
+                               re.I | re.S)
+                for c in ts.columns:
+                    if c.name == am2.group(1):
+                        c.default = am2.group(2).strip()
+                continue
+            elif re.match(r"ALTER\s+(COLUMN\s+)?[`]?\w+[`]?\s+DROP\s+"
+                          r"DEFAULT\b", up):
+                am2 = re.match(r"ALTER\s+(?:COLUMN\s+)?[`]?(\w+)[`]?",
+                               action, re.I)
+                for c in ts.columns:
+                    if c.name == am2.group(1):
+                        c.default = None
+                continue
             elif up.startswith(("ADD INDEX", "ADD KEY", "ADD UNIQUE",
                                 "ADD FULLTEXT", "DROP INDEX", "DROP KEY")):
                 # record in the index bookkeeping (SHOW INDEX /
@@ -2239,22 +2397,30 @@ class Engine:
                             else F.col(c.name).cast(c.spark_type))
                 if c.auto_increment:
                     # MySQL: explicit 0/NULL into an AUTO_INCREMENT column
-                    # generates the next id (absent NO_AUTO_VALUE_ON_ZERO)
+                    # generates the next id (absent NO_AUTO_VALUE_ON_ZERO);
+                    # the counter also advances past explicit ids in the
+                    # same batch (sequential-processing semantics)
                     gen_flag = F.col(c.name).isNull() | (
                         F.col(c.name).cast("bigint") == 0)
-                    n_gen = named.filter(
-                        F.col(c.name).isNull()
-                        | (F.col(c.name).cast("bigint") == 0)).count()
+                    stats_ai = named.agg(
+                        F.sum(gen_flag.cast("int")).alias("n_gen"),
+                        F.max(F.col(c.name).cast("bigint")).alias("mx")
+                    ).first()
+                    n_gen = int(stats_ai["n_gen"] or 0)
+                    mx = int(stats_ai["mx"] or 0)
                     if n_gen:
+                        base = max(ts.auto_inc_next, mx + 1)
                         rn = F.row_number().over(
                             Window.partitionBy(gen_flag.cast("int"))
                             .orderBy(F.monotonically_increasing_id()))
                         base_val = F.when(
                             gen_flag,
-                            (rn + F.lit(ts.auto_inc_next - 1))
+                            (rn + F.lit(base - 1))
                             .cast(c.spark_type)).otherwise(base_val)
-                        last_id = ts.auto_inc_next
-                        ts.auto_inc_next += n_gen
+                        last_id = base
+                        ts.auto_inc_next = base + n_gen
+                    else:
+                        ts.auto_inc_next = max(ts.auto_inc_next, mx + 1)
                 select_cols.append(base_val.alias(c.name))
             elif c.auto_increment:
                 named = named.withColumn(
@@ -2284,7 +2450,17 @@ class Engine:
             incoming = self._compute_generated(ts, incoming)
         incoming = self._apply_insert_triggers(ts, incoming, "BEFORE")
 
-        self._validate(ts, incoming)
+        if lenient:
+            # IGNORE / non-strict: invalid ENUM/SET values become ''
+            # (MySQL inserts the empty value with a warning)
+            for c in ts.columns:
+                if c.enum_values is not None:
+                    incoming = incoming.withColumn(
+                        c.name,
+                        F.when(F.col(c.name).isNotNull()
+                               & ~F.col(c.name).isin(*c.enum_values),
+                               F.lit("")).otherwise(F.col(c.name)))
+        self._validate(ts, incoming, lenient=lenient)
 
         existing = ts.df
         n_clash = 0
@@ -2372,7 +2548,8 @@ class Engine:
                 out_cols.append(F.col(c.name))
         return joined.select(*out_cols)
 
-    def _validate(self, ts: TableState, df: DataFrame) -> None:
+    def _validate(self, ts: TableState, df: DataFrame,
+                  lenient: bool = False) -> None:
         # Single aggregation pass over ALL column/check constraints (r1
         # judge finding: one .count() job per constraint made a wide table
         # pay 10+ Spark jobs per INSERT). FK checks below are joins and
@@ -2382,9 +2559,9 @@ class Engine:
             if not c.nullable:
                 checks.append((F.col(c.name).isNull(),
                                f"column {c.name!r} cannot be null"))
-            if c.enum_values is not None:
+            if c.enum_values is not None and not lenient:
                 checks.append((
-                    F.col(c.name).isNotNull()
+                    F.col(c.name).isNotNull() & (F.col(c.name) != "")
                     & ~F.col(c.name).isin(*c.enum_values),
                     f"invalid ENUM value for column {c.name!r}"))
             if c.set_values is not None:

@@ -1285,7 +1285,8 @@ def test_information_schema_extended_tables(eng):
     chk = rows(eng.query(
         "SELECT CONSTRAINT_NAME, CHECK_CLAUSE "
         "FROM information_schema.check_constraints"))
-    assert chk and "id > 0" in chk[0][1]
+    # r5: clause renders in MySQL normal form (backticked identifiers)
+    assert chk and "`id` > 0" in chk[0][1]
     eng.query("CREATE PROCEDURE addone(IN x INT) BEGIN SELECT x + 1; END")
     params = rows(eng.query(
         "SELECT SPECIFIC_NAME, PARAMETER_MODE, PARAMETER_NAME "

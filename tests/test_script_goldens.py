@@ -134,3 +134,25 @@ def test_time_golden_scripts(spark):
     ok, skipped, failures = run_scripts(
         spark, QDIR / "time_queries.go", db="mydb")
     assert ok >= 1 and not failures, (ok, failures[:4])
+
+
+ALTER_SKIP = (
+    # inserting INTEGER BITMASKS into a SET column ('3' -> 'a,b') — the
+    # numeric-to-set conversion surface isn't implemented (documented)
+    "modify set column",
+)
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_alter_table_golden_scripts(spark):
+    """ALTER TABLE surface vs alter_table_queries.go: CHANGE rename+
+    retype, ALTER COLUMN SET/DROP DEFAULT, ADD/DROP (named) CHECK,
+    AUTO_INCREMENT= option, COLLATE/COMMENT/ENGINE options, DISABLE/
+    ENABLE KEYS, auto-inc counter semantics (explicit ids, MODIFY
+    gaining auto_increment), enum ordinal arithmetic, checks following
+    column renames, MySQL-normal-form CHECK_CONSTRAINTS rendering."""
+    ok, skipped, failures = run_scripts(
+        spark, QDIR / "alter_table_queries.go",
+        script_skip=("modify set column",), db="mydb")
+    assert ok >= 29, f"alter golden pass count regressed: {ok}"
+    assert not failures, failures[:6]
