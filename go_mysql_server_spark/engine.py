@@ -849,6 +849,11 @@ class Engine:
         db, tbl = self._split_name(name)
         tables = self._db(db)
         if tbl not in tables:
+            # MySQL resolves table names case-insensitively
+            # (lower_case_table_names; the reference's memory tables do too)
+            lower = {t.lower(): t for t in tables}
+            if tbl.lower() in lower:
+                return tables[lower[tbl.lower()]]
             raise SqlError(f"table {tbl!r} not found in database {db or self.current_db!r}")
         return tables[tbl]
 
@@ -1171,14 +1176,18 @@ class Engine:
             # table statistics) — NULL until ANALYZE TABLE has run.
             rows = [
                 ("def", db, ts.name, "BASE TABLE", "InnoDB",
-                 ts.stats.get("rows"))
+                 ts.stats.get("rows"),
+                 ts.auto_inc_next if any(c.auto_increment
+                                         for c in ts.columns) else None)
                 for db, tables in sorted(self.databases.items())
                 for ts in tables.values()
             ]
             self.spark.createDataFrame(
-                rows or [("def", self.current_db, None, None, None, None)],
+                rows or [("def", self.current_db, None, None, None, None,
+                          None)],
                 "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
-                "TABLE_TYPE string, ENGINE string, TABLE_ROWS bigint",
+                "TABLE_TYPE string, ENGINE string, TABLE_ROWS bigint, "
+                "AUTO_INCREMENT bigint",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__tables")
         if "columns" in needed:
@@ -1907,7 +1916,8 @@ class Engine:
             # DEFAULT (uuid()), (now()), ((1+2)*3)-style expressions
             dm = re.search(
                 r"DEFAULT\s+('(?:[^']|'')*'"
-                r"|\((?:[^()]|\([^()]*\))*\)|[\w.+-]+)", rest, re.I)
+                r"|\((?:[^()]|\([^()]*\))*\)"
+                r"|[\w.+-]+(?:\s*\(\s*\))?)", rest, re.I)
             if dm and dm.group(1).upper() != "NULL":
                 default = dm.group(1)
             generated = None
@@ -1918,6 +1928,11 @@ class Engine:
                 generated = rest[gm.end():close]
             if "PRIMARY KEY" in rest_up:
                 pk = (cname,)
+            elif re.search(r"\bUNIQUE\b", rest_up):
+                # column-attribute UNIQUE creates a single-column unique
+                # index (MySQL shorthand)
+                from .admin import IndexDef
+                indexes.append(IndexDef(cname, (cname,), unique=True))
             enum_vals, set_vals = _split_enum_set(enum_vals)
             columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
                                      enum_vals, bounds, generated,
@@ -1961,7 +1976,8 @@ class Engine:
                 nullable = "NOT NULL" not in rest_up
                 dm = re.search(
                     r"DEFAULT\s+('(?:[^']|'')*'"
-                    r"|\((?:[^()]|\([^()]*\))*\)|[\w.+-]+)",
+                    r"|\((?:[^()]|\([^()]*\))*\)"
+                    r"|[\w.+-]+(?:\s*\(\s*\))?)",
                     cm.group(2), re.I)
                 default = dm.group(1) if dm and dm.group(1).upper() != "NULL" else None
                 generated = None
@@ -2277,8 +2293,13 @@ class Engine:
         re.I | re.S,
     )
 
-    def _q_insert(self, sql: str) -> OkResult:
+    def _q_insert(self, sql: str) -> OkResult | DataFrame:
         sql = self._substitute_vars(sql)
+        returning = None
+        rm = re.search(r"\bRETURNING\s+(.+)$", sql, re.I | re.S)
+        if rm and "ON DUPLICATE" not in sql[rm.start():].upper():
+            returning = rm.group(1).strip()
+            sql = sql[:rm.start()].strip()
         odku = None
         m_odku = re.search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", sql, re.I | re.S)
         if m_odku:
@@ -2320,8 +2341,85 @@ class Engine:
             if re.search(r"\bDEFAULT\b", values_sql, re.I):
                 values_sql = self._fill_values_defaults(
                     ts, values_sql, col_list)
-            new_rows = self.spark.sql(f"SELECT * FROM VALUES {values_sql}")
-        return self._insert_df(ts, new_rows, col_list, verb, ignore, odku)
+            if re.search(r"\(\s*SELECT\b", values_sql, re.I):
+                # Spark disallows scalar subqueries inside VALUES
+                # (SCALAR_SUBQUERY_IN_VALUES) — spell the rows as a
+                # SELECT ... UNION ALL chain, where they are legal
+                selects = []
+                for rtxt in _split_top_level(values_sql):
+                    rtxt = rtxt.strip()
+                    if rtxt.startswith("(") and rtxt.endswith(")"):
+                        rtxt = rtxt[1:-1]
+                    selects.append("SELECT " + rtxt)
+                new_rows = self.spark.sql(
+                    transpile_select(" UNION ALL ".join(selects)))
+            else:
+                try:
+                    new_rows = self.spark.sql(
+                        f"SELECT * FROM VALUES {values_sql}")
+                except Exception as exc:  # noqa: BLE001
+                    if "INVALID_INLINE_TABLE" not in str(exc):
+                        raise
+                    # mixed per-row literal types (MySQL coerces; Spark's
+                    # inline table refuses) — UNION ALL coerces instead
+                    selects = []
+                    for rtxt in _split_top_level(values_sql):
+                        rtxt = rtxt.strip()
+                        if rtxt.startswith("(") and rtxt.endswith(")"):
+                            rtxt = rtxt[1:-1]
+                        selects.append("SELECT " + rtxt)
+                    new_rows = self.spark.sql(
+                        " UNION ALL ".join(selects))
+        result = self._insert_df(ts, new_rows, col_list, verb, ignore,
+                                 odku)
+        if returning is not None and getattr(self, "_last_inserted",
+                                             None) is not None:
+            # INSERT ... RETURNING (MariaDB/Dolt extension the reference
+            # supports): project the inserted rows
+            return self._last_inserted.selectExpr(
+                *[transpile_select(e.strip())
+                  for e in _split_top_level(returning)])
+        return result
+
+    def _enforce_unique_indexes(self, ts: TableState,
+                                incoming: DataFrame, ignore: bool,
+                                verb: str) -> DataFrame:
+        uniq = [ix for ix in ts.indexes
+                if ix.unique and all(
+                    any(c.name == col for c in ts.columns)
+                    for col in ix.columns)]
+        if not uniq:
+            return incoming
+        for ix in uniq:
+            cols = list(ix.columns)
+            nn = None
+            for cc in cols:
+                n2 = F.col(cc).isNotNull()
+                nn = n2 if nn is None else (nn & n2)
+            keyed = incoming.filter(nn)
+            n_rows = keyed.count()
+            if not n_rows:
+                continue
+            dup_in_batch = n_rows - keyed.select(*cols).distinct().count()
+            clash = keyed.join(ts.df.select(*cols).na.drop(), cols,
+                               "left_semi").count()
+            if (dup_in_batch or clash) and not ignore and verb != "REPLACE":
+                raise SqlError(
+                    f"duplicate entry for key {ix.name!r}")
+            if ignore and (dup_in_batch or clash):
+                # keep the FIRST row per duplicated key in the batch,
+                # then drop rows clashing with existing non-null keys
+                w2 = Window.partitionBy(*cols).orderBy(
+                    F.monotonically_increasing_id())
+                incoming = (incoming.withColumn(
+                    "__uq_rn", F.when(nn, F.row_number().over(w2))
+                    .otherwise(F.lit(1)))
+                    .filter(F.col("__uq_rn") == 1).drop("__uq_rn"))
+                existing_keys = ts.df.select(*cols).na.drop().distinct()
+                nonnull_ok = incoming.filter(nn).join(
+                    existing_keys, cols, "left_anti")
+                incoming = incoming.filter(~nn).unionByName(nonnull_ok)
+        return incoming
 
     def _fill_values_defaults(self, ts: TableState, values_sql: str,
                               col_list: list[str] | None) -> str:
@@ -2368,6 +2466,10 @@ class Engine:
     def _insert_df(self, ts: TableState, new_rows: DataFrame,
                    col_list: list[str] | None, verb: str, ignore: bool,
                    odku: str | None) -> OkResult:
+        if col_list:
+            # MySQL column names are case-insensitive: map to declared
+            actual = {c.name.lower(): c.name for c in ts.columns}
+            col_list = [actual.get(c.lower(), c) for c in col_list]
         gen_cols = [c.name for c in ts.columns if c.generated]
         if col_list and set(col_list) & set(gen_cols):
             raise SqlError(
@@ -2396,31 +2498,55 @@ class Engine:
                 base_val = (self._lenient_cast(c, F.col(c.name)) if lenient
                             else F.col(c.name).cast(c.spark_type))
                 if c.auto_increment:
-                    # MySQL: explicit 0/NULL into an AUTO_INCREMENT column
-                    # generates the next id (absent NO_AUTO_VALUE_ON_ZERO);
-                    # the counter also advances past explicit ids in the
-                    # same batch (sequential-processing semantics)
+                    # MySQL AUTO_INCREMENT is SEQUENTIAL within a batch:
+                    # the counter starts at auto_inc_next, an explicit id
+                    # bumps it past itself, NULL (and 0, unless
+                    # NO_AUTO_VALUE_ON_ZERO) takes the counter. For a
+                    # generated row i with g_i = #generated rows <= i and
+                    # m_i = max over explicit rows j < i of (ex_j - g_j):
+                    #   id_i = g_i + max(start - 1, m_i)
+                    # — one window pass, no per-row loop.
+                    zero_gens = "NO_AUTO_VALUE_ON_ZERO" not in str(
+                        self.sys_vars.get("sql_mode", "")).upper()
                     gen_flag = F.col(c.name).isNull() | (
-                        F.col(c.name).cast("bigint") == 0)
-                    stats_ai = named.agg(
-                        F.sum(gen_flag.cast("int")).alias("n_gen"),
-                        F.max(F.col(c.name).cast("bigint")).alias("mx")
+                        (F.col(c.name).cast("bigint") == 0)
+                        if zero_gens else F.lit(False))
+                    worder = Window.orderBy(
+                        F.monotonically_increasing_id())
+                    g = F.sum(gen_flag.cast("bigint")).over(worder)
+                    stats_ai = named.select(
+                        gen_flag.alias("__gen"),
+                        F.col(c.name).cast("bigint").alias("__ex"),
+                        g.alias("__g"),
+                    ).agg(
+                        F.sum(F.col("__gen").cast("int")).alias("n_gen"),
+                        F.max("__ex").alias("mx"),
+                        F.max(F.when(~F.col("__gen"),
+                                     F.col("__ex") - F.col("__g"))
+                              ).alias("m_all"),
                     ).first()
                     n_gen = int(stats_ai["n_gen"] or 0)
                     mx = int(stats_ai["mx"] or 0)
+                    start = ts.auto_inc_next
                     if n_gen:
-                        base = max(ts.auto_inc_next, mx + 1)
-                        rn = F.row_number().over(
-                            Window.partitionBy(gen_flag.cast("int"))
-                            .orderBy(F.monotonically_increasing_id()))
+                        m = F.max(
+                            F.when(~gen_flag,
+                                   F.col(c.name).cast("bigint") - g)
+                        ).over(worder)
+                        gen_id = g + F.greatest(
+                            F.lit(start - 1),
+                            F.coalesce(m, F.lit(start - 1)))
                         base_val = F.when(
                             gen_flag,
-                            (rn + F.lit(base - 1))
-                            .cast(c.spark_type)).otherwise(base_val)
-                        last_id = base
-                        ts.auto_inc_next = base + n_gen
+                            gen_id.cast(c.spark_type)).otherwise(base_val)
+                        last_id = start
+                        m_all = int(stats_ai["m_all"]
+                                    if stats_ai["m_all"] is not None
+                                    else start - 1)
+                        last_gen = n_gen + max(start - 1, m_all)
+                        ts.auto_inc_next = max(last_gen, mx) + 1
                     else:
-                        ts.auto_inc_next = max(ts.auto_inc_next, mx + 1)
+                        ts.auto_inc_next = max(start, mx + 1)
                 select_cols.append(base_val.alias(c.name))
             elif c.auto_increment:
                 named = named.withColumn(
@@ -2435,6 +2561,11 @@ class Engine:
                 ts.auto_inc_next += n_new
             elif c.default is not None:
                 select_cols.append(_default_col(c).alias(c.name))
+            elif c.enum_values and not c.nullable:
+                # NOT NULL ENUM without DEFAULT: implicit default is the
+                # first enumeration value (MySQL)
+                select_cols.append(
+                    F.lit(c.enum_values[0]).alias(c.name))
             else:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         # Strict-mode out-of-range check on PRE-cast values (a wrapped cast
@@ -2451,16 +2582,57 @@ class Engine:
         incoming = self._apply_insert_triggers(ts, incoming, "BEFORE")
 
         if lenient:
-            # IGNORE / non-strict: invalid ENUM/SET values become ''
-            # (MySQL inserts the empty value with a warning)
+            # IGNORE / non-strict: NULL into NOT NULL takes the implicit
+            # default; invalid ENUM/SET values become '' (MySQL warning
+            # semantics)
             for c in ts.columns:
+                if not c.nullable and c.generated is None and \
+                        not c.auto_increment:
+                    t2 = c.spark_type.simpleString()
+                    dflt2 = (F.lit(c.enum_values[0])
+                             if c.enum_values else
+                             F.lit("") if t2 == "string" else
+                             F.lit("1970-01-01").cast(c.spark_type)
+                             if t2 in ("date", "timestamp") else
+                             F.lit(0).cast(c.spark_type))
+                    incoming = incoming.withColumn(
+                        c.name, F.coalesce(F.col(c.name), dflt2))
                 if c.enum_values is not None:
                     incoming = incoming.withColumn(
                         c.name,
                         F.when(F.col(c.name).isNotNull()
                                & ~F.col(c.name).isin(*c.enum_values),
                                F.lit("")).otherwise(F.col(c.name)))
-        self._validate(ts, incoming, lenient=lenient)
+        if ignore:
+            # INSERT IGNORE skips (not errors on) rows violating CHECK
+            # constraints or child-side FKs (MySQL warning semantics;
+            # reference sql/plan/insert.go Ignore)
+            keep = F.lit(True)
+            for chk in ts.checks:
+                keep = keep & F.coalesce(
+                    F.expr(transpile_select(chk)).cast("boolean"),
+                    F.lit(True))
+            incoming = incoming.filter(keep)
+            for fk in ts.foreign_keys:
+                parent = self._db(None).get(fk.parent_table)
+                if parent is None or parent.df is None:
+                    continue
+                fk_null = None
+                for cc in fk.columns:
+                    n2 = F.col(cc).isNull()
+                    fk_null = n2 if fk_null is None else (fk_null | n2)
+                ok_rows = incoming.filter(~fk_null).join(
+                    parent.df.select(*[
+                        F.col(pc).alias(cc) for cc, pc in
+                        zip(fk.columns, fk.parent_columns)]).distinct(),
+                    list(fk.columns), "left_semi")
+                incoming = incoming.filter(fk_null).unionByName(ok_rows)
+        # UNIQUE secondary indexes (reference memory/table.go unique key
+        # enforcement): duplicates error in strict mode, are skipped
+        # under IGNORE; rows with any NULL key part always pass (MySQL)
+        incoming = self._enforce_unique_indexes(ts, incoming, ignore, verb)
+        self._validate(ts, incoming, lenient=lenient,
+                       skip_raises=ignore)
 
         existing = ts.df
         n_clash = 0
@@ -2481,6 +2653,13 @@ class Engine:
             )
             if stats["dup_rows"] and not ignore and verb != "REPLACE":
                 raise SqlError("duplicate primary key within inserted rows")
+            if stats["dup_rows"] and ignore and verb != "REPLACE":
+                # IGNORE keeps the FIRST row per duplicated key
+                wpk = Window.partitionBy(*pk).orderBy(
+                    F.monotonically_increasing_id())
+                incoming = (incoming.withColumn(
+                    "__pk_rn", F.row_number().over(wpk))
+                    .filter(F.col("__pk_rn") == 1).drop("__pk_rn"))
             n_clash = int(stats["n_clash"])
             if n_clash:
                 if verb == "REPLACE":
@@ -2493,6 +2672,7 @@ class Engine:
                 else:
                     raise SqlError("duplicate entry for primary key")
         result = existing.unionByName(incoming).localCheckpoint(eager=True)
+        self._last_inserted = incoming
         # affected arithmetically (saves two count jobs): for INSERT the
         # net-new rows are n_new minus the clash rows that were dropped
         # (IGNORE) or folded into updates (ODKU); plain INSERT has
@@ -2549,7 +2729,8 @@ class Engine:
         return joined.select(*out_cols)
 
     def _validate(self, ts: TableState, df: DataFrame,
-                  lenient: bool = False) -> None:
+                  lenient: bool = False,
+                  skip_raises: bool = False) -> None:
         # Single aggregation pass over ALL column/check constraints (r1
         # judge finding: one .count() job per constraint made a wide table
         # pay 10+ Spark jobs per INSERT). FK checks below are joins and
@@ -2576,7 +2757,7 @@ class Engine:
             # NULL check result passes (MySQL CHECK semantics)
             checks.append((F.expr(f"NOT ({chk})"),
                            f"CHECK constraint violated: {chk}"))
-        if checks:
+        if checks and not skip_raises:
             counts = df.agg(*[
                 F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v{i}")
                 for i, (pred, _) in enumerate(checks)
@@ -2584,6 +2765,8 @@ class Engine:
             for i, (_, msg) in enumerate(checks):
                 if counts[i]:
                     raise SqlError(msg)
+        if skip_raises:
+            return  # IGNORE already filtered violating rows
         for fk in ts.foreign_keys:
             parent = self._db(None).get(fk.parent_table)
             if parent is None or parent.df is None:
@@ -2778,7 +2961,11 @@ class Engine:
         if any(c.generated for c in ts.columns):
             updated = self._compute_generated(ts, updated)
         updated = self._apply_before_update_triggers(ts, updated)
-        self._validate(ts, updated.filter("__matched"))
+        explicit_ignore = bool(m.group(1))
+        if explicit_ignore and n_match:
+            updated = self._update_ignore_revert(ts, base, updated, assigns)
+        else:
+            self._validate(ts, updated.filter("__matched"))
         fks = self._referencing_fks(ts, set(assigns))
         if fks and n_match:
             needed = sorted({p for _, fk in fks for p in fk.parent_columns})
@@ -2867,6 +3054,79 @@ class Engine:
                     *[cols[c.name].alias(c.name) for c in ts.columns], "__matched"
                 )
         return updated
+
+    def _update_ignore_revert(self, ts: TableState, base: DataFrame,
+                              updated: DataFrame,
+                              assigns: dict) -> DataFrame:
+        """UPDATE IGNORE: a matched row whose new values violate a CHECK,
+        a child-side FK, or would collide with another row's (original)
+        PRIMARY KEY keeps its OLD values — MySQL skips the row with a
+        warning (reference sql/plan/update.go Ignore handling).
+
+        `base` still holds the pre-update values; carry them alongside the
+        new ones, evaluate the violation predicate on the new values, and
+        select old-vs-new per row."""
+        old_cols = [F.col(c.name).alias(f"__old_{c.name}")
+                    for c in ts.columns if c.name in assigns]
+        carried = base.select(
+            "*", F.monotonically_increasing_id().alias("__rid"))
+        upd = updated.withColumn(
+            "__rid", F.monotonically_increasing_id()).join(
+            carried.select("__rid", *old_cols), "__rid")
+
+        viol = F.lit(False)
+        for chk in ts.checks:
+            viol = viol | ~F.coalesce(
+                F.expr(transpile_select(chk)).cast("boolean"), F.lit(True))
+        if ts.primary_key and set(ts.primary_key) & set(assigns):
+            orig = base.select(*[
+                F.col(k).alias(f"__orig_{k}") for k in ts.primary_key
+            ]).distinct()
+            cond = None
+            for k in ts.primary_key:
+                c2 = F.col(k).eqNullSafe(F.col(f"__orig_{k}"))
+                cond = c2 if cond is None else (cond & c2)
+            upd = upd.join(F.broadcast(orig), cond, "left")
+            changed = F.lit(False)
+            for k in ts.primary_key:
+                old_ref = (F.col(f"__old_{k}") if k in assigns
+                           else F.col(k))
+                changed = changed | ~F.col(k).eqNullSafe(old_ref)
+            viol = viol | (
+                F.col(f"__orig_{ts.primary_key[0]}").isNotNull() & changed)
+        for fi, fk in enumerate(ts.foreign_keys):
+            if not (set(fk.columns) & set(assigns)):
+                continue
+            try:
+                parent = self._table(fk.parent_table)
+            except SqlError:
+                continue
+            pdf = parent.df.select(*[
+                F.col(pc).alias(f"__fkp{fi}_{i}")
+                for i, pc in enumerate(fk.parent_columns)]).distinct()
+            cond = None
+            for i, cc in enumerate(fk.columns):
+                c2 = F.col(cc) == F.col(f"__fkp{fi}_{i}")
+                cond = c2 if cond is None else (cond & c2)
+            upd = upd.join(F.broadcast(pdf), cond, "left")
+            fk_null = None
+            for cc in fk.columns:
+                n2 = F.col(cc).isNull()
+                fk_null = n2 if fk_null is None else (fk_null | n2)
+            viol = viol | (~fk_null & F.col(f"__fkp{fi}_0").isNull())
+
+        upd = upd.withColumn("__viol", F.col("__matched") & viol)
+        final_cols = []
+        for c in ts.columns:
+            if c.name in assigns:
+                final_cols.append(
+                    F.when(F.col("__viol"), F.col(f"__old_{c.name}"))
+                    .otherwise(F.col(c.name)).alias(c.name))
+            else:
+                final_cols.append(F.col(c.name))
+        return upd.select(*final_cols,
+                          (F.col("__matched")
+                           & ~F.col("__viol")).alias("__matched"))
 
     def _q_update_join(self, sql: str) -> OkResult:
         """Multi-table UPDATE (reference sql/plan/update_join.go:1-269),
