@@ -59,9 +59,12 @@ _MACROS = [
     # registry, functions/special.py — numbers/strings come back unquoted)
     # wildcard legs ($.*, $[*], $**.k) route to the Python path evaluator;
     # plain paths stay on the JVM fast path
+    # plain paths stay JVM-side; a NULL result falls back to the Python
+    # evaluator to distinguish a MISSING key (SQL NULL) from a present
+    # key holding JSON null (returns 'null' — reference json_extract.go)
     ("json_extract", "(doc STRING, p STRING)", "STRING",
      "IF(instr(p, '*') > 0, json_extract_wild(doc, p), "
-     "get_json_object(doc, p))"),
+     "COALESCE(get_json_object(doc, p), json_extract_wild(doc, p)))"),
     ("json_value", "(doc STRING, p STRING)", "STRING",
      "get_json_object(doc, p)"),
     ("json_unquote", "(s STRING)", "STRING",

@@ -257,8 +257,38 @@ def _rewrite_convert(sql: str) -> str:
 
 
 def _rewrite_json_arrows(sql: str) -> str:
-    sql = _ARROW2.sub(r"json_unquote(json_extract(\1, \2))", sql)
+    # ->> : json_extract's JVM path (get_json_object) already returns
+    # string values UNQUOTED, so a further json_unquote would strip
+    # quotes that are part of the value itself ('"abc"' -> abc)
+    sql = _ARROW2.sub(r"json_extract(\1, \2)", sql)
     return _ARROW1.sub(r"json_extract(\1, \2)", sql)
+
+
+_DBL_MAX = 1.7976931348623157e308
+_FLOAT_LITERAL = re.compile(
+    r"(?<![\w.])([+-]?\d+(?:\.\d+)?[eE][+-]?\d{2,3})(?![\w.])")
+
+
+def _clamp_double_literal(m: re.Match) -> str:
+    """MySQL clamps out-of-range float literals to the type max
+    (reference sql/types/number.go convertToFloat64); Spark errors on
+    them (INVALID_NUMERIC_LITERAL_RANGE) — e.g. Go's math.MaxFloat64
+    printed at full precision overflows Spark's double parser."""
+    txt = m.group(1)
+    try:
+        v = float(txt)
+    except ValueError:
+        return txt
+    if v == float("inf"):
+        return repr(_DBL_MAX)
+    if v == float("-inf"):
+        return repr(-_DBL_MAX)
+    if abs(v) >= 1e300:
+        # full-precision prints (Go's math.MaxFloat64 carries 39 digits)
+        # overflow Spark's strict literal parser even when they round
+        # into range — normalize to the shortest round-trip form
+        return repr(v)
+    return txt
 
 
 def rewrite_numeric_literals(sql: str) -> str:
@@ -268,6 +298,15 @@ def rewrite_numeric_literals(sql: str) -> str:
     sql, lits = mask_literals(sql)
     sql = _0B_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)
     sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
+    sql = _FLOAT_LITERAL.sub(_clamp_double_literal, sql)
+    # CAST(x AS JSON) inside VALUES lists: JSON stays a string column
+    # in this engine (same mapping as transpile_select)
+    sql = re.sub(r"\bCAST\s*\(\s*TRUE\s+AS\s+JSON\s*\)", "'true'", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bCAST\s*\(\s*FALSE\s+AS\s+JSON\s*\)", "'false'", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+JSON\s*\)", "AS STRING)", sql,
+                 flags=re.IGNORECASE)
     return unmask_literals(sql, lits)
 
 _CAST_CALL = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
@@ -541,6 +580,7 @@ _MISC_FN = re.compile(
     r"\b(DAYNAME|MONTHNAME|CEILING|CEIL|FLOOR|SIGN|GREATEST|LEAST|STRCMP|"
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
     r"INTERVAL|JSON_ARRAYAGG|JSON_OBJECTAGG|JSON_ARRAY|JSON_OBJECT|"
+    r"JSON_LENGTH|JSON_VALUE|"
     r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT)\s*\(",
     re.IGNORECASE)
 
@@ -661,15 +701,49 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             # aggregate: JSON array in aggregation order (json_agg.go)
             return f"to_json(collect_list({args[0]}))"
         if name == "JSON_OBJECTAGG":
-            return (f"to_json(map_from_arrays("
+            # empty group → NULL (MySQL), not '{}'; duplicate keys keep
+            # the LAST value (session mapKeyDedupPolicy=LAST_WIN)
+            return (f"IF(COUNT(1) = 0, NULL, "
+                    f"to_json(map_from_arrays("
                     f"collect_list(CAST({args[0]} AS STRING)), "
-                    f"collect_list({args[1]})))")
+                    f"collect_list({args[1]}))))")
+        if name == "JSON_LENGTH":
+            # MySQL: object → member count, array → length, scalar → 1,
+            # NULL doc/missing path → NULL (sql/expression/function/
+            # json/json_length.go); optional path argument
+            doc = (args[0] if len(args) == 1
+                   else f"json_extract({args[0]}, {args[1]})")
+            d = f"left(trim(({doc})), 1)"
+            return (f"(CASE WHEN ({doc}) IS NULL THEN NULL "
+                    f"WHEN {d} = '[' THEN json_array_length({doc}) "
+                    f"WHEN {d} = '{{' THEN size(json_object_keys({doc})) "
+                    f"ELSE 1 END)")
+        if name == "JSON_VALUE" and len(args) in (2, 3):
+            base = f"json_unquote(json_extract({args[0]}, {args[1]}))"
+            if len(args) == 2:
+                return base
+            rt = (_literal_of(args[2], lits) if lits is not None
+                  else args[2].strip("'\""))
+            rt = (rt or args[2]).strip().upper()
+            cast_map = {"SIGNED": "BIGINT", "UNSIGNED": "BIGINT",
+                        "DOUBLE": "DOUBLE", "FLOAT": "FLOAT",
+                        "DECIMAL": "DECIMAL(10,0)", "CHAR": "STRING",
+                        "DATE": "DATE", "DATETIME": "TIMESTAMP",
+                        "TIME": "STRING", "JSON": "STRING"}
+            for k, v in cast_map.items():
+                if rt.startswith(k):
+                    return f"CAST({base} AS {v})"
+            return base
         if name == "JSON_ARRAY":
+            # arguments may themselves be JSON_ARRAY/JSON_OBJECT calls
+            # (nested constructors) — rewrite them before splicing
+            args = [_rewrite_calls(a, _MISC_FN, repl) for a in args]
             frags = ", ".join(_json_frag(a) for a in args)
             return f"CONCAT('[', concat_ws(',', {frags}), ']')"
         if name == "JSON_OBJECT":
             if len(args) % 2:
                 return None
+            args = [_rewrite_calls(a, _MISC_FN, repl) for a in args]
             # MySQL's TRUE/FALSE are ints — a boolean key stringifies to
             # '1'/'0', not 'true'/'false'
             args = [re.sub(r"^\s*TRUE\s*$", "1",

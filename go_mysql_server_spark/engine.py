@@ -110,6 +110,21 @@ class TableState:
     # path (reference sql/fulltext/fulltext.go, multi_editor.go)
     fulltext: list = field(default_factory=list)  # [FulltextIndex]
     check_names: list = field(default_factory=list)  # parallel to checks
+    # parallel to checks: False for CHECK ... NOT ENFORCED (tracked in
+    # metadata, never validated — reference sql/plan/alter_check.go)
+    check_enforced: list = field(default_factory=list)
+
+    def check_enforced_at(self, i: int) -> bool:
+        return self.check_enforced[i] if i < len(self.check_enforced) \
+            else True
+
+    def next_check_name(self) -> str:
+        """MySQL auto-name for an unnamed CHECK: {table}_chk_{n}."""
+        n = 1
+        existing = set(self.check_names)
+        while f"{self.name}_chk_{n}" in existing:
+            n += 1
+        return f"{self.name}_chk_{n}"
 
     @property
     def schema(self) -> T.StructType:
@@ -153,6 +168,11 @@ _TYPE_MAP: list[tuple[re.Pattern, Any]] = [
     (re.compile(r"^(VARBINARY|BINARY|TINYBLOB|BLOB|MEDIUMBLOB|LONGBLOB)", re.I),
      T.BinaryType()),
     (re.compile(r"^JSON", re.I), T.StringType()),
+    # SQL-text geometry flows as WKT strings (functions/spatial_sql.py
+    # boundary model; reference sql/types/geometry.go column types)
+    (re.compile(r"^(GEOMETRYCOLLECTION|GEOMCOLLECTION|GEOMETRY|POINT|"
+                r"LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|"
+                r"MULTIPOLYGON)\b", re.I), T.StringType()),
     (re.compile(r"^ENUM\s*\(", re.I), "enum"),
     (re.compile(r"^SET\s*\(", re.I), "set"),
 ]
@@ -214,6 +234,53 @@ _CHECK_KEYWORDS = frozenset(
     "TRUE FALSE DIV MOD REGEXP RLIKE ESCAPE".split())
 
 
+_GEN_TAIL_OK = re.compile(
+    r"^(?:VIRTUAL|STORED|NOT\s+NULL|NULL|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|"
+    r"COMMENT\b.*|FIRST|AFTER\s+[`\w]+)?\s*"
+    r"(?:VIRTUAL|STORED|NOT\s+NULL|NULL|FIRST|AFTER\s+[`\w]+)?\s*$",
+    re.I)
+
+
+def _parse_generated(rest: str) -> str | None:
+    """Extract a generated-column expression from a column definition
+    tail: `int AS (expr) [VIRTUAL|STORED] [FIRST|AFTER c]` — the
+    GENERATED ALWAYS keyword is optional in MySQL (reference
+    sql/parse: generated column grammar), so detection keys on an
+    AS (...) whose tail is only column attributes."""
+    gm = re.search(r"(?:GENERATED\s+ALWAYS\s+)?\bAS\s*\(", rest, re.I)
+    if not gm:
+        return None
+    close = _find_close_paren(rest, gm.end() - 1)
+    if close < 0:
+        return None
+    tail = rest[close + 1:].strip()
+    if "GENERATED" in rest.upper() or _GEN_TAIL_OK.match(tail):
+        return rest[gm.end():close]
+    return None
+
+
+def _strip_outer_parens(expr: str) -> str:
+    """Normalize a CHECK clause to its bare expression: MySQL stores
+    `(expr)` normal form, so redundant outer paren pairs from re-parsed
+    SHOW CREATE output must not accumulate."""
+    expr = expr.strip()
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        balanced = True
+        for i, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    balanced = False
+                    break
+        if not balanced:
+            break
+        expr = expr[1:-1].strip()
+    return expr
+
+
 def _check_clause_mysql(ts, expr: str) -> str:
     """information_schema.CHECK_CONSTRAINTS renders the clause with
     backticked identifiers and outer parens (MySQL normal form). Bare
@@ -222,8 +289,12 @@ def _check_clause_mysql(ts, expr: str) -> str:
         word = m.group(0)
         return word if word.upper() in _CHECK_KEYWORDS else f"`{word}`"
 
-    out = re.sub(r"\b[A-Za-z_]\w*\b(?!\s*\()", tick, expr)
-    return f"({out})"
+    # Mask string literals first so words inside them — CHECK
+    # (status IN ('new','old')) — are never backticked.
+    from .dialect.transpiler import mask_literals, unmask_literals
+    masked, lits = mask_literals(expr)
+    out = re.sub(r"\b[A-Za-z_]\w*\b(?!\s*\()", tick, masked)
+    return f"({unmask_literals(out, lits)})"
 
 
 def _normalize_default(text: str) -> str:
@@ -638,16 +709,37 @@ class Engine:
         masked, lits = mask_literals(sql)
         pat = re.compile(
             r"\bMATCH\s*\(([^()]+)\)\s+AGAINST\s*\(", re.I)
-        fm = re.search(r"\bFROM\s+(\x00\d+\x00|[\w.]+)", masked, re.I)
-        ts = None
-        if fm:
-            tname = fm.group(1)
+        _from_pat = re.compile(
+            r"\bFROM\s+(\x00\d+\x00|[\w.]+)"
+            r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|HAVING\b|"
+            r"LIMIT\b|JOIN\b|ON\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|"
+            r"UNION\b|NATURAL\b|FOR\b|LOCK\b|INTO\b|WHILE\b|SET\b)"
+            r"(\w+))?", re.I)
+
+        def _bind_from(pos: int):
+            """Bind a MATCH at `pos` to its query block's FROM: the
+            closest FROM before it (MATCH in WHERE/ORDER of that block),
+            else the first FROM after (MATCH in the SELECT list). Returns
+            (TableState|None, correlation qualifier) — alias-aware so
+            FROM docs d correlates as d.<key>, and a MATCH inside a
+            subquery over a different table binds that table, not the
+            statement's first FROM."""
+            fm2 = None
+            for cand in _from_pat.finditer(masked[:pos]):
+                fm2 = cand
+            if fm2 is None:
+                fm2 = _from_pat.search(masked, pos)
+            if fm2 is None:
+                return None, None
+            tname = fm2.group(1)
             if tname.startswith("\x00"):
                 tname = lits[int(tname.strip("\x00"))].strip("`")
             try:
-                ts = self._table(tname)
+                t = self._table(tname)
             except Exception:
-                ts = None
+                return None, None
+            return t, (fm2.group(2) or t.name)
+
         while True:
             m = pat.search(masked)
             if not m:
@@ -655,6 +747,7 @@ class Engine:
             close = _find_close(masked, m.end() - 1)
             if close < 0:
                 break
+            ts, corr_qual = _bind_from(m.start())
             body = masked[m.end():close]
             bm = re.match(
                 r"\s*(\x00\d+\x00|NULL)\s*"
@@ -663,7 +756,18 @@ class Engine:
             if not bm:
                 break
             boolean_mode = bool(re.search(r"BOOLEAN\s+MODE", body, re.I))
-            match_cols = tuple(c.strip().strip("`")
+
+            def _strip_qual(c: str) -> str:
+                c = c.strip().strip("`")
+                if "." in c and ts is not None:
+                    q, _, base = c.partition(".")
+                    if q.strip("`").lower() in {
+                            ts.name.lower(),
+                            (corr_qual or "").lower()}:
+                        return base.strip("`")
+                return c
+
+            match_cols = tuple(_strip_qual(c)
                                for c in m.group(1).split(","))
             if bm.group(1).upper() == "NULL":
                 # MATCH AGAINST(NULL) scores 0 on every row (reference
@@ -687,7 +791,8 @@ class Engine:
                         in_order_by = True
                 expr = self._ft_match_expr(ts, match_cols, qtext,
                                            boolean_mode,
-                                           force_fallback=in_order_by)
+                                           force_fallback=in_order_by,
+                                           corr_qual=corr_qual)
             # bare MATCH as a WHERE predicate means relevance > 0 (MySQL
             # truthiness); detect the bare-predicate context so the
             # statement doesn't need the analyzer-retry wrap
@@ -704,7 +809,8 @@ class Engine:
 
     def _ft_match_expr(self, ts, match_cols: tuple[str, ...], qtext: str,
                        boolean_mode: bool,
-                       force_fallback: bool = False) -> str:
+                       force_fallback: bool = False,
+                       corr_qual: str | None = None) -> str:
         from .operators.fulltext_index import (MAX_WORD_LENGTH,
                                                parse_boolean_query)
         fx = None
@@ -736,7 +842,7 @@ class Engine:
 
         if fx is not None:
             self._ft_sync(ts)
-            corr = f"p.k = {ts.name}.{fx.key}"
+            corr = f"p.k = {corr_qual or ts.name}.{fx.key}"
 
             def tf_sum(terms):
                 return (f"COALESCE((SELECT SUM(p.tf) FROM {fx.view} p "
@@ -915,6 +1021,32 @@ class Engine:
     # ---- SELECT ------------------------------------------------------------
 
     def _q_select(self, sql: str) -> DataFrame | OkResult:
+        # WITH ... DELETE / WITH ... UPDATE route here via the WITH head:
+        # peel the CTE list (balanced parens, literal-masked) and
+        # dispatch the tail to the DML handler with the prefix threaded
+        if re.match(r"\s*WITH\b", sql, re.I):
+            from .dialect.transpiler import mask_literals as _mw
+            _mk, _ = _mw(sql)
+            depth = 0
+            for mkw in re.finditer(
+                    r"[()]|\b(DELETE|UPDATE|SELECT|INSERT|REPLACE|TABLE"
+                    r"|VALUES)\b", _mk, re.I):
+                tok = mkw.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    # first depth-0 statement verb after the CTE list
+                    verb = mkw.group(1).upper()
+                    if verb in ("DELETE", "UPDATE"):
+                        cte_prefix = sql[:mkw.start()].rstrip()
+                        tail = sql[mkw.start():]
+                        if verb == "DELETE":
+                            return self._q_delete(tail,
+                                                  cte_prefix=cte_prefix)
+                        return self._q_update(f"{cte_prefix} {tail}")
+                    break
         # INTO @vars must be peeled off before user-var substitution rewrites
         # the very @names we need to assign. MySQL accepts the clause both
         # at statement end and between the select list and FROM
@@ -1060,7 +1192,12 @@ class Engine:
         1-based declaration ordinal ('' = 0) — `e + 0` is the standard
         ordinal idiom (reference sql/types/enum.go). Rewrite arithmetic
         on enum columns of the statement's FROM table."""
-        fm = re.search(r"\bFROM\s+[`]?(\w+)[`]?", sql, re.I)
+        fm = re.search(
+            r"\bFROM\s+[`]?(\w+)[`]?(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|"
+            r"ORDER\b|HAVING\b|LIMIT\b|JOIN\b|ON\b|SET\b|LEFT\b|RIGHT\b|"
+            r"INNER\b|CROSS\b|UNION\b|NATURAL\b|FOR\b|LOCK\b|INTO\b)"
+            r"(\w+))?",
+            sql, re.I)
         if not fm:
             return sql
         ts = self._db(None).get(fm.group(1))
@@ -1070,16 +1207,37 @@ class Engine:
                      if c.enum_values}
         if not enum_cols:
             return sql
+        # Qualified references rewrite only when the qualifier is the
+        # FROM table (or its alias) — a same-named column on another
+        # table in the statement must not be touched.
+        ok_quals = {fm.group(1).lower()}
+        if fm.group(2):
+            ok_quals.add(fm.group(2).lower())
         from .dialect.transpiler import mask_literals, unmask_literals
         masked, lits = mask_literals(sql)
         for cname, vals in enum_cols.items():
             arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
-            ordinal = (f"COALESCE(array_position(array({arr}), {cname}),"
-                       f" 0)")
+
+            def ordinal(ref: str) -> str:
+                return (f"COALESCE(array_position(array({arr}), {ref}),"
+                        f" 0)")
+
             masked = re.sub(
-                rf"\b{cname}\s*([+\-*/])", ordinal + r" \1", masked)
+                rf"\b((\w+\.)?){cname}\s*([+\-*/])",
+                lambda m: (m.group(0)
+                           if m.group(1)
+                           and m.group(1)[:-1].lower() not in ok_quals
+                           else ordinal((m.group(1) or "") + cname)
+                           + " " + m.group(3)),
+                masked)
             masked = re.sub(
-                rf"([+\-*/])\s*{cname}\b", r"\1 " + ordinal, masked)
+                rf"([+\-*/])\s*((\w+\.)?){cname}\b",
+                lambda m: (m.group(0)
+                           if m.group(2)
+                           and m.group(2)[:-1].lower() not in ok_quals
+                           else m.group(1) + " "
+                           + ordinal((m.group(2) or "") + cname)),
+                masked)
         return unmask_literals(masked, lits)
 
     def _rewrite_enum_order(self, sql: str) -> str:
@@ -1281,18 +1439,26 @@ class Engine:
             for db, tables in sorted(self.databases.items()):
                 for ts in tables.values():
                     if ts.primary_key:
-                        rows.append(("PRIMARY", db, ts.name, "PRIMARY KEY"))
+                        rows.append(
+                            ("PRIMARY", db, ts.name, "PRIMARY KEY", "YES"))
+                    for ix in ts.indexes:
+                        if ix.unique:
+                            rows.append(
+                                (ix.name, db, ts.name, "UNIQUE", "YES"))
                     for fk in ts.foreign_keys:
-                        rows.append((f"fk_{ts.name}", db, ts.name, "FOREIGN KEY"))
+                        rows.append((f"fk_{ts.name}", db, ts.name,
+                                     "FOREIGN KEY", "YES"))
                     for i, _ in enumerate(ts.checks):
                         names = getattr(ts, "check_names", [])
                         nm = names[i] if i < len(names) and names[i] \
                             else f"{ts.name}_chk_{i + 1}"
-                        rows.append((nm, db, ts.name, "CHECK"))
+                        enf = "YES" if ts.check_enforced_at(i) else "NO"
+                        rows.append((nm, db, ts.name, "CHECK", enf))
             self.spark.createDataFrame(
-                [r + ("YES",) for r in rows] or [(None,) * 5],
-                "CONSTRAINT_NAME string, TABLE_SCHEMA string, TABLE_NAME string, "
-                "CONSTRAINT_TYPE string, ENFORCED string",
+                [("def", r[1]) + r for r in rows] or [(None,) * 7],
+                "CONSTRAINT_CATALOG string, CONSTRAINT_SCHEMA string, "
+                "CONSTRAINT_NAME string, TABLE_SCHEMA string, "
+                "TABLE_NAME string, CONSTRAINT_TYPE string, ENFORCED string",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__table_constraints")
         if "statistics" in needed:
@@ -1371,9 +1537,23 @@ class Engine:
             ).filter("GRANTEE IS NOT NULL").createOrReplaceTempView(
                 "information_schema__user_privileges")
         self._info_schema_extras(needed)
-        return self._INFO_SCHEMA.sub(
+        sql = self._INFO_SCHEMA.sub(
             lambda m: f"information_schema__{m.group(1).lower()}", sql
         )
+        # MySQL's information_schema identifier columns compare
+        # case-insensitively (utf8mb4_0900_ai_ci): WHERE TABLE_NAME='t2'
+        # must match a table created as T2. Fold both sides of literal
+        # equality compares on those columns.
+        def _ci_eq(m: re.Match) -> str:
+            return (f"lower({m.group(1)}) {m.group(2)} "
+                    f"lower({m.group(3)})")
+        sql = re.sub(
+            r"((?:\w+\.)?(?:TABLE_NAME|TABLE_SCHEMA|CONSTRAINT_SCHEMA|"
+            r"CONSTRAINT_NAME|COLUMN_NAME|INDEX_NAME|SCHEMA_NAME|"
+            r"ROUTINE_SCHEMA|ROUTINE_NAME|TRIGGER_NAME|EVENT_NAME))"
+            r"\s*(=|<>|!=)\s*('(?:[^']|'')*')",
+            _ci_eq, sql, flags=re.I)
+        return sql
 
     # Extended information_schema surface (reference
     # sql/information_schema/information_schema.go registers ~45 tables;
@@ -1733,24 +1913,63 @@ class Engine:
 
             _, tbl = self._split_name(m.group(4))
             self._table(tbl)  # must exist
+            body = m.group(5).strip()
+            # trigger order clause (reference sql/plan/create_trigger.go):
+            # FOR EACH ROW [{FOLLOWS|PRECEDES} other] body
+            om = re.match(r"(FOLLOWS|PRECEDES)\s+[`]?(\w+)[`]?\s+(.*)$",
+                          body, re.I | re.S)
+            trig_list = self.triggers.setdefault(tbl, [])
+            at = len(trig_list)
+            if om:
+                body = om.group(3).strip()
+                anchor = om.group(2).lower()
+                for i, t in enumerate(trig_list):
+                    if t.name.lower() == anchor:
+                        at = i + (1 if om.group(1).upper() == "FOLLOWS"
+                                  else 0)
+                        break
             trig = Trigger(m.group(1).strip("`"), m.group(2).upper(),
-                           m.group(3).upper(), tbl, m.group(5).strip())
-            self.triggers.setdefault(tbl, []).append(trig)
+                           m.group(3).upper(), tbl, body)
+            trig_list.insert(at, trig)
             return OkResult(0)
-        m = self._CREATE_PROCEDURE.match(sql)
-        if m:
+        pm = re.match(
+            r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?PROCEDURE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\(", sql, re.I)
+        if pm:
             from .procedures import Procedure
 
+            # balanced-paren param list: types carry parens (VARCHAR(20),
+            # DECIMAL(10,2)) so a [^)]* scan truncates mid-list
+            close = _find_close_paren(sql, pm.end() - 1)
+            if close < 0:
+                raise SqlError(f"cannot parse CREATE PROCEDURE: {sql[:80]!r}")
+            params_txt = sql[pm.end():close]
+            body = sql[close + 1:].strip()
+            # routine characteristics before the body (reference
+            # planbuilder: COMMENT/LANGUAGE/DETERMINISTIC/SQL SECURITY/
+            # CONTAINS|READS|MODIFIES SQL clauses) — metadata only
+            body = re.sub(
+                r"^(?:\s*(?:COMMENT\s+'(?:[^']|'')*'|LANGUAGE\s+SQL|"
+                r"(?:NOT\s+)?DETERMINISTIC|CONTAINS\s+SQL|NO\s+SQL|"
+                r"READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|"
+                r"SQL\s+SECURITY\s+(?:DEFINER|INVOKER)))*\s*", "", body,
+                flags=re.I)
             params = []
-            if m.group(2).strip():
-                for p in _split_top_level(m.group(2)):
-                    toks = p.split()
-                    mode = toks[0].upper() if toks[0].upper() in ("IN", "OUT", "INOUT") else "IN"
-                    rest = toks[1:] if mode != "IN" or toks[0].upper() == "IN" else toks
-                    params.append((mode, rest[0], " ".join(rest[1:])))
-            self.procedures[m.group(1).strip("`").lower()] = Procedure(
-                m.group(1).strip("`"), params, m.group(3).strip()
-            )
+            if params_txt.strip():
+                for prm in _split_top_level(params_txt):
+                    toks = prm.split()
+                    mode = (toks[0].upper()
+                            if toks[0].upper() in ("IN", "OUT", "INOUT")
+                            else "IN")
+                    rest = (toks[1:]
+                            if toks[0].upper() in ("IN", "OUT", "INOUT")
+                            else toks)
+                    params.append((mode, rest[0].strip("`"),
+                                   " ".join(rest[1:])))
+            name = pm.group(1).strip("`")
+            if "." in name:
+                name = name.split(".")[-1]
+            self.procedures[name.lower()] = Procedure(name, params, body)
             return OkResult(0)
         if upper.startswith("CREATE DATABASE") or upper.startswith("CREATE SCHEMA"):
             name = sql.split()[-1].strip("`")
@@ -1857,6 +2076,7 @@ class Engine:
         pk: tuple[str, ...] = ()
         checks: list[str] = []
         check_names: list = []
+        check_enforced: list = []
         fks: list[ForeignKey] = []
         indexes: list = []
         for item in _split_top_level(body):
@@ -1878,11 +2098,18 @@ class Engine:
                         (fm.group(5) or "RESTRICT").upper().replace("NO ACTION", "RESTRICT"),
                     ))
                     continue
-                cm = re.search(r"CHECK\s*\((.*)\)\s*$", item, re.I | re.S)
+                cm = re.search(
+                    r"CHECK\s*\((.*)\)\s*(NOT\s+ENFORCED|ENFORCED"
+                    r"|/\*!\d+\s+NOT\s+ENFORCED\s*\*/)?\s*$",
+                    item, re.I | re.S)
                 if cm:
-                    checks.append(cm.group(1))
-                    cn = re.match(r"CONSTRAINT\s+[`]?(\w+)[`]?", item, re.I)
+                    checks.append(_strip_outer_parens(cm.group(1)))
+                    cn = re.match(
+                        r"CONSTRAINT\s+[`]?(?!CHECK\b)(\w+)[`]?", item,
+                        re.I)
                     check_names.append(cn.group(1) if cn else None)
+                    check_enforced.append(
+                        "NOT ENFORCED" not in (cm.group(2) or "").upper())
                     continue
                 im = re.match(
                     r"(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)?"
@@ -1900,13 +2127,16 @@ class Engine:
                         else "BTREE"))
                 continue
             if up.startswith("CHECK"):
-                checks.append(item[item.index("("):].strip()[1:-1])
+                op = item.index("(")
+                close = _find_close_paren(item, op)
+                checks.append(_strip_outer_parens(item[op + 1:close]))
                 check_names.append(None)
+                check_enforced.append("NOT ENFORCED" not in up)
                 continue
-            cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", item, re.S)
+            cm = re.match(r"(?:`([^`]+)`|(\w+))\s+(.*)$", item, re.S)
             if not cm:
                 raise SqlError(f"cannot parse column def: {item!r}")
-            cname, rest = cm.group(1), cm.group(2)
+            cname, rest = cm.group(1) or cm.group(2), cm.group(3)
             dtype, enum_vals, bounds = _parse_type(rest)
             rest_up = rest.upper()
             nullable = "NOT NULL" not in rest_up
@@ -1920,12 +2150,7 @@ class Engine:
                 r"|[\w.+-]+(?:\s*\(\s*\))?)", rest, re.I)
             if dm and dm.group(1).upper() != "NULL":
                 default = dm.group(1)
-            generated = None
-            gm = re.search(r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", rest, re.I)
-            if gm and ("GENERATED" in rest_up or rest_up.rstrip().endswith(
-                    ("VIRTUAL", "STORED"))):
-                close = _find_close_paren(rest, gm.end() - 1)
-                generated = rest[gm.end():close]
+            generated = _parse_generated(rest)
             if "PRIMARY KEY" in rest_up:
                 pk = (cname,)
             elif re.search(r"\bUNIQUE\b", rest_up):
@@ -1934,6 +2159,19 @@ class Engine:
                 from .admin import IndexDef
                 indexes.append(IndexDef(cname, (cname,), unique=True))
             enum_vals, set_vals = _split_enum_set(enum_vals)
+            # column-attribute CHECK: `c1 INT CHECK (c1 > 10)` /
+            # `c2 INT CONSTRAINT nm CHECK (c2 > 0)` registers a
+            # table-level check (MySQL folds them together)
+            ckm = re.search(r"CHECK\s*\(", rest, re.I)
+            if ckm:
+                cclose = _find_close_paren(rest, ckm.end() - 1)
+                checks.append(_strip_outer_parens(rest[ckm.end():cclose]))
+                cnm = re.search(
+                    r"CONSTRAINT\s+[`]?(?!CHECK\b)(\w+)[`]?\s+CHECK\b",
+                    rest, re.I)
+                check_names.append(cnm.group(1) if cnm else None)
+                check_enforced.append(
+                    not re.search(r"\)\s*NOT\s+ENFORCED", rest, re.I))
             columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
                                      enum_vals, bounds, generated,
                                      set_values=set_vals))
@@ -1941,8 +2179,16 @@ class Engine:
             for c in columns:
                 if c.name in pk:
                     c.nullable = False
+        # MySQL auto-names unnamed checks {table}_chk_{n} in declaration
+        # order (information_schema joins rely on the name being present)
+        n_auto = 0
+        for i, nm in enumerate(check_names):
+            if nm is None:
+                n_auto += 1
+                check_names[i] = f"{tbl}_chk_{n_auto}"
         return TableState(tbl, columns, pk, checks, fks, indexes=indexes,
-                          check_names=check_names)
+                          check_names=check_names,
+                          check_enforced=check_enforced)
 
     def _q_alter(self, sql: str) -> OkResult:
         """ALTER TABLE add/drop/modify/rename column, rename table
@@ -1970,24 +2216,21 @@ class Engine:
                                      r"SPATIAL|CHECK|CONSTRAINT|PRIMARY|"
                                      r"FOREIGN)\b", up)):
                 body = re.sub(r"^ADD\s+(COLUMN\s+)?", "", action, flags=re.I)
-                cm = re.match(r"[`]?(\w+)[`]?\s+(.*)$", body, re.S)
-                dtype, enum_vals, bounds = _parse_type(cm.group(2))
-                rest_up = cm.group(2).upper()
+                cm = re.match(r"(?:`([^`]+)`|(\w+))\s+(.*)$", body, re.S)
+                col_name = cm.group(1) or cm.group(2)
+                col_rest = cm.group(3)
+                dtype, enum_vals, bounds = _parse_type(col_rest)
+                rest_up = col_rest.upper()
                 nullable = "NOT NULL" not in rest_up
                 dm = re.search(
                     r"DEFAULT\s+('(?:[^']|'')*'"
                     r"|\((?:[^()]|\([^()]*\))*\)"
                     r"|[\w.+-]+(?:\s*\(\s*\))?)",
-                    cm.group(2), re.I)
+                    col_rest, re.I)
                 default = dm.group(1) if dm and dm.group(1).upper() != "NULL" else None
-                generated = None
-                gm = re.search(r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", cm.group(2), re.I)
-                if gm and ("GENERATED" in rest_up or rest_up.rstrip().endswith(
-                        ("VIRTUAL", "STORED"))):
-                    close = _find_close_paren(cm.group(2), gm.end() - 1)
-                    generated = cm.group(2)[gm.end():close]
+                generated = _parse_generated(col_rest)
                 enum_vals, set_vals = _split_enum_set(enum_vals)
-                col = ColumnDef(cm.group(1), dtype, nullable, default,
+                col = ColumnDef(col_name, dtype, nullable, default,
                                 enum_values=enum_vals, int_bounds=bounds,
                                 generated=generated, set_values=set_vals)
                 if generated is not None:
@@ -2011,7 +2254,7 @@ class Engine:
                 else:
                     fill = F.lit(None).cast(dtype)
                 posm = re.search(r"\b(?:(FIRST)|AFTER\s+[`]?(\w+)[`]?)\s*$",
-                                 cm.group(2), re.I)
+                                 col_rest, re.I)
                 if posm and posm.group(1):
                     idx_at = 0
                 elif posm and posm.group(2):
@@ -2027,9 +2270,10 @@ class Engine:
                     *[c.name for c in ts.columns])
                 if "AUTO_INCREMENT" in rest_up:
                     ts.auto_inc_next = (ts.df.count() or 0) + 1
-            elif up.startswith("DROP COLUMN") or (up.startswith("DROP ")
-                                                  and "INDEX" not in up
-                                                  and "KEY" not in up):
+            elif up.startswith("DROP COLUMN") or (
+                    up.startswith("DROP ")
+                    and not re.match(r"DROP\s+(INDEX|KEY|CHECK|CONSTRAINT|"
+                                     r"PRIMARY|FOREIGN)\b", up)):
                 name = action.split()[-1].strip("`")
                 ts.columns = [c for c in ts.columns if c.name != name]
                 ts.df = ts.df.drop(name)
@@ -2136,13 +2380,30 @@ class Engine:
                     ts.columns.insert(at, col)
                     ts.df = ts.df.select(*[c.name for c in ts.columns])
             elif up.startswith("ADD CHECK") or re.match(
-                    r"ADD\s+CONSTRAINT\s+[`]?\w*[`]?\s+CHECK", up):
-                nm3 = re.match(r"ADD\s+CONSTRAINT\s+[`]?(\w+)[`]?", action,
-                               re.I)
+                    r"ADD\s+CONSTRAINT(\s+[`]?\w*[`]?)?\s+CHECK", up):
+                nm3 = re.match(
+                    r"ADD\s+CONSTRAINT\s+[`]?(?!CHECK\b)(\w+)[`]?",
+                    action, re.I)
                 ckm = re.search(r"CHECK\s*\(", action, re.I)
                 close = _find_close_paren(action, ckm.end() - 1)
-                ts.checks.append(action[ckm.end():close])
-                ts.check_names.append(nm3.group(1) if nm3 else None)
+                clause = _strip_outer_parens(action[ckm.end():close])
+                enforced = not re.search(r"\)\s*NOT\s+ENFORCED\s*$",
+                                         action, re.I)
+                # existing rows must satisfy a newly-added ENFORCED check
+                # (reference sql/plan/alter_check.go validation pass)
+                if enforced and ts.df is not None:
+                    from .dialect.transpiler import transpile_select as _tp
+                    bad = ts.df.filter(
+                        f"NOT ({_tp(clause)}) AND ({_tp(clause)}) "
+                        f"IS NOT NULL").count()
+                    if bad:
+                        raise SqlError(
+                            f"CHECK constraint violated by {bad} existing "
+                            f"row(s)")
+                ts.checks.append(clause)
+                ts.check_names.append(nm3.group(1) if nm3
+                                      else ts.next_check_name())
+                ts.check_enforced.append(enforced)
                 continue
             elif up.startswith("DROP CHECK") or re.match(
                     r"DROP\s+CONSTRAINT\b", up):
@@ -2152,8 +2413,20 @@ class Engine:
                     idx = ts.check_names.index(dnm.group(1))
                     ts.checks.pop(idx)
                     ts.check_names.pop(idx)
+                    if idx < len(ts.check_enforced):
+                        ts.check_enforced.pop(idx)
+                elif dnm and dnm.group(1).upper() == "PRIMARY":
+                    ts.primary_key = ()
+                elif dnm and dnm.group(1) in [
+                        ix.name for ix in ts.indexes]:
+                    ts.indexes = [ix for ix in ts.indexes
+                                  if ix.name != dnm.group(1)]
+                elif dnm:
+                    raise SqlError(
+                        f"unknown constraint {dnm.group(1)!r}")
                 else:
-                    ts.checks, ts.check_names = [], []
+                    ts.checks, ts.check_names, ts.check_enforced = \
+                        [], [], []
                 continue
             elif re.match(r"AUTO_INCREMENT\s*=?\s*\d+", up):
                 n = int(re.search(r"(\d+)", action).group(1))
@@ -2222,7 +2495,54 @@ class Engine:
                         c.strip().strip("`") for c in pm.group(1).split(","))
                 continue
             elif up.startswith("ADD CONSTRAINT"):
-                continue  # advisory on Spark
+                # named UNIQUE/FOREIGN KEY constraints: record under the
+                # constraint name so DROP CONSTRAINT <name> resolves
+                # (reference sql/plan/alter_index.go named constraints)
+                um = re.match(
+                    r"ADD\s+CONSTRAINT\s+[`]?(\w+)[`]?\s+UNIQUE"
+                    r"(?:\s+(?:INDEX|KEY))?\s*\(", action, re.I)
+                if um:
+                    from . import admin
+                    from .dialect.transpiler import _find_close
+                    close = _find_close(action, um.end() - 1)
+                    cols = tuple(
+                        c.strip().strip("`").split("(")[0] for c in
+                        action[um.end():close].split(","))
+                    ts.indexes.append(admin.IndexDef(
+                        um.group(1), cols, unique=True))
+                    continue
+                fm2 = self._FK_DEF.search(action)
+                if fm2:
+                    _, parent = self._split_name(fm2.group(2))
+                    ts.foreign_keys.append(ForeignKey(
+                        tuple(c.strip().strip("`")
+                              for c in fm2.group(1).split(",")),
+                        parent,
+                        tuple(c.strip().strip("`")
+                              for c in fm2.group(3).split(",")),
+                        (fm2.group(4) or "RESTRICT").upper()
+                        .replace("NO ACTION", "RESTRICT"),
+                        (fm2.group(5) or "RESTRICT").upper()
+                        .replace("NO ACTION", "RESTRICT")))
+                    continue
+                continue  # other constraint kinds: advisory on Spark
+            elif up.startswith("ADD FOREIGN"):
+                fm2 = self._FK_DEF.search(action)
+                if not fm2:
+                    raise SqlError(
+                        f"cannot parse FOREIGN KEY: {action[:60]!r}")
+                _, parent = self._split_name(fm2.group(2))
+                ts.foreign_keys.append(ForeignKey(
+                    tuple(c.strip().strip("`")
+                          for c in fm2.group(1).split(",")),
+                    parent,
+                    tuple(c.strip().strip("`")
+                          for c in fm2.group(3).split(",")),
+                    (fm2.group(4) or "RESTRICT").upper()
+                    .replace("NO ACTION", "RESTRICT"),
+                    (fm2.group(5) or "RESTRICT").upper()
+                    .replace("NO ACTION", "RESTRICT")))
+                continue
             else:
                 raise SqlError(f"unsupported ALTER action: {action[:50]!r}")
         if df_mutated:
@@ -2295,16 +2615,26 @@ class Engine:
 
     def _q_insert(self, sql: str) -> OkResult | DataFrame:
         sql = self._substitute_vars(sql)
+        self._gen_default_ok = set()
+        # Search for trailing RETURNING / ON DUPLICATE KEY UPDATE on
+        # literal-masked text so a string literal containing those words
+        # (e.g. VALUES ('see RETURNING docs')) can't truncate the
+        # statement mid-literal; slice the masked text and unmask each
+        # piece (same literal-safety fix as INTO @var).
+        from .dialect.transpiler import mask_literals, unmask_literals
+        masked, _lits = mask_literals(sql)
         returning = None
-        rm = re.search(r"\bRETURNING\s+(.+)$", sql, re.I | re.S)
-        if rm and "ON DUPLICATE" not in sql[rm.start():].upper():
-            returning = rm.group(1).strip()
-            sql = sql[:rm.start()].strip()
+        rm = re.search(r"\bRETURNING\s+(.+)$", masked, re.I | re.S)
+        if rm and "ON DUPLICATE" not in masked[rm.start():].upper():
+            returning = unmask_literals(rm.group(1).strip(), _lits)
+            masked = masked[:rm.start()].rstrip()
         odku = None
-        m_odku = re.search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$", sql, re.I | re.S)
+        m_odku = re.search(r"\bON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)$",
+                           masked, re.I | re.S)
         if m_odku:
-            odku = m_odku.group(1)
-            sql = sql[:m_odku.start()].strip()
+            odku = unmask_literals(m_odku.group(1), _lits)
+            masked = masked[:m_odku.start()].rstrip()
+        sql = unmask_literals(masked, _lits)
         m = self._INSERT.match(sql)
         if not m:
             raise SqlError(f"cannot parse INSERT: {sql[:80]!r}")
@@ -2316,9 +2646,11 @@ class Engine:
         if m.group(8):  # INSERT ... SELECT
             new_rows = self._q_select(m.group(8))
         elif m.group(9):  # INSERT ... SET c=v
+            from .dialect.transpiler import rewrite_numeric_literals
             assigns = _split_top_level(m.group(9))
             col_list = [a.split("=", 1)[0].strip().strip("`") for a in assigns]
-            exprs = ", ".join(a.split("=", 1)[1].strip() for a in assigns)
+            exprs = rewrite_numeric_literals(
+                ", ".join(a.split("=", 1)[1].strip() for a in assigns))
             new_rows = self.spark.sql(f"SELECT {exprs}")
         else:
             from .dialect.transpiler import rewrite_numeric_literals
@@ -2339,8 +2671,12 @@ class Engine:
                         filled if re.fullmatch(r"\(\s*\)", r.strip())
                         else r.strip() for r in rows_txt)
             if re.search(r"\bDEFAULT\b", values_sql, re.I):
-                values_sql = self._fill_values_defaults(
-                    ts, values_sql, col_list)
+                if any(c.generated for c in ts.columns):
+                    values_sql, col_list = self._drop_generated_defaults(
+                        ts, values_sql, col_list)
+                if re.search(r"\bDEFAULT\b", values_sql, re.I):
+                    values_sql = self._fill_values_defaults(
+                        ts, values_sql, col_list)
             if re.search(r"\(\s*SELECT\b", values_sql, re.I):
                 # Spark disallows scalar subqueries inside VALUES
                 # (SCALAR_SUBQUERY_IN_VALUES) — spell the rows as a
@@ -2358,18 +2694,26 @@ class Engine:
                     new_rows = self.spark.sql(
                         f"SELECT * FROM VALUES {values_sql}")
                 except Exception as exc:  # noqa: BLE001
-                    if "INVALID_INLINE_TABLE" not in str(exc):
+                    retryable = any(k in str(exc) for k in (
+                        "INVALID_INLINE_TABLE", "UNRESOLVED_ROUTINE"))
+                    if not retryable:
                         raise
                     # mixed per-row literal types (MySQL coerces; Spark's
-                    # inline table refuses) — UNION ALL coerces instead
+                    # inline table refuses) or MySQL-dialect function
+                    # calls (JSON_OBJECT, ST_GeomFromText) — UNION ALL
+                    # SELECTs through the transpiler instead
                     selects = []
                     for rtxt in _split_top_level(values_sql):
                         rtxt = rtxt.strip()
                         if rtxt.startswith("(") and rtxt.endswith(")"):
                             rtxt = rtxt[1:-1]
                         selects.append("SELECT " + rtxt)
-                    new_rows = self.spark.sql(
-                        " UNION ALL ".join(selects))
+                    union_sql = " UNION ALL ".join(selects)
+                    try:
+                        new_rows = self.spark.sql(union_sql)
+                    except Exception:  # noqa: BLE001
+                        new_rows = self.spark.sql(
+                            transpile_select(union_sql))
         result = self._insert_df(ts, new_rows, col_list, verb, ignore,
                                  odku)
         if returning is not None and getattr(self, "_last_inserted",
@@ -2381,15 +2725,22 @@ class Engine:
                   for e in _split_top_level(returning)])
         return result
 
-    def _enforce_unique_indexes(self, ts: TableState,
-                                incoming: DataFrame, ignore: bool,
-                                verb: str) -> DataFrame:
+    def _enforce_unique_indexes(
+            self, ts: TableState, incoming: DataFrame, ignore: bool,
+            verb: str) -> tuple[DataFrame, list]:
+        """Returns (filtered incoming, replace_victims) where
+        replace_victims is [(key_cols, keys_df), ...] — existing rows
+        REPLACE must delete because an incoming row clashes on that
+        unique index (MySQL REPLACE delete-then-insert; reference
+        memory/table.go). Deletion is applied by the caller after
+        validation so a failed statement mutates nothing."""
         uniq = [ix for ix in ts.indexes
                 if ix.unique and all(
                     any(c.name == col for c in ts.columns)
                     for col in ix.columns)]
+        victims: list = []
         if not uniq:
-            return incoming
+            return incoming, victims
         for ix in uniq:
             cols = list(ix.columns)
             nn = None
@@ -2406,6 +2757,24 @@ class Engine:
             if (dup_in_batch or clash) and not ignore and verb != "REPLACE":
                 raise SqlError(
                     f"duplicate entry for key {ix.name!r}")
+            if verb == "REPLACE" and (dup_in_batch or clash):
+                if dup_in_batch:
+                    # sequential REPLACE semantics: the LAST row per
+                    # duplicated unique key wins within the batch; each
+                    # dropped earlier row was inserted-then-deleted, so
+                    # it still counts toward rows affected
+                    self._replace_batch_dropped += dup_in_batch
+                    w2 = Window.partitionBy(*cols).orderBy(
+                        F.monotonically_increasing_id().desc())
+                    incoming = (incoming.withColumn(
+                        "__uq_rn", F.when(nn, F.row_number().over(w2))
+                        .otherwise(F.lit(1)))
+                        .filter(F.col("__uq_rn") == 1).drop("__uq_rn"))
+                if clash:
+                    victims.append(
+                        (cols,
+                         incoming.filter(nn).select(*cols).distinct()))
+                continue
             if ignore and (dup_in_batch or clash):
                 # keep the FIRST row per duplicated key in the batch,
                 # then drop rows clashing with existing non-null keys
@@ -2419,7 +2788,46 @@ class Engine:
                 nonnull_ok = incoming.filter(nn).join(
                     existing_keys, cols, "left_anti")
                 incoming = incoming.filter(~nn).unionByName(nonnull_ok)
-        return incoming
+        return incoming, victims
+
+    def _drop_generated_defaults(
+            self, ts: TableState, values_sql: str,
+            col_list: list[str] | None
+    ) -> tuple[str, list[str] | None]:
+        """INSERT ... VALUES (x, DEFAULT) where the DEFAULT cell targets a
+        GENERATED column: MySQL accepts DEFAULT (meaning "compute it") —
+        drop those cells so the recompute pass supplies the value
+        (reference issue #9428). When the table is all-generated the cell
+        becomes NULL and the column is whitelisted for recompute."""
+        from .dialect.transpiler import mask_literals, unmask_literals
+        self._gen_default_ok = set()
+        masked, lits = mask_literals(values_sql)
+        rows = [r.strip() for r in _split_top_level(masked)]
+        parsed = []
+        for r in rows:
+            if not (r.startswith("(") and r.endswith(")")):
+                return values_sql, col_list
+            parsed.append(_split_top_level(r[1:-1]))
+        names = col_list or [c.name for c in ts.columns]
+        if any(len(p) != len(names) for p in parsed):
+            return values_sql, col_list
+        gen = {c.name for c in ts.columns if c.generated}
+        drop_idx = [i for i, n in enumerate(names)
+                    if n in gen and all(
+                        p[i].strip().upper() == "DEFAULT" for p in parsed)]
+        if not drop_idx:
+            return values_sql, col_list
+        keep = [i for i in range(len(names)) if i not in drop_idx]
+        if keep:
+            new_rows = ["(" + ", ".join(p[i].strip() for i in keep) + ")"
+                        for p in parsed]
+            return (unmask_literals(", ".join(new_rows), lits),
+                    [names[i] for i in keep])
+        # all columns generated: NULL placeholders, recompute overwrites
+        self._gen_default_ok = set(names)
+        new_rows = ["(" + ", ".join("NULL" for _ in p) + ")"
+                    for p in parsed]
+        return ", ".join(new_rows), list(names)
 
     def _fill_values_defaults(self, ts: TableState, values_sql: str,
                               col_list: list[str] | None) -> str:
@@ -2466,12 +2874,33 @@ class Engine:
     def _insert_df(self, ts: TableState, new_rows: DataFrame,
                    col_list: list[str] | None, verb: str, ignore: bool,
                    odku: str | None) -> OkResult:
+        # Row-sequential triggers mutate other tables mid-statement; a
+        # failure part-way (SIGNAL, constraint) must leave NO trace —
+        # MySQL statement atomicity (reference rowexec + transaction
+        # rollback of the trigger's writes). Snapshot-restore gives
+        # exactly statement-level rollback over immutable DataFrames.
+        if any(t.event == "INSERT" and not self._trigger_vectorizable(t)
+               for t in self.triggers.get(ts.name, [])):
+            snap = self._snapshot_state()
+            try:
+                return self._insert_df_inner(ts, new_rows, col_list, verb,
+                                             ignore, odku)
+            except Exception:
+                self._restore_state(snap)
+                raise
+        return self._insert_df_inner(ts, new_rows, col_list, verb, ignore,
+                                     odku)
+
+    def _insert_df_inner(self, ts: TableState, new_rows: DataFrame,
+                         col_list: list[str] | None, verb: str,
+                         ignore: bool, odku: str | None) -> OkResult:
         if col_list:
             # MySQL column names are case-insensitive: map to declared
             actual = {c.name.lower(): c.name for c in ts.columns}
             col_list = [actual.get(c.lower(), c) for c in col_list]
         gen_cols = [c.name for c in ts.columns if c.generated]
-        if col_list and set(col_list) & set(gen_cols):
+        gen_ok = getattr(self, "_gen_default_ok", set())
+        if col_list and set(col_list) & set(gen_cols) - gen_ok:
             raise SqlError(
                 "the value specified for generated column is not allowed")
         target_cols = col_list or [c.name for c in ts.columns if not (
@@ -2608,7 +3037,9 @@ class Engine:
             # constraints or child-side FKs (MySQL warning semantics;
             # reference sql/plan/insert.go Ignore)
             keep = F.lit(True)
-            for chk in ts.checks:
+            for ci, chk in enumerate(ts.checks):
+                if not ts.check_enforced_at(ci):
+                    continue
                 keep = keep & F.coalesce(
                     F.expr(transpile_select(chk)).cast("boolean"),
                     F.lit(True))
@@ -2630,11 +3061,24 @@ class Engine:
         # UNIQUE secondary indexes (reference memory/table.go unique key
         # enforcement): duplicates error in strict mode, are skipped
         # under IGNORE; rows with any NULL key part always pass (MySQL)
-        incoming = self._enforce_unique_indexes(ts, incoming, ignore, verb)
+        self._replace_batch_dropped = 0
+        incoming, uq_victims = self._enforce_unique_indexes(
+            ts, incoming, ignore, verb)
         self._validate(ts, incoming, lenient=lenient,
                        skip_raises=ignore)
 
         existing = ts.df
+        n_deleted_uq = 0
+        if uq_victims:
+            n_before = existing.count()
+            for vcols, vkeys in uq_victims:
+                # REPLACE deletes existing rows clashing on a unique
+                # secondary index before inserting (delete-then-insert)
+                existing = existing.join(vkeys, vcols, "left_anti")
+            # deletions across all unique indexes without double-counting
+            # a row clashing several of them (pk clashes are counted
+            # separately — n_clash is computed against the pruned df)
+            n_deleted_uq = n_before - existing.count()
         n_clash = 0
         if ts.primary_key:
             pk = list(ts.primary_key)
@@ -2660,12 +3104,26 @@ class Engine:
                 incoming = (incoming.withColumn(
                     "__pk_rn", F.row_number().over(wpk))
                     .filter(F.col("__pk_rn") == 1).drop("__pk_rn"))
+            if stats["dup_rows"] and verb == "REPLACE":
+                # sequential REPLACE: the LAST row per duplicated pk
+                # wins; earlier ones were inserted-then-deleted
+                self._replace_batch_dropped += int(stats["dup_rows"])
+                wpk = Window.partitionBy(*pk).orderBy(
+                    F.monotonically_increasing_id().desc())
+                incoming = (incoming.withColumn(
+                    "__pk_rn", F.row_number().over(wpk))
+                    .filter(F.col("__pk_rn") == 1).drop("__pk_rn"))
             n_clash = int(stats["n_clash"])
             if n_clash:
                 if verb == "REPLACE":
                     existing = existing.join(incoming.select(*pk), pk, "left_anti")
                 elif odku is not None:
                     existing = self._apply_odku(ts, existing, incoming, odku)
+                    if any(c.generated for c in ts.columns):
+                        # generated columns recompute after the ODKU
+                        # update mutates their inputs (reference
+                        # issue: virtual col stays consistent)
+                        existing = self._compute_generated(ts, existing)
                     incoming = incoming.join(existing.select(*pk), pk, "left_anti")
                 elif ignore:
                     incoming = incoming.join(existing.select(*pk), pk, "left_anti")
@@ -2676,8 +3134,15 @@ class Engine:
         # affected arithmetically (saves two count jobs): for INSERT the
         # net-new rows are n_new minus the clash rows that were dropped
         # (IGNORE) or folded into updates (ODKU); plain INSERT has
-        # n_clash == 0 or raised above. REPLACE reports n_new (as before).
-        affected = n_new - n_clash if verb == "INSERT" else n_new
+        # n_clash == 0 or raised above. REPLACE counts every insert PLUS
+        # every delete it performed (MySQL delete-then-insert semantics:
+        # replacing an existing row reports 2 — reference
+        # replace_queries.go NewOkResult(2) goldens).
+        if verb == "REPLACE":
+            affected = (n_new + n_clash + n_deleted_uq
+                        + self._replace_batch_dropped)
+        else:
+            affected = n_new - n_clash
         ts.df = result
         self._register(ts)
         if ts.fulltext:
@@ -2753,7 +3218,9 @@ class Engine:
                         f"size(filter(split({c.name}, ','), "
                         f"x -> x != '' AND x NOT IN ({members}))) > 0"),
                     f"invalid SET value for column {c.name!r}"))
-        for chk in ts.checks:
+        for ci, chk in enumerate(ts.checks):
+            if not ts.check_enforced_at(ci):
+                continue  # NOT ENFORCED: metadata only
             # NULL check result passes (MySQL CHECK semantics)
             checks.append((F.expr(f"NOT ({chk})"),
                            f"CHECK constraint violated: {chk}"))
@@ -2790,11 +3257,17 @@ class Engine:
         projection, no shuffle)."""
         extra = [c for c in df.columns
                  if c not in {col.name for col in ts.columns}]
-        return df.select(*[
-            F.expr(transpile_select(c.generated)).cast(c.spark_type).alias(c.name)
-            if c.generated is not None else F.col(c.name)
-            for c in ts.columns
-        ], *extra)
+        # sequentially in declaration order: MySQL lets a generated
+        # column reference EARLIER generated columns (v2 as (a + v1)),
+        # so each expression must see the previous ones' fresh values —
+        # still one Catalyst projection after collapse, no shuffle
+        for c in ts.columns:
+            if c.generated is not None:
+                df = df.withColumn(
+                    c.name,
+                    F.expr(transpile_select(c.generated))
+                    .cast(c.spark_type))
+        return df.select(*[c.name for c in ts.columns], *extra)
 
     def _strict_mode(self) -> bool:
         """True when sql_mode contains a STRICT_* flag (reference
@@ -2866,19 +3339,27 @@ class Engine:
                 raise SqlError(msg)
 
     _DML_ORDER_LIMIT = re.compile(
-        r"(?:\s+ORDER\s+BY\s+([^()]+?))?\s+LIMIT\s+(\d+)\s*$", re.I | re.S)
+        r"(?:\s+ORDER\s+BY\s+([^()]+?))?\s+LIMIT\s+(\d+)"
+        r"(?:\s+OFFSET\s+(\d+)|\s*,\s*(\d+))?\s*$", re.I | re.S)
 
-    def _strip_order_limit(self, sql: str) -> tuple[str, str | None, int | None]:
-        """UPDATE/DELETE ... [ORDER BY o] [LIMIT n] (reference
+    def _strip_order_limit(
+            self, sql: str) -> tuple[str, str | None, int | None, int]:
+        """UPDATE/DELETE ... [ORDER BY o] [LIMIT n [OFFSET k]] (reference
         sql/plan/update.go / delete.go carry SortFields+Limit): split the
-        trailing clauses off so WHERE parsing stays clean."""
+        trailing clauses off so WHERE parsing stays clean. MySQL spells
+        LIMIT k, n too."""
         m = self._DML_ORDER_LIMIT.search(sql)
         if not m:
-            return sql, None, None
-        return sql[:m.start()], m.group(1), int(m.group(2))
+            return sql, None, None, 0
+        if m.group(4) is not None:  # LIMIT offset, n
+            return sql[:m.start()], m.group(1), int(m.group(4)), \
+                int(m.group(2))
+        return sql[:m.start()], m.group(1), int(m.group(2)), \
+            int(m.group(3) or 0)
 
     def _limit_victims_where(self, ts: TableState, where: str,
-                             order_sql: str | None, n: int) -> str:
+                             order_sql: str | None, n: int,
+                             offset: int = 0) -> str:
         """Refine `where` to the first n matching rows in the given order:
         pick victim keys (PK, else all columns) with one bounded job, then
         pin them as an IN-list — n is the statement's own LIMIT, so the
@@ -2894,7 +3375,7 @@ class Engine:
                     re.sub(r"\s+(ASC|DESC)$", "", it, flags=re.I)))
                 order_cols.append(expr.desc() if desc else expr.asc())
             vict = vict.orderBy(*order_cols)
-        rows = vict.select(*key).limit(n).collect()
+        rows = vict.select(*key).limit(n + offset).collect()[offset:]
         if not rows:
             return "false"
         if len(key) == 1:
@@ -2913,7 +3394,7 @@ class Engine:
             r"\bJOIN\b", sql.split(" SET ")[0] if " SET " in sql else sql, re.I
         ):
             return self._q_update_join(sql)
-        sql, order_sql, limit_n = self._strip_order_limit(sql)
+        sql, order_sql, limit_n, offset_n = self._strip_order_limit(sql)
         m = re.match(r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
@@ -2921,7 +3402,8 @@ class Engine:
         ts = self._table(m.group(2))
         where = transpile_select(m.group(4)) if m.group(4) else "true"
         if limit_n is not None:
-            where = self._limit_victims_where(ts, where, order_sql, limit_n)
+            where = self._limit_victims_where(ts, where, order_sql,
+                                              limit_n, offset_n)
         assigns = {
             a.split("=", 1)[0].strip().strip("`"): a.split("=", 1)[1].strip()
             for a in _split_top_level(m.group(3))
@@ -2929,6 +3411,20 @@ class Engine:
         unknown = set(assigns) - {c.name for c in ts.columns}
         if unknown:
             raise SqlError(f"unknown columns in UPDATE: {sorted(unknown)}")
+        # SET col = DEFAULT: a generated column recomputes (no-op here,
+        # the recompute pass runs anyway — reference issue #9438); a
+        # plain column takes its declared default (or NULL)
+        by_name = {c.name: c for c in ts.columns}
+        for cname in [k for k, v in assigns.items()
+                      if v.strip().upper() == "DEFAULT"]:
+            c = by_name.get(cname)
+            if c is None:
+                continue
+            if c.generated is not None:
+                del assigns[cname]
+            else:
+                assigns[cname] = (_normalize_default(c.default)
+                                  if c.default else "NULL")
         gen_assigned = set(assigns) & {c.name for c in ts.columns if c.generated}
         if gen_assigned:
             raise SqlError(
@@ -2937,6 +3433,10 @@ class Engine:
         ignore = bool(m.group(1)) or not self._strict_mode()
         matched = ts.df.filter(where)
         n_match = matched.count()
+        if not assigns:
+            # every assignment was a generated-column DEFAULT: nothing
+            # changes, but the statement still reports matched rows
+            return OkResult(n_match)
         if n_match and not ignore:
             self._check_int_bounds(
                 ts, matched,
@@ -2957,30 +3457,95 @@ class Engine:
             if c.name in assigns else F.col(c.name)
             for c in ts.columns
         ]
-        updated = base.select(*out_cols, "__matched")
+        utrigs = [t for t in self.triggers.get(ts.name, [])
+                  if t.event == "UPDATE"]
+        seq_rows = (any(t.timing == "BEFORE"
+                        and not self._update_before_vectorizable(t)
+                        for t in utrigs)
+                    or any(t.timing == "AFTER"
+                           and not self._old_trigger_vectorizable(t)
+                           for t in utrigs))
+        old_carry = ([F.col(c.name).alias(f"__old__{c.name}")
+                      for c in ts.columns] if seq_rows else [])
+        updated = base.select(*out_cols, "__matched", *old_carry)
         if any(c.generated for c in ts.columns):
             updated = self._compute_generated(ts, updated)
-        updated = self._apply_before_update_triggers(ts, updated)
-        explicit_ignore = bool(m.group(1))
-        if explicit_ignore and n_match:
-            updated = self._update_ignore_revert(ts, base, updated, assigns)
-        else:
-            self._validate(ts, updated.filter("__matched"))
-        fks = self._referencing_fks(ts, set(assigns))
-        if fks and n_match:
-            needed = sorted({p for _, fk in fks for p in fk.parent_columns})
-            types = {c.name: c.spark_type for c in ts.columns}
-            mapping = matched.select(
-                *[F.col(p).alias(f"__old_{p}") for p in needed],
-                *[((F.expr(transpile_select(assigns[p])).cast(types[p]))
-                   if p in assigns else F.col(p)).alias(f"__new_{p}")
-                  for p in needed],
-            )
-            self._apply_fk_on_update(ts, mapping, fks)
-        ts.df = updated.drop("__matched").localCheckpoint(eager=True)
-        self._register(ts)
-        if n_match:
-            self._run_old_triggers(ts, matched, "UPDATE")
+        pairs_old = pairs_new = None
+        snap = self._snapshot_state() if (seq_rows and n_match) else None
+        try:
+            if seq_rows and n_match:
+                # MySQL row-at-a-time trigger sequencing over the
+                # matched rows (bounded by the DML batch, an OLTP
+                # surface): BEFORE triggers see post-assignment NEW and
+                # may mutate it; side effects apply in row order
+                from .procedures import ProcedureInterpreter
+
+                rows = updated.filter("__matched").collect()
+                pairs_old = [{c.name.lower(): r[f"__old__{c.name}"]
+                              for c in ts.columns} for r in rows]
+                pairs_new = [{c.name.lower(): r[c.name]
+                              for c in ts.columns} for r in rows]
+                bts = [t for t in utrigs if t.timing == "BEFORE"]
+                for i, newd in enumerate(pairs_new):
+                    for t in bts:
+                        ProcedureInterpreter(self).run_trigger(
+                            t.body, new=newd, old=pairs_old[i])
+                data = [tuple(self._py_coerce(d[c.name.lower()],
+                                              c.spark_type)
+                              for c in ts.columns) for d in pairs_new]
+                matched_new = (self.spark.createDataFrame(data, ts.schema)
+                               if data else self._empty_df(ts))
+                updated = base.filter(
+                    "NOT __matched OR __matched IS NULL").select(
+                    *[c.name for c in ts.columns]).withColumn(
+                    "__matched", F.lit(False)).unionByName(
+                    matched_new.withColumn("__matched", F.lit(True)))
+            else:
+                updated = updated.drop(*[f"__old__{c.name}"
+                                         for c in ts.columns]) \
+                    if seq_rows else updated
+                updated = self._apply_before_update_triggers(ts, updated)
+        except Exception:
+            if snap is not None:
+                self._restore_state(snap)
+            raise
+        try:
+            explicit_ignore = bool(m.group(1))
+            if explicit_ignore and n_match:
+                updated = self._update_ignore_revert(ts, base, updated,
+                                                     assigns)
+            else:
+                self._validate(ts, updated.filter("__matched"))
+            fks = self._referencing_fks(ts, set(assigns))
+            if fks and n_match:
+                needed = sorted({p for _, fk in fks
+                                 for p in fk.parent_columns})
+                types = {c.name: c.spark_type for c in ts.columns}
+                mapping = matched.select(
+                    *[F.col(p).alias(f"__old_{p}") for p in needed],
+                    *[((F.expr(transpile_select(assigns[p]))
+                        .cast(types[p]))
+                       if p in assigns else F.col(p)).alias(f"__new_{p}")
+                      for p in needed],
+                )
+                self._apply_fk_on_update(ts, mapping, fks)
+            ts.df = updated.drop("__matched").localCheckpoint(eager=True)
+            self._register(ts)
+            if n_match:
+                if pairs_old is not None:
+                    from .procedures import ProcedureInterpreter
+
+                    ats = [t for t in utrigs if t.timing == "AFTER"]
+                    for i, old in enumerate(pairs_old):
+                        for t in ats:
+                            ProcedureInterpreter(self).run_trigger(
+                                t.body, new=pairs_new[i], old=old)
+                else:
+                    self._run_old_triggers(ts, matched, "UPDATE")
+        except Exception:
+            if snap is not None:
+                self._restore_state(snap)
+            raise
         return OkResult(n_match)
 
     _TRIG_SIGNAL_RE = re.compile(
@@ -3075,7 +3640,9 @@ class Engine:
             carried.select("__rid", *old_cols), "__rid")
 
         viol = F.lit(False)
-        for chk in ts.checks:
+        for ci, chk in enumerate(ts.checks):
+            if not ts.check_enforced_at(ci):
+                continue
             viol = viol | ~F.coalesce(
                 F.expr(transpile_select(chk)).cast("boolean"), F.lit(True))
         if ts.primary_key and set(ts.primary_key) & set(assigns):
@@ -3139,85 +3706,157 @@ class Engine:
         if not m:
             raise SqlError(f"cannot parse multi-table UPDATE: {sql[:60]!r}")
         from_clause, set_clause, where = m.group(1), m.group(2), m.group(3)
-        target = from_clause.split()[0].strip("`")
-        ts = self._table(target)
-        if not ts.primary_key:
-            raise SqlError("multi-table UPDATE requires a primary key on the target")
-        assigns = {}
+        alias_map, first_qual = self._refs_aliases(from_clause)
+        if first_qual is None:
+            first_qual = from_clause.split()[0].strip("`")
+        # group SET assignments by their qualifier — MySQL multi-table
+        # UPDATE can target several tables in one statement
+        # (reference sql/plan/update_join.go)
+        groups: dict[str, dict[str, str]] = {}
+        quals: dict[str, str] = {}
         for a in _split_top_level(set_clause):
             lhs, rhs = a.split("=", 1)
-            col = lhs.strip().strip("`").split(".")[-1]
-            assigns[col] = rhs.strip()
-        pk = list(ts.primary_key)
-        pk_select = ", ".join(f"{target}.{k} AS {k}" for k in pk)
-        new_select = ", ".join(
-            f"({transpile_select(expr)}) AS __new_{c}" for c, expr in assigns.items()
-        )
+            lhs = lhs.strip().strip("`")
+            if "." in lhs:
+                qual, col = lhs.split(".", 1)
+                qual = qual.strip("`")
+                col = col.strip().strip("`")
+            else:
+                qual, col = first_qual, lhs
+            groups.setdefault(qual.lower(), {})[col] = rhs.strip()
+            quals[qual.lower()] = qual
         where_sql = f" WHERE {transpile_select(where)}" if where else ""
-        updates = self.spark.sql(
-            f"SELECT {pk_select}, {new_select}, 1 AS __upd_match "
-            f"FROM {from_clause}{where_sql}"
-        ).dropDuplicates(pk)
-        n = updates.count()
-        fks = self._referencing_fks(ts, set(assigns))
-        if fks and n:
-            needed = sorted({p for _, fk in fks for p in fk.parent_columns})
-            old = ts.df.join(updates, pk, "inner")
-            mapping = old.select(
-                *[F.col(p).alias(f"__old_{p}") for p in needed],
-                *[(F.col(f"__new_{p}") if p in assigns else F.col(p))
-                  .alias(f"__new_{p}") for p in needed],
-            )
-            self._apply_fk_on_update(ts, mapping, fks)
-        joined = ts.df.join(updates, pk, "left")
-        matched = F.col("__upd_match").isNotNull()
-        out = joined.select(*[
-            (F.when(matched, F.col(f"__new_{c.name}"))
-             .otherwise(F.col(c.name)).cast(c.spark_type).alias(c.name))
-            if c.name in assigns else F.col(c.name)
-            for c in ts.columns
-        ])
-        ts.df = out.localCheckpoint(eager=True)
-        self._register(ts)
-        return OkResult(n)
-
-    def _q_delete(self, sql: str) -> OkResult:
-        sql = self._substitute_vars(sql)
-        mj = re.match(r"DELETE\s+([`\w]+)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-                      sql, re.I | re.S)
-        if mj and re.search(r"\bJOIN\b", mj.group(2), re.I):
-            # multi-table DELETE t FROM t JOIN ... (reference delete.go)
-            target = mj.group(1).strip("`")
-            ts = self._table(target)
+        # stage every target's updates and new state, validate all
+        # (CHECK/FK), then commit — a violation on ANY target must leave
+        # EVERY table untouched (MySQL statement atomicity)
+        staged = []
+        total = 0
+        for qual_l, assigns in groups.items():
+            qual = quals[qual_l]
+            tname = alias_map.get(qual_l, qual)
+            try:
+                ts = self._table(tname)
+            except SqlError:
+                raise SqlError(
+                    f"the target table {qual!r} of the UPDATE is not "
+                    f"updatable")
             if not ts.primary_key:
-                raise SqlError("multi-table DELETE requires a primary key on the target")
+                raise SqlError(
+                    "multi-table UPDATE requires a primary key on the "
+                    "target")
             pk = list(ts.primary_key)
-            pk_select = ", ".join(f"{target}.{k} AS {k}" for k in pk)
-            where_sql = f" WHERE {transpile_select(mj.group(3))}" if mj.group(3) else ""
-            victims = self.spark.sql(
-                f"SELECT {pk_select} FROM {mj.group(2)}{where_sql}"
+            pk_select = ", ".join(f"{qual}.{k} AS {k}" for k in pk)
+            new_select = ", ".join(
+                f"({transpile_select(expr)}) AS __new_{c}"
+                for c, expr in assigns.items())
+            updates = self.spark.sql(
+                f"SELECT {pk_select}, {new_select}, 1 AS __upd_match "
+                f"FROM {from_clause}{where_sql}"
             ).dropDuplicates(pk)
-            doomed = ts.df.join(victims, pk, "left_semi")
-            n = doomed.count()
-            if n:
-                self._apply_fk_on_delete(ts, doomed)
-            ts.df = ts.df.join(victims, pk, "left_anti").localCheckpoint(eager=True)
+            n = updates.count()
+            total += n
+            fks = self._referencing_fks(ts, set(assigns))
+            if fks and n:
+                needed = sorted(
+                    {p for _, fk in fks for p in fk.parent_columns})
+                old = ts.df.join(updates, pk, "inner")
+                mapping = old.select(
+                    *[F.col(p).alias(f"__old_{p}") for p in needed],
+                    *[(F.col(f"__new_{p}") if p in assigns
+                       else F.col(p)).alias(f"__new_{p}")
+                      for p in needed],
+                )
+                self._apply_fk_on_update(ts, mapping, fks)
+            joined = ts.df.join(updates, pk, "left")
+            matched = F.col("__upd_match").isNotNull()
+            out = joined.select(*[
+                (F.when(matched, F.col(f"__new_{c.name}"))
+                 .otherwise(F.col(c.name)).cast(c.spark_type)
+                 .alias(c.name))
+                if c.name in assigns else F.col(c.name)
+                for c in ts.columns
+            ])
+            # enforced CHECKs over the updated rows
+            viol = F.lit(False)
+            for ci, chk in enumerate(ts.checks):
+                if not ts.check_enforced_at(ci):
+                    continue
+                viol = viol | ~F.coalesce(
+                    F.expr(transpile_select(chk)).cast("boolean"),
+                    F.lit(True))
+            if n and ts.checks:
+                bad = out.join(updates.select(*pk), pk, "left_semi") \
+                    .filter(viol).count()
+                if bad:
+                    raise SqlError(
+                        f"CHECK constraint violated on UPDATE of "
+                        f"{tname!r}")
+            staged.append((ts, out))
+        for ts, out in staged:
+            ts.df = out.localCheckpoint(eager=True)
             self._register(ts)
-            if n:
-                self._run_old_triggers(ts, doomed, "DELETE")
-            return OkResult(n)
-        sql, order_sql, limit_n = self._strip_order_limit(sql)
+        return OkResult(total)
+
+    def _q_delete(self, sql: str, cte_prefix: str = "") -> OkResult:
+        """DELETE in all reference forms (sql/plan/delete.go,
+        enginetest delete_queries.go):
+        - DELETE FROM t [WHERE] [ORDER BY] [LIMIT [OFFSET]]
+        - DELETE t1[, t2] FROM <table_refs> [WHERE]   (targets by name
+          or alias, case-insensitive)
+        - DELETE FROM t1[, t2] USING <table_refs> [WHERE]
+        - WITH ... DELETE ... (cte_prefix threaded from the router)
+        """
+        sql = self._substitute_vars(sql)
+        mu = re.match(
+            r"DELETE\s+FROM\s+([`\w.]+(?:\s*,\s*[`\w.]+)*)\s+USING\s+"
+            r"(.*?)(?:\s+WHERE\s+(.*))?$", sql, re.I | re.S)
+        mj = None
+        if not mu:
+            mj = re.match(
+                r"DELETE\s+(?!FROM\b)([`\w.]+(?:\s*,\s*[`\w.]+)*)\s+"
+                r"FROM\s+(.*?)(?:\s+WHERE\s+(.*))?$", sql, re.I | re.S)
+        m_multi = mu or mj
+        if m_multi:
+            targets = [t.strip().strip("`").removesuffix(".*")
+                       for t in m_multi.group(1).split(",")]
+            refs, where = m_multi.group(2), m_multi.group(3)
+            return self._delete_multi(targets, refs, where, cte_prefix)
+        sql, order_sql, limit_n, offset_n = self._strip_order_limit(sql)
         m = re.match(r"DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$", sql,
                      re.I | re.S)
         if not m:
             raise SqlError(f"cannot parse DELETE: {sql[:60]!r}")
         ts = self._table(m.group(1))
         where = transpile_select(m.group(2)) if m.group(2) else "true"
+        if cte_prefix or re.search(r"\(\s*SELECT\b", where, re.I):
+            # WHERE carries a subquery (or the statement has a CTE
+            # prefix): DataFrame.filter can't host those — route the
+            # victim selection through the full SELECT pipeline and
+            # subtract with exceptAll (row-identity delete, no PK needed)
+            victims = self._q_select(
+                f"{cte_prefix} SELECT {ts.name}.* FROM {ts.name}"
+                f" WHERE {m.group(2)}")
+            if limit_n is not None:
+                victims = victims.limit(limit_n + offset_n).subtract(
+                    victims.limit(offset_n)) if offset_n else \
+                    victims.limit(limit_n)
+            victims = victims.localCheckpoint(eager=True)
+            n = victims.count()
+            if n:
+                self._run_old_triggers(ts, victims, "DELETE", "BEFORE")
+                self._apply_fk_on_delete(ts, victims)
+            ts.df = ts.df.exceptAll(victims).localCheckpoint(eager=True)
+            self._register(ts)
+            if n:
+                self._run_old_triggers(ts, victims, "DELETE")
+            return OkResult(n)
         if limit_n is not None:
-            where = self._limit_victims_where(ts, where, order_sql, limit_n)
-        deleted = ts.df.filter(where)
+            where = self._limit_victims_where(ts, where, order_sql,
+                                              limit_n, offset_n)
+        deleted = ts.df.filter(where).localCheckpoint(eager=True)
         n = deleted.count()
         if n:
+            self._run_old_triggers(ts, deleted, "DELETE", "BEFORE")
             self._apply_fk_on_delete(ts, deleted)
         ts.df = ts.df.filter(f"NOT ({where}) OR ({where}) IS NULL").localCheckpoint(
             eager=True
@@ -3226,6 +3865,86 @@ class Engine:
         if n:
             self._run_old_triggers(ts, deleted, "DELETE")
         return OkResult(n)
+
+    def _refs_aliases(self, refs: str) -> tuple[dict, str | None]:
+        """Parse a FROM/USING table-references clause into
+        (alias→table map, qualifier of the first relation). Paren-aware:
+        top-level comma pieces first (JSON_TABLE args survive), then
+        join operands, then "table [AS] alias"."""
+        from .dialect.transpiler import mask_literals
+        masked_refs, _ = mask_literals(refs)
+        alias_map: dict[str, str] = {}
+        first_qual: str | None = None
+        for piece in _split_top_level(masked_refs):
+            for frag in re.split(
+                    r"\b(?:INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|OUTER"
+                    r"|STRAIGHT_JOIN|JOIN)\b", piece, flags=re.I):
+                frag = re.split(r"\bON\b|\bUSING\b", frag,
+                                flags=re.I)[0].strip()
+                m2 = re.fullmatch(r"([`\w.]+)\s+(?:AS\s+)?([`\w]+)",
+                                  frag, re.I)
+                if m2:
+                    alias_map[m2.group(2).strip("`").lower()] = \
+                        m2.group(1).strip("`")
+                    if first_qual is None:
+                        first_qual = m2.group(2).strip("`")
+                elif first_qual is None and re.fullmatch(r"[`\w.]+",
+                                                         frag):
+                    first_qual = frag.strip("`")
+        return alias_map, first_qual
+
+    def _delete_multi(self, targets: list[str], refs: str,
+                      where: str | None, cte_prefix: str = "") -> OkResult:
+        """Multi-table DELETE: resolve each target (table name or FROM
+        alias) to its table + the qualifier it carries in the join, pick
+        every target's victim keys from the ONE join relation first (all
+        targets see the pre-delete state, as MySQL does), then prune each
+        table with an anti-join on its key."""
+        alias_map, _ = self._refs_aliases(refs)
+        plan: list[tuple[TableState, str, list[str]]] = []
+        for tgt in targets:
+            qual = tgt
+            tname = alias_map.get(tgt.lower(), tgt)
+            try:
+                ts = self._table(tname)
+            except SqlError:
+                raise SqlError(f"table {tgt!r} not found in multi-table "
+                               f"DELETE")
+            if not ts.primary_key:
+                raise SqlError(
+                    "multi-table DELETE requires a primary key on the "
+                    "target")
+            plan.append((ts, qual, list(ts.primary_key)))
+        where_sql = f" WHERE {where}" if where else ""
+        sel = ", ".join(
+            f"{qual}.{k} AS __t{i}_{k}"
+            for i, (ts, qual, pk) in enumerate(plan) for k in pk)
+        all_keys = self._q_select(
+            f"{cte_prefix} SELECT {sel} FROM {refs}{where_sql}"
+        ).localCheckpoint(eager=True)
+        n_total = 0
+        prunes = []
+        for i, (ts, qual, pk) in enumerate(plan):
+            victims = all_keys.select(*[
+                F.col(f"__t{i}_{k}").alias(k) for k in pk]
+            ).dropDuplicates(pk)
+            doomed = ts.df.join(victims, pk, "left_semi")
+            n = doomed.count()
+            prunes.append((ts, victims, doomed, n, pk))
+            n_total += n
+        # MySQL reports matched rows of the first target for the
+        # multi-target statement count; apply deletions after all victim
+        # sets are pinned
+        for ts, victims, doomed, n, pk in prunes:
+            if n:
+                self._run_old_triggers(ts, doomed, "DELETE", "BEFORE")
+                self._apply_fk_on_delete(ts, doomed)
+            ts.df = ts.df.join(victims, pk, "left_anti").localCheckpoint(
+                eager=True)
+            self._register(ts)
+            if n:
+                self._run_old_triggers(ts, doomed, "DELETE")
+        return OkResult(prunes[0][3] if prunes else 0)
 
     def _apply_fk_on_delete(self, parent_ts: TableState,
                             deleted: DataFrame) -> None:
@@ -3330,28 +4049,62 @@ class Engine:
             ]).localCheckpoint(eager=True)
             self._register(child_ts)
 
-    def _run_old_triggers(self, ts: TableState, old_rows: DataFrame,
-                          event: str) -> None:
-        """AFTER UPDATE/DELETE triggers, set-based: OLD.* binds to the
-        affected batch via a temp view."""
+    def _old_trigger_vectorizable(self, trig) -> bool:
+        """OLD-bound bodies the set-based path executes faithfully:
+        batch-independent INSERT INTO other VALUES(OLD..) only."""
         from .procedures import split_statements
 
-        for trig in self.triggers.get(ts.name, []):
-            if trig.event != event or trig.timing != "AFTER":
+        for stmt in split_statements(trig.body):
+            s = stmt.strip()
+            if self._VEC_INS.match(s) and not re.search(
+                    r"\bSELECT\b|\bNEW\.|@", s, re.I):
                 continue
-            old_rows.createOrReplaceTempView("__trigger_old")
-            for stmt in split_statements(trig.body):
-                mm = re.match(
-                    r"INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
-                    stmt.strip(), re.I | re.S)
-                if mm and re.search(r"\bOLD\.", stmt, re.I):
-                    exprs = re.sub(r"\bOLD\.(\w+)", r"\1", mm.group(4), flags=re.I)
-                    collist = f"({mm.group(3)})" if mm.group(3) else ""
-                    self.query(
-                        f"INSERT INTO {mm.group(1)} {collist} "
-                        f"SELECT {exprs} FROM __trigger_old")
-                else:
-                    self.query(re.sub(r"\bOLD\.(\w+)", r"\1", stmt, flags=re.I))
+            return False
+        return True
+
+    def _run_old_triggers(self, ts: TableState, old_rows: DataFrame,
+                          event: str, timing: str = "AFTER",
+                          new_rows: list | None = None) -> None:
+        """UPDATE/DELETE triggers with OLD.* bound. Pure
+        INSERT-INTO-audit bodies run set-based over the affected batch
+        (one statement); anything else takes MySQL's row-at-a-time
+        sequencing through the procedure interpreter
+        (reference rowexec trigger execution). For UPDATE, `new_rows`
+        carries the post-assignment row dicts aligned with old_rows."""
+        from .procedures import split_statements
+
+        trigs = [t for t in self.triggers.get(ts.name, [])
+                 if t.event == event and t.timing == timing]
+        if not trigs:
+            return
+        if new_rows is None and all(self._old_trigger_vectorizable(t)
+                                    for t in trigs):
+            for trig in trigs:
+                old_rows.createOrReplaceTempView("__trigger_old")
+                for stmt in split_statements(trig.body):
+                    mm = re.match(
+                        r"INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+                        stmt.strip(), re.I | re.S)
+                    if mm and re.search(r"\bOLD\.", stmt, re.I):
+                        exprs = re.sub(r"\bOLD\.(\w+)", r"\1", mm.group(4),
+                                       flags=re.I)
+                        collist = f"({mm.group(3)})" if mm.group(3) else ""
+                        self.query(
+                            f"INSERT INTO {mm.group(1)} {collist} "
+                            f"SELECT {exprs} FROM __trigger_old")
+                    else:
+                        self.query(re.sub(r"\bOLD\.(\w+)", r"\1", stmt,
+                                          flags=re.I))
+            return
+        from .procedures import ProcedureInterpreter
+
+        olds = [{k.lower(): v for k, v in r.asDict().items()}
+                for r in old_rows.collect()]
+        for i, old in enumerate(olds):
+            new = new_rows[i] if new_rows is not None else None
+            for trig in trigs:
+                ProcedureInterpreter(self).run_trigger(
+                    trig.body, new=new, old=old)
 
     def _q_truncate(self, sql: str) -> OkResult:
         name = sql.split()[-1]
@@ -3538,8 +4291,15 @@ class Engine:
             for ix in ts.indexes:
                 kw = "UNIQUE KEY" if ix.unique else "KEY"
                 parts.append(f"{kw} `{ix.name}` ({', '.join(ix.columns)})")
-            for chk in ts.checks:
-                parts.append(f"CHECK ({chk})")
+            for ci, chk in enumerate(ts.checks):
+                names = getattr(ts, "check_names", [])
+                nm = names[ci] if ci < len(names) and names[ci] \
+                    else f"{ts.name}_chk_{ci + 1}"
+                line = (f"CONSTRAINT `{nm}` CHECK "
+                        f"({_check_clause_mysql(ts, chk)})")
+                if not ts.check_enforced_at(ci):
+                    line += " /*!80016 NOT ENFORCED */"
+                parts.append(line)
             for fk in ts.foreign_keys:
                 fk_ddl = (f"FOREIGN KEY ({', '.join(fk.columns)}) REFERENCES "
                           f"`{fk.parent_table}` ({', '.join(fk.parent_columns)})")
@@ -3646,31 +4406,157 @@ class Engine:
     def _q_call(self, sql: str) -> DataFrame | OkResult:
         from .procedures import ProcedureInterpreter
 
-        m = re.match(r"CALL\s+([`\w]+)\s*(?:\((.*)\))?\s*$", sql, re.I | re.S)
+        m = re.match(r"CALL\s+([`\w.]+)\s*(?:\((.*)\))?\s*;?\s*$", sql,
+                     re.I | re.S)
         if not m:
             raise SqlError(f"cannot parse CALL: {sql[:60]!r}")
-        proc = self.procedures.get(m.group(1).strip("`").lower())
+        pname = m.group(1).strip("`").split(".")[-1]
+        proc = self.procedures.get(pname.lower())
         if proc is None:
-            raise SqlError(f"unknown procedure {m.group(1)!r}")
+            raise SqlError(f"unknown procedure {m.group(1)!r}",
+                           sqlstate="42000", errno=1305)
+        arg_txts = ([a.strip() for a in _split_top_level(m.group(2))]
+                    if m.group(2) and m.group(2).strip() else [])
+        # OUT params start NULL regardless of the passed value; INOUT
+        # starts with it (reference sql/plan/call.go OUT/INOUT handling)
         args = []
-        if m.group(2) and m.group(2).strip():
-            args = [self._eval_scalar(a) for a in _split_top_level(m.group(2))]
-        result = ProcedureInterpreter(self).call(proc, args)
+        for i, a in enumerate(arg_txts):
+            mode = proc.params[i][0] if i < len(proc.params) else "IN"
+            args.append(None if mode == "OUT" else self._eval_scalar(a))
+        interp = ProcedureInterpreter(self)
+        scope_out: dict = {}
+        result = interp.call(proc, args, scope_out=scope_out)
+        # write OUT/INOUT values back to @var arguments
+        for i, a in enumerate(arg_txts):
+            if i < len(proc.params) and proc.params[i][0] in ("OUT",
+                                                              "INOUT") \
+                    and a.startswith("@"):
+                self.user_vars[a[1:]] = scope_out.get(
+                    proc.params[i][1].lower())
         return result if result is not None else OkResult(0)
+
+    # statement forms the set-based trigger path executes faithfully for
+    # a whole batch at once: pure per-row SET NEW projections, the
+    # IF..SIGNAL validation guard, and batch-independent INSERT INTO
+    # other VALUES(NEW..). Anything else (subqueries, UPDATE/DELETE side
+    # effects, control flow, @vars) must see MySQL's row-at-a-time
+    # sequencing — each row's trigger run observes the previous row's
+    # side effects (reference rowexec: TriggerExecuter per row).
+    _VEC_SET = re.compile(r"^SET\s+NEW\.", re.I)
+    _VEC_GUARD = re.compile(
+        r"^IF\b(?:(?!END\s*IF).)*\bSIGNAL\b.*END\s*IF\s*$", re.I | re.S)
+    _VEC_INS = re.compile(
+        r"^INSERT\s+INTO\s+[`\w.]+\s*(\([^)]*\))?\s*VALUES\s*\(", re.I)
+
+    def _trigger_vectorizable(self, trig) -> bool:
+        from .procedures import split_statements
+
+        for stmt in split_statements(trig.body):
+            s = stmt.strip()
+            if self._VEC_SET.match(s):
+                if re.search(r"\bSELECT\b|@", s, re.I):
+                    return False
+                continue
+            if self._VEC_GUARD.match(s):
+                continue
+            if self._VEC_INS.match(s) and not re.search(r"\bSELECT\b", s,
+                                                        re.I):
+                continue
+            return False
+        return True
+
+    def _update_before_vectorizable(self, trig) -> bool:
+        """BEFORE UPDATE bodies the projection path executes faithfully:
+        SET NEW (pure) and IF..SIGNAL guards only — the projection has
+        nowhere to put row-ordered side effects like INSERT."""
+        from .procedures import split_statements
+
+        for stmt in split_statements(trig.body):
+            s = stmt.strip()
+            if self._VEC_SET.match(s):
+                if re.search(r"\bSELECT\b|@|\bOLD\.", s, re.I):
+                    return False
+                continue
+            if self._VEC_GUARD.match(s):
+                continue
+            return False
+        return True
+
+    def _py_coerce(self, v, dtype):
+        """Coerce an interpreter-produced value to what
+        createDataFrame(schema) accepts for `dtype`."""
+        import datetime
+        import decimal
+
+        if v is None:
+            return None
+        s = dtype.simpleString()
+        if s in ("bigint", "int", "smallint", "tinyint"):
+            return int(v)
+        if s in ("double", "float"):
+            return float(v)
+        if s.startswith("decimal"):
+            return v if isinstance(v, decimal.Decimal) else \
+                decimal.Decimal(str(v))
+        if s == "string":
+            return v if isinstance(v, str) else str(v)
+        if s == "date" and isinstance(v, str):
+            return datetime.date.fromisoformat(v[:10])
+        if s == "timestamp" and isinstance(v, str):
+            return datetime.datetime.fromisoformat(v)
+        if s == "boolean":
+            return bool(v)
+        return v
+
+    def _run_row_triggers(self, ts: TableState, trigs: list,
+                          new_df: DataFrame | None,
+                          old_rows: list | None = None,
+                          rebuild: bool = True) -> DataFrame | None:
+        """MySQL FOR EACH ROW sequencing: iterate the affected rows in
+        order, running every trigger's body per row through the
+        procedure interpreter with NEW./OLD. bound. Row counts here are
+        bounded by the DML statement's batch (an OLTP surface — the
+        reference's rowexec is equally row-at-a-time), so the collect()
+        is not a corpus-scale operation."""
+        from .procedures import ProcedureInterpreter
+
+        news = ([{k.lower(): v for k, v in r.asDict().items()}
+                 for r in new_df.collect()] if new_df is not None else None)
+        n = len(news) if news is not None else len(old_rows or [])
+        for i in range(n):
+            new = news[i] if news is not None else None
+            old = old_rows[i] if old_rows is not None else None
+            for trig in trigs:
+                ProcedureInterpreter(self).run_trigger(
+                    trig.body, new=new, old=old)
+        if news is None or not rebuild:
+            return None
+        data = [tuple(self._py_coerce(row[c.name.lower()], c.spark_type)
+                      for c in ts.columns) for row in news]
+        return self.spark.createDataFrame(data, ts.schema)
 
     def _apply_insert_triggers(self, ts: TableState, incoming: DataFrame,
                                timing: str) -> DataFrame:
-        """Set-based trigger execution (reference plan/trigger.go rewrites
-        triggers into the plan the same way — as extra operators, not
-        callbacks). BEFORE: `SET NEW.c = expr` becomes a projection over the
-        whole incoming batch. AFTER: the body runs once with NEW.* bound to
-        the batch via a temp view (INSERT INTO audit VALUES(NEW.x) becomes
-        INSERT ... SELECT x FROM batch)."""
+        """Set-based trigger execution when the body is provably
+        batch-equivalent (reference plan/trigger.go rewrites triggers
+        into the plan the same way — as extra operators, not callbacks):
+        BEFORE `SET NEW.c = expr` becomes a projection over the whole
+        incoming batch; INSERT INTO audit VALUES(NEW.x) becomes
+        INSERT ... SELECT x FROM batch. Bodies with subqueries, other
+        side effects, or control flow take the row-sequential path
+        (_run_row_triggers)."""
         from .procedures import split_statements
 
-        for trig in self.triggers.get(ts.name, []):
-            if trig.event != "INSERT" or trig.timing != timing:
-                continue
+        trigs = [t for t in self.triggers.get(ts.name, [])
+                 if t.event == "INSERT" and t.timing == timing]
+        seq = [t for t in trigs if not self._trigger_vectorizable(t)]
+        if seq:
+            # all triggers of this timing run per-row in creation order
+            before = timing == "BEFORE"
+            out = self._run_row_triggers(ts, trigs, incoming,
+                                         rebuild=before)
+            return out if before else incoming
+        for trig in trigs:
             for stmt in split_statements(trig.body):
                 up = stmt.strip().upper()
                 if timing == "BEFORE" and self._trigger_signal_guard(
@@ -3691,7 +4577,9 @@ class Engine:
                     incoming = incoming.select(
                         *[cols[c.name].alias(c.name) for c in ts.columns]
                     )
-                elif timing == "AFTER":
+                else:
+                    # side-effect DML in the trigger body (BEFORE or
+                    # AFTER): NEW.* binds to the whole batch via a view
                     incoming.createOrReplaceTempView("__trigger_new")
                     mm = re.match(
                         r"INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
@@ -3724,6 +4612,8 @@ class Engine:
                     "columns": _copy.deepcopy(ts.columns),
                     "primary_key": ts.primary_key,
                     "checks": list(ts.checks),
+                    "check_names": list(ts.check_names),
+                    "check_enforced": list(ts.check_enforced),
                     "foreign_keys": list(ts.foreign_keys),
                     "auto_inc_next": ts.auto_inc_next,
                     "history": list(ts.history),
@@ -3754,6 +4644,9 @@ class Engine:
                 ts.columns = s["columns"]
                 ts.primary_key = s["primary_key"]
                 ts.checks = s["checks"]
+                ts.check_names = s.get("check_names", list(ts.check_names))
+                ts.check_enforced = s.get("check_enforced",
+                                          list(ts.check_enforced))
                 ts.foreign_keys = s["foreign_keys"]
                 ts.auto_inc_next = s["auto_inc_next"]
                 ts.history = s["history"]

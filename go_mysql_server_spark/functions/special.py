@@ -33,7 +33,11 @@ def _json_extract(doc, path) -> Column:
         # wildcard legs ($.*, $[*], $**.k) exceed get_json_object — route
         # to the Python path evaluator (registered in register_udfs)
         return F.call_udf("json_extract_wild", _c(doc), F.lit(path))
-    return F.get_json_object(_c(doc), path)
+    # NULL from get_json_object is ambiguous: missing key vs JSON null
+    # value — the evaluator distinguishes (missing → NULL, null → 'null')
+    return F.coalesce(F.get_json_object(_c(doc), path),
+                      F.call_udf("json_extract_wild", _c(doc),
+                                 F.lit(path)))
 
 
 def _extract_wild(doc: str | None, path: str | None):

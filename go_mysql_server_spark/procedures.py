@@ -231,14 +231,36 @@ class ProcedureInterpreter:
         self.frames: list[dict] = []        # [{"id", "handlers", "conditions"}]
         self._next_frame = 0
         self._handling: list = []           # stack of errors being handled
+        # per-row trigger context: NEW./OLD. column values, bound as
+        # literals by _bind; SET NEW.col writes back (reference
+        # rowexec/trigger.go runs FOR EACH ROW bodies one row at a time)
+        self.trigger_new: dict | None = None
+        self.trigger_old: dict | None = None
 
-    def call(self, proc: Procedure, args: list):
+    def run_trigger(self, body: str, new: dict | None = None,
+                    old: dict | None = None) -> dict | None:
+        """Execute a trigger body for ONE row. `new`/`old` map lowercase
+        column name → Python value; SET NEW.c mutates `new` in place."""
+        self.trigger_new, self.trigger_old = new, old
+        try:
+            self._exec_block(split_statements(body), {})
+        finally:
+            self.trigger_new = self.trigger_old = None
+        return new
+
+    def call(self, proc: Procedure, args: list,
+             scope_out: dict | None = None):
         if len(args) != len(proc.params):
             from .engine import SqlError
             raise SqlError(
                 f"procedure {proc.name} expects {len(proc.params)} args, got {len(args)}")
         scope = {p[1].lower(): a for p, a in zip(proc.params, args)}
-        return self._exec_block(split_statements(proc.body), scope)
+        result = self._exec_block(split_statements(proc.body), scope)
+        if scope_out is not None:
+            # final parameter values, for the caller's OUT/INOUT
+            # writeback (reference sql/plan/call.go)
+            scope_out.update(scope)
+        return result
 
     # ---- block / handler machinery ------------------------------------------
 
@@ -440,10 +462,27 @@ class ProcedureInterpreter:
             raise _Iterate(stripped.split()[1].strip().lower()
                            if len(stripped.split()) > 1 else "")
         if up.startswith("SET "):
-            for assign in stripped[4:].split(","):
+            from .engine import _split_top_level
+
+            for assign in _split_top_level(stripped[4:]):
                 name, expr = assign.split("=", 1)
-                name = name.strip().lstrip("@").lower()
-                scope[name] = self._eval(expr, scope)
+                name = name.strip()
+                nm = re.fullmatch(r"NEW\.[`]?(\w+)[`]?", name, re.I)
+                if nm and self.trigger_new is not None:
+                    self.trigger_new[nm.group(1).lower()] = \
+                        self._eval(expr, scope)
+                    continue
+                if re.fullmatch(r"OLD\.[`]?\w+[`]?", name, re.I):
+                    raise SqlError(
+                        "updating of OLD row is not allowed in trigger",
+                        sqlstate="HY000", errno=1362)
+                if name.startswith("@@"):
+                    # system variable write mid-body routes through the
+                    # engine's SET statement (scope/validation there)
+                    self.engine.query(
+                        f"SET {name} = {self._bind(expr, scope)}")
+                    continue
+                scope[name.lstrip('@').lower()] = self._eval(expr, scope)
             return None
         if up.startswith("IF"):
             return self._exec_if(stmt, scope)
@@ -654,12 +693,26 @@ class ProcedureInterpreter:
                 return Engine._lit(scope[name])
             return m.group(0)
 
+        def repl_row(m: re.Match) -> str:
+            row = (self.trigger_new if m.group(1).upper() == "NEW"
+                   else self.trigger_old)
+            key = m.group(2).lower()
+            if row is not None and key in row:
+                return Engine._lit(row[key])
+            return m.group(0)
+
         # don't touch quoted strings; cheap approach: substitute outside quotes
         parts = re.split(r"('(?:[^']|'')*')", stmt)
-        return "".join(
-            p if p.startswith("'") else re.sub(r"\b[A-Za-z_]\w*\b", repl, p)
-            for p in parts
-        )
+        out = []
+        for p in parts:
+            if p.startswith("'"):
+                out.append(p)
+                continue
+            if self.trigger_new is not None or self.trigger_old is not None:
+                p = re.sub(r"\b(NEW|OLD)\.[`]?(\w+)[`]?", repl_row, p,
+                           flags=re.I)
+            out.append(re.sub(r"\b[A-Za-z_]\w*\b", repl, p))
+        return "".join(out)
 
     def _eval(self, expr: str, scope: dict):
         row = self.engine.spark.sql(

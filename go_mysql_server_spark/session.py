@@ -44,6 +44,9 @@ def build_session(app_name: str = "go-mysql-server-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
+        # MySQL JSON_OBJECT/JSON_OBJECTAGG keep the LAST value for a
+        # duplicated key; Spark's default map policy is EXCEPTION
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -94,6 +97,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
+        # MySQL JSON object semantics: LAST value wins for dup keys
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
         # A host session may carry the 200-partition default; size shuffles
         # to the machine (AQE coalesces further at runtime).
         ("spark.sql.shuffle.partitions", str(cores)),

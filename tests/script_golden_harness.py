@@ -16,6 +16,40 @@ from pathlib import Path
 def _parse_go_rows(text: str):
     """[]sql.Row{{uint64(2), "ghi", "jkl"}, ...} → list of tuples."""
     body = text.strip()
+    # Go raw strings (backticks) may contain braces/quotes that break the
+    # structural scan — mask them to sentinel double-quoted strings first.
+    # A backtick INSIDE a double-quoted string ("(`c` > 0)") is literal
+    # text, not a raw-string opener, so scan quote-aware.
+    bt_vals: list[str] = []
+    out_chars: list[str] = []
+    i, n, in_dq = 0, len(body), False
+    while i < n:
+        c = body[i]
+        if in_dq:
+            out_chars.append(c)
+            if c == "\\" and i + 1 < n:
+                out_chars.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_dq = False
+        elif c == '"':
+            in_dq = True
+            out_chars.append(c)
+        elif c == "`":
+            end = body.find("`", i + 1)
+            if end < 0:
+                out_chars.append(c)
+                i += 1
+                continue
+            bt_vals.append(body[i + 1:end])
+            out_chars.append(f'"\x02{len(bt_vals) - 1}\x02"')
+            i = end + 1
+            continue
+        else:
+            out_chars.append(c)
+        i += 1
+    body = "".join(out_chars)
     if not body.startswith("[]sql.Row{"):
         return None
     # take only the balanced {...} that opens after []sql.Row
@@ -44,10 +78,16 @@ def _parse_go_rows(text: str):
         return None
     inner = body[start + 1:end]
     rows = []
-    for rm in re.finditer(r"\{([^{}]*)\}", inner):
+    for rm in re.finditer(
+            r"\{([^{}]*)\}|sql\.NewRow\(((?:[^()]|\([^()]*\))*)\)", inner):
         cells = []
-        for cell in _split_cells(rm.group(1)):
-            cells.append(_parse_go_cell(cell.strip()))
+        for cell in _split_cells(rm.group(1) if rm.group(1) is not None
+                                 else rm.group(2)):
+            v = _parse_go_cell(cell.strip())
+            if isinstance(v, str):
+                v = re.sub(r"\x02(\d+)\x02",
+                           lambda m: bt_vals[int(m.group(1))], v)
+            cells.append(v)
         rows.append(tuple(cells))
     return rows
 
@@ -105,9 +145,16 @@ def _parse_go_cell(cell: str):
     raise ValueError(f"unparseable Go cell: {cell!r}")
 
 
+def _read_go_source(src_path: Path) -> str:
+    """Read Go source, joining `"..." + "..."` string concatenations
+    (common for long statements split across lines) into one literal."""
+    src = src_path.read_text(errors="replace")
+    return re.sub(r'"\s*\+\s*(?:\n\s*)?"', "", src)
+
+
 def _parse_scripts(src_path: Path):
     """Yield (name, setup_stmts, [(query, expected_rows, ordered)])."""
-    src = src_path.read_text(errors="replace")
+    src = _read_go_source(src_path)
     scripts = []
     # each ScriptTest block: Name: "...", SetUpScript: []string{...},
     # Assertions: []ScriptTestAssertion{...}
@@ -207,9 +254,22 @@ def _canon(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, decimal.Decimal):
+        # integral decimals (BIGINT UNSIGNED carrier) compare exactly —
+        # a float round-trip would corrupt uint64-max
+        if v == v.to_integral_value():
+            return int(v)
         v = float(v)
     if isinstance(v, float):
         return int(v) if v.is_integer() else round(v, 4)
+    if isinstance(v, str) and v[:1] in "[{":
+        # JSON values: engines differ on insignificant whitespace
+        # (MySQL prints ": ", Dolt ":") — compare canonical form
+        import json
+        try:
+            return json.dumps(json.loads(v), sort_keys=True,
+                              separators=(",", ":"))
+        except (ValueError, TypeError):
+            return v
     return v
 
 
@@ -219,9 +279,197 @@ def parse_scripts(src_path: Path):
     return _parse_scripts(src_path)
 
 
+def parse_script_vars(src_path: Path) -> dict:
+    """{go_var_name: [(name, setup, asserts), ...]} — scripts grouped by
+    the []ScriptTest var they live in, so runners can mirror the
+    reference's per-var engine lifetime (TestScriptWithEngine = one
+    shared engine for the whole var; TestScript = fresh per script)."""
+    src = src_path.read_text(errors="replace")
+    var_pos = [(m.start(), m.group(1))
+               for m in re.finditer(r"^var (\w+)\s*=", src, re.M)]
+    out: dict[str, list] = {}
+    for sm in re.finditer(r'Name:\s+"((?:[^"\\]|\\.)*)"', src):
+        var_name = ""
+        for pos, vn in var_pos:
+            if pos < sm.start():
+                var_name = vn
+        out.setdefault(var_name, [])
+    scripts = _parse_scripts(src_path)
+    # align scripts to vars by re-finding each script's Name position
+    # (names are unique enough within a corpus file)
+    for name, setup, asserts in scripts:
+        m = re.search(r'Name:\s+"' + re.escape(name) + '"', src)
+        var_name = ""
+        if m:
+            for pos, vn in var_pos:
+                if pos < m.start():
+                    var_name = vn
+        out.setdefault(var_name, []).append((name, setup, asserts))
+    return out
+
+
+def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
+                   script_skip=(), assert_skip=(), db: str = "mydb"):
+    """Run a list of (name, setup, asserts) scripts. shared=True keeps
+    ONE engine across the whole list (reference TestScriptWithEngine);
+    otherwise each script gets a fresh engine with `fixtures`
+    preloaded. Returns (ok, skipped, failures)."""
+    from go_mysql_server_spark.engine import Engine
+
+    ok, skipped, failures = 0, 0, []
+
+    def fresh_engine():
+        e = Engine(spark, default_db=db)
+        for ddl, ins in fixtures.values():
+            e.query(ddl)
+            for stmt in ([ins] if isinstance(ins, str) else ins or []):
+                e.query(stmt)
+        return e
+
+    eng = fresh_engine() if shared else None
+    for name, setup, asserts in scripts:
+        if any(k in name for k in script_skip):
+            skipped += len(asserts)
+            continue
+        if not shared:
+            eng = fresh_engine()
+        try:
+            for stmt in setup:
+                eng.query(stmt)
+        except Exception as exc:  # noqa: BLE001
+            skipped += len(asserts)
+            failures.append((name, f"SETUP: {exc}"[:200]))
+            continue
+        for query, expected, ordered in asserts:
+            if any(k in query or k in name for k in assert_skip):
+                skipped += 1
+                continue
+            if expected is None:
+                try:
+                    eng.query(query)
+                except Exception as exc:  # noqa: BLE001
+                    failures.append(
+                        (name, f"DML {query[:80]} ERR {exc}"[:220]))
+                continue
+            try:
+                got = [tuple(_canon(c) for c in r)
+                       for r in eng.query(query).collect()]
+            except Exception as exc:  # noqa: BLE001
+                failures.append((name, f"{query[:90]} ERR {exc}"[:220]))
+                continue
+            want = [tuple(_canon(c) for c in r) for r in expected]
+            same = got == want if ordered else sorted(
+                map(repr, got)) == sorted(map(repr, want))
+            if same:
+                ok += 1
+            else:
+                failures.append(
+                    (name,
+                     f"{query[:80]} got={got[:3]} want={want[:3]}"[:240]))
+    return ok, skipped, failures
+
+
+def _parse_write_tests(src_path: Path):
+    """Parse []WriteQueryTest corpora (replace_queries.go,
+    delete_queries.go, ...): each entry is an independent
+    (WriteQuery, expected affected count | None, SelectQuery,
+    expected rows) over freshly-loaded standard fixtures."""
+    src = _read_go_source(src_path)
+    chunks = re.split(r"(?=WriteQuery:)", src)
+    tests = []
+    for ch in chunks[1:]:
+        # entry body runs to the next entry's opening; fields we need
+        # all precede any nested struct
+        if re.search(r"^\s*(Skip:\s*true|ExpectedErr)", ch, re.M):
+            continue
+        qm = re.match(
+            r'WriteQuery:\s+(?:"((?:[^"\\]|\\.)*)"|`([^`]*)`)', ch)
+        sm = re.search(
+            r'SelectQuery:\s+(?:"((?:[^"\\]|\\.)*)"|`([^`]*)`)', ch)
+        if not qm or not sm:
+            continue
+        wq = (qm.group(1).encode().decode("unicode_escape")
+              if qm.group(1) is not None else qm.group(2))
+        sq = (sm.group(1).encode().decode("unicode_escape")
+              if sm.group(1) is not None else sm.group(2))
+        aff = None
+        am = re.search(
+            r"ExpectedWriteResult:\s+\[\]sql\.Row\{\{types\."
+            r"(?:NewOkResult\((\d+)\)|OkResult\{RowsAffected:\s*(\d+))",
+            ch)
+        if am:
+            aff = int(am.group(1) or am.group(2))
+        em = re.search(r"ExpectedSelect:\s+(nil|\[\]sql\.Row\{.*)", ch,
+                       re.S)
+        if not em:
+            continue
+        if re.search(r"MustConvert|MustJSON|math\.|time\.|sql\.True"
+                     r"|sql\.False|\[\]byte", em.group(1)):
+            continue  # Go expression cells we can't evaluate
+        if em.group(1) == "nil":
+            expected = []
+        else:
+            try:
+                expected = _parse_go_rows(em.group(1))
+            except ValueError:
+                continue
+            if expected is None:
+                continue
+        tests.append((wq, aff, sq, expected))
+    return tests
+
+
+def run_write_tests(spark, src_path: Path, fixtures: dict, skip=(),
+                    db: str = "mydb", check_affected: bool = True):
+    """Run a WriteQueryTest corpus: fresh fixtures per entry, execute
+    the write, compare the affected count (when the golden is a plain
+    NewOkResult) and the follow-up SELECT rows. Returns
+    (ok, skipped, failures)."""
+    from go_mysql_server_spark.engine import Engine, OkResult
+
+    ok, skipped, failures = 0, 0, []
+    for wq, aff, sq, expected in _parse_write_tests(src_path):
+        if any(k in wq or k in sq for k in skip):
+            skipped += 1
+            continue
+        eng = Engine(spark, default_db=db)
+        for ddl, ins in fixtures.values():
+            eng.query(ddl)
+            if ins:
+                eng.query(ins)
+        try:
+            res = eng.query(wq)
+        except Exception as exc:  # noqa: BLE001
+            failures.append((wq[:90], f"WRITE ERR {exc}"[:220]))
+            continue
+        if (check_affected and aff is not None
+                and isinstance(res, OkResult)
+                and res.rows_affected != aff):
+            failures.append(
+                (wq[:90], f"affected {res.rows_affected} != {aff}"))
+            continue
+        try:
+            got = [tuple(_canon(c) for c in r)
+                   for r in eng.query(sq).collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((sq[:90], f"SELECT ERR {exc}"[:220]))
+            continue
+        want = [tuple(_canon(c) for c in r) for r in expected]
+        same = (got == want if "ORDER BY" in sq.upper()
+                else sorted(map(repr, got)) == sorted(map(repr, want)))
+        if same:
+            ok += 1
+        else:
+            failures.append(
+                (wq[:80], f"{sq[:60]} got={got[:3]} want={want[:3]}"[:240]))
+    return ok, skipped, failures
+
+
 def run_scripts(spark, src_path: Path, script_skip=(), assert_skip=(),
-                db: str = "scriptdb"):
-    """Returns (ok, skipped, failures)."""
+                db: str = "scriptdb", extra_fixtures: dict | None = None):
+    """Returns (ok, skipped, failures). extra_fixtures values are
+    (ddl, insert) like test_goldens.FIXTURES; the insert slot may be a
+    list of follow-up statements."""
     from go_mysql_server_spark.engine import Engine
 
     ok, skipped, failures = 0, 0, []
@@ -235,10 +483,12 @@ def run_scripts(spark, src_path: Path, script_skip=(), assert_skip=(),
             # mydb (enginetest/scriptgen/setup); scripts reference
             # mytable & co. without creating them
             from .test_goldens import FIXTURES
-            for ddl, ins in FIXTURES.values():
+            fixtures = dict(FIXTURES)
+            fixtures.update(extra_fixtures or {})
+            for ddl, ins in fixtures.values():
                 eng.query(ddl)
-                if ins:
-                    eng.query(ins)
+                for stmt in ([ins] if isinstance(ins, str) else ins or []):
+                    eng.query(stmt)
             for stmt in setup:
                 eng.query(stmt)
         except Exception as exc:  # noqa: BLE001

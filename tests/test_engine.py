@@ -775,7 +775,8 @@ def test_show_create_table_fidelity(eng):
     ddl = rows(eng.query("SHOW CREATE TABLE sct"))[0][1]
     for frag in ("AUTO_INCREMENT", "NOT NULL", "DEFAULT 'x'", "enum('a','b')",
                  "GENERATED ALWAYS AS (i + 1) STORED", "KEY `k_s` (s)",
-                 "CHECK (i >= 0)", "ON DELETE CASCADE", "PRIMARY KEY (i)"):
+                 "CONSTRAINT `sct_chk_1` CHECK ((`i` >= 0))",
+                 "ON DELETE CASCADE", "PRIMARY KEY (i)"):
         assert frag in ddl, f"missing {frag!r} in:\n{ddl}"
 
 
