@@ -2602,6 +2602,9 @@ class Engine:
                 return OkResult(0)
             raise SqlError(f"unknown table {tbl!r}")
         del tables[tbl]
+        # triggers defined ON this table go with it (MySQL; reference
+        # trigger_queries.go "drop table referenced in triggers")
+        self.triggers.pop(tbl, None)
         self.spark.catalog.dropTempView(tbl)
         return OkResult(0)
 
@@ -2874,12 +2877,13 @@ class Engine:
     def _insert_df(self, ts: TableState, new_rows: DataFrame,
                    col_list: list[str] | None, verb: str, ignore: bool,
                    odku: str | None) -> OkResult:
-        # Row-sequential triggers mutate other tables mid-statement; a
-        # failure part-way (SIGNAL, constraint) must leave NO trace —
-        # MySQL statement atomicity (reference rowexec + transaction
-        # rollback of the trigger's writes). Snapshot-restore gives
-        # exactly statement-level rollback over immutable DataFrames.
-        if any(t.event == "INSERT" and not self._trigger_vectorizable(t)
+        # Triggers that mutate other tables mid-statement (sequential OR
+        # set-based audit INSERTs): a failure part-way (SIGNAL,
+        # constraint) must leave NO trace — MySQL statement atomicity
+        # (reference rowexec + transaction rollback of the trigger's
+        # writes). Snapshot-restore gives exactly statement-level
+        # rollback over immutable DataFrames.
+        if any(t.event == "INSERT" and self._trigger_has_side_effects(t)
                for t in self.triggers.get(ts.name, [])):
             snap = self._snapshot_state()
             try:
@@ -3395,6 +3399,18 @@ class Engine:
         ):
             return self._q_update_join(sql)
         sql, order_sql, limit_n, offset_n = self._strip_order_limit(sql)
+        # single-table alias form (UPDATE test t SET t.i = ...): fold the
+        # alias away — strip `alias.` qualifiers outside string literals
+        am = re.match(
+            r"(UPDATE\s+(?:IGNORE\s+)?)(?!IGNORE\b)([`\w.]+)\s+(?:AS\s+)?"
+            r"(?!SET\b)([`\w]+)\s+(SET\s+.*)$", sql, re.I | re.S)
+        if am:
+            from .dialect.transpiler import mask_literals, unmask_literals
+            alias = am.group(3).strip("`")
+            masked, lits = mask_literals(am.group(4))
+            masked = re.sub(rf"\b{re.escape(alias)}\.", "", masked)
+            sql = f"{am.group(1)}{am.group(2)} " \
+                  f"{unmask_literals(masked, lits)}"
         m = re.match(r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
@@ -3806,6 +3822,20 @@ class Engine:
         - DELETE FROM t1[, t2] USING <table_refs> [WHERE]
         - WITH ... DELETE ... (cte_prefix threaded from the router)
         """
+        # statement atomicity when DELETE triggers mutate other tables
+        # (same contract as _insert_df; MySQL rolls the whole statement
+        # back if any row's trigger fails)
+        if any(t.event == "DELETE" and self._trigger_has_side_effects(t)
+               for trigs in self.triggers.values() for t in trigs):
+            snap = self._snapshot_state()
+            try:
+                return self._q_delete_inner(sql, cte_prefix)
+            except Exception:
+                self._restore_state(snap)
+                raise
+        return self._q_delete_inner(sql, cte_prefix)
+
+    def _q_delete_inner(self, sql: str, cte_prefix: str = "") -> OkResult:
         sql = self._substitute_vars(sql)
         mu = re.match(
             r"DELETE\s+FROM\s+([`\w.]+(?:\s*,\s*[`\w.]+)*)\s+USING\s+"
@@ -4457,13 +4487,32 @@ class Engine:
                 if re.search(r"\bSELECT\b|@", s, re.I):
                     return False
                 continue
-            if self._VEC_GUARD.match(s):
+            if self._guard_vectorizable(s):
                 continue
             if self._VEC_INS.match(s) and not re.search(r"\bSELECT\b", s,
                                                         re.I):
                 continue
             return False
         return True
+
+    def _trigger_has_side_effects(self, trig) -> bool:
+        """True when any body statement can mutate state outside the
+        NEW row (so a mid-batch failure needs statement rollback)."""
+        from .procedures import split_statements
+
+        for stmt in split_statements(trig.body):
+            s = stmt.strip()
+            if self._VEC_SET.match(s) or self._guard_vectorizable(s):
+                continue
+            return True
+        return False
+
+    def _guard_vectorizable(self, stmt: str) -> bool:
+        """True when the IF..SIGNAL guard matches the one-filter
+        set-based form _trigger_signal_guard executes (simple NEW-only
+        condition, no subqueries or variable writes)."""
+        return bool(self._TRIG_SIGNAL_RE.match(stmt.strip())
+                    and not re.search(r"\bSELECT\b|@", stmt, re.I))
 
     def _update_before_vectorizable(self, trig) -> bool:
         """BEFORE UPDATE bodies the projection path executes faithfully:
@@ -4477,7 +4526,7 @@ class Engine:
                 if re.search(r"\bSELECT\b|@|\bOLD\.", s, re.I):
                     return False
                 continue
-            if self._VEC_GUARD.match(s):
+            if self._guard_vectorizable(s):
                 continue
             return False
         return True

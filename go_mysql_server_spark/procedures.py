@@ -193,6 +193,7 @@ class _Cursor:
     def __init__(self, rows):
         self.rows = rows
         self.pos = 0
+        self.sql: str | None = None  # bound SELECT, for re-OPEN
 
     def fetch(self):
         if self.pos >= len(self.rows):
@@ -425,10 +426,14 @@ class ProcedureInterpreter:
         if up.startswith("OPEN "):
             name = stripped.split()[1].strip().lower()
             sel = self.cursors.get(name)
+            if isinstance(sel, _Cursor):
+                sel = sel.sql  # re-OPEN after CLOSE / without CLOSE
             if not isinstance(sel, str):
                 raise SqlError(f"cursor {name!r} not declared")
             df = self.engine.query(self._bind(sel, scope))
-            self.cursors[name] = _Cursor([tuple(r) for r in df.collect()])
+            cur = _Cursor([tuple(r) for r in df.collect()])
+            cur.sql = sel
+            self.cursors[name] = cur
             return None
         if up.startswith("FETCH"):
             m = re.match(r"FETCH\s+(?:NEXT\s+FROM\s+|FROM\s+)?(\w+)\s+INTO\s+(.*)$",
@@ -445,7 +450,13 @@ class ProcedureInterpreter:
                 scope[name] = value
             return None
         if up.startswith("CLOSE "):
-            self.cursors.pop(stripped.split()[1].strip().lower(), None)
+            # CLOSE releases the result set; the DECLARE stays in scope
+            # so a later OPEN re-runs the bound SELECT (reference
+            # fetch.go cursor lifecycle)
+            cname = stripped.split()[1].strip().lower()
+            cur = self.cursors.get(cname)
+            if isinstance(cur, _Cursor) and isinstance(cur.sql, str):
+                self.cursors[cname] = cur.sql
             return None
         m = re.match(r"(?:(\w+)\s*:\s*)?LOOP\b(.*)\bEND\s+LOOP\s*(\w+)?$",
                      stripped, re.I | re.S)
@@ -482,7 +493,14 @@ class ProcedureInterpreter:
                     self.engine.query(
                         f"SET {name} = {self._bind(expr, scope)}")
                     continue
-                scope[name.lstrip('@').lower()] = self._eval(expr, scope)
+                if name.startswith("@"):
+                    # user variables are session-scoped, visible after
+                    # the CALL returns (reference sql/expression/
+                    # user_variable.go)
+                    self.engine.user_vars[name[1:]] = \
+                        self._eval(expr, scope)
+                    continue
+                scope[name.lower()] = self._eval(expr, scope)
             return None
         if up.startswith("IF"):
             return self._exec_if(stmt, scope)
@@ -491,6 +509,37 @@ class ProcedureInterpreter:
             return self._exec_while(m.group(1) or "", stripped, scope)
         if up.startswith("CASE"):
             return self._exec_case(stripped, scope)
+        if up.startswith("SELECT") and re.search(r"\bINTO\b", up):
+            # SELECT ... INTO <local vars / @vars> (reference
+            # sql/plan/into.go bound to procedure scope): strip the INTO
+            # clause BEFORE binding so scope targets aren't literalized
+            from .dialect.transpiler import mask_literals, unmask_literals
+
+            masked, lits = mask_literals(stripped)
+            im = re.search(
+                r"\bINTO\s+((?:@?\w+\s*,\s*)*@?\w+)(\s+FROM\b|\s*$)",
+                masked, re.I)
+            if im:
+                targets = [t.strip() for t in im.group(1).split(",")]
+                tail = masked[im.start(2):] if im.group(2).strip() else ""
+                rest = unmask_literals(masked[:im.start()] + tail, lits)
+                df = self.engine.query(self._bind(rest, scope))
+                rows = df.collect()
+                if len(rows) > 1:
+                    from .engine import SqlError
+                    raise SqlError("Result consisted of more than one row",
+                                   sqlstate="21000", errno=1172)
+                if not rows:
+                    from .engine import SqlError
+                    raise SqlError(
+                        "No data - zero rows fetched, selected, or "
+                        "processed", sqlstate="02000", errno=1329)
+                for t, v in zip(targets, rows[0]):
+                    if t.startswith("@"):
+                        self.engine.user_vars[t[1:]] = v
+                    else:
+                        scope[t.lower()] = v
+                return None
         return self.engine.query(self._bind(stmt, scope))
 
     # ---- control-flow statements --------------------------------------------
@@ -701,6 +750,14 @@ class ProcedureInterpreter:
                 return Engine._lit(row[key])
             return m.group(0)
 
+        # an INSERT's column list is a column-position context — names
+        # there are columns even when a param/var shares the name
+        # (MySQL shadowing applies to expressions, not column lists)
+        colist = re.match(
+            r"((?:INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+[`\w.]+\s*"
+            r"\([^)]*\))(.*)$", stmt, re.I | re.S)
+        if colist:
+            return colist.group(1) + self._bind(colist.group(2), scope)
         # don't touch quoted strings; cheap approach: substitute outside quotes
         parts = re.split(r"('(?:[^']|'')*')", stmt)
         out = []
@@ -711,7 +768,19 @@ class ProcedureInterpreter:
             if self.trigger_new is not None or self.trigger_old is not None:
                 p = re.sub(r"\b(NEW|OLD)\.[`]?(\w+)[`]?", repl_row, p,
                            flags=re.I)
-            out.append(re.sub(r"\b[A-Za-z_]\w*\b", repl, p))
+            # @var: bind wholly (SET @v in a body wrote scope['v']);
+            # an unbound @var stays intact for the engine's own
+            # user-variable substitution. @@sysvars are never scope.
+            def repl_uvar(m: re.Match) -> str:
+                key = m.group(1).lower()
+                if key in scope:
+                    return Engine._lit(scope[key])
+                if m.group(1) in self.engine.user_vars:
+                    return Engine._lit(self.engine.user_vars[m.group(1)])
+                return m.group(0)
+
+            p = re.sub(r"(?<!@)@(\w+)", repl_uvar, p)
+            out.append(re.sub(r"(?<![@.`])\b[A-Za-z_]\w*\b", repl, p))
         return "".join(out)
 
     def _eval(self, expr: str, scope: dict):
