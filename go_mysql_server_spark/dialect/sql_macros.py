@@ -60,11 +60,15 @@ _MACROS = [
     # wildcard legs ($.*, $[*], $**.k) route to the Python path evaluator;
     # plain paths stay on the JVM fast path
     # plain paths stay JVM-side; a NULL result falls back to the Python
-    # evaluator to distinguish a MISSING key (SQL NULL) from a present
-    # key holding JSON null (returns 'null' — reference json_extract.go)
+    # evaluator ONLY when the doc can possibly hold a JSON null (it must
+    # contain the token 'null' somewhere) — that distinguishes a MISSING
+    # key (SQL NULL) from a present key holding JSON null (returns
+    # 'null', reference json_extract.go) without paying a per-row Python
+    # round trip for the common missing-key case on large scans
     ("json_extract", "(doc STRING, p STRING)", "STRING",
      "IF(instr(p, '*') > 0, json_extract_wild(doc, p), "
-     "COALESCE(get_json_object(doc, p), json_extract_wild(doc, p)))"),
+     "COALESCE(get_json_object(doc, p), "
+     "IF(instr(doc, 'null') > 0, json_extract_wild(doc, p), NULL)))"),
     ("json_value", "(doc STRING, p STRING)", "STRING",
      "get_json_object(doc, p)"),
     ("json_unquote", "(s STRING)", "STRING",

@@ -1045,7 +1045,7 @@ class Engine:
                         if verb == "DELETE":
                             return self._q_delete(tail,
                                                   cte_prefix=cte_prefix)
-                        return self._q_update(f"{cte_prefix} {tail}")
+                        return self._q_update(tail, cte_prefix=cte_prefix)
                     break
         # INTO @vars must be peeled off before user-var substitution rewrites
         # the very @names we need to assign. MySQL accepts the clause both
@@ -1543,14 +1543,33 @@ class Engine:
         # MySQL's information_schema identifier columns compare
         # case-insensitively (utf8mb4_0900_ai_ci): WHERE TABLE_NAME='t2'
         # must match a table created as T2. Fold both sides of literal
-        # equality compares on those columns.
+        # equality compares on those columns — but ONLY where the column
+        # provably belongs to an info-schema view: a user table joined
+        # into the same statement may have a column named TABLE_NAME
+        # whose compares must stay case-sensitive. Bare (unqualified)
+        # names fold only when every relation in the statement is an
+        # information_schema__* view; qualified names fold when the
+        # qualifier is such a view or an alias bound to one.
+        rels = re.findall(r"\b(?:FROM|JOIN)\s+`?([\w.]+)`?"
+                          r"(?:\s+(?:AS\s+)?(\w+))?", sql, re.I)
+        is_aliases = {a.lower() for r, a in rels
+                      if a and r.lower().startswith("information_schema__")}
+        is_aliases |= {r.lower() for r, _ in rels
+                       if r.lower().startswith("information_schema__")}
+        all_info = all(r.lower().startswith("information_schema__")
+                       for r, _ in rels) if rels else False
+
         def _ci_eq(m: re.Match) -> str:
-            return (f"lower({m.group(1)}) {m.group(2)} "
-                    f"lower({m.group(3)})")
+            qual = (m.group(1) or "").rstrip(".").lower()
+            ok = (all_info if not qual else qual in is_aliases)
+            if not ok:
+                return m.group(0)
+            return (f"lower({m.group(1) or ''}{m.group(2)}) {m.group(3)} "
+                    f"lower({m.group(4)})")
         sql = re.sub(
-            r"((?:\w+\.)?(?:TABLE_NAME|TABLE_SCHEMA|CONSTRAINT_SCHEMA|"
+            r"(\w+\.)?\b(TABLE_NAME|TABLE_SCHEMA|CONSTRAINT_SCHEMA|"
             r"CONSTRAINT_NAME|COLUMN_NAME|INDEX_NAME|SCHEMA_NAME|"
-            r"ROUTINE_SCHEMA|ROUTINE_NAME|TRIGGER_NAME|EVENT_NAME))"
+            r"ROUTINE_SCHEMA|ROUTINE_NAME|TRIGGER_NAME|EVENT_NAME)"
             r"\s*(=|<>|!=)\s*('(?:[^']|'')*')",
             _ci_eq, sql, flags=re.I)
         return sql
@@ -3382,22 +3401,25 @@ class Engine:
         rows = vict.select(*key).limit(n + offset).collect()[offset:]
         if not rows:
             return "false"
-        if len(key) == 1:
-            vals = ", ".join(self._lit(r[0]) for r in rows)
-            extra = f"`{key[0]}` IN ({vals})"
-        else:
-            tuples = ", ".join(
-                "(" + ", ".join(self._lit(v) for v in r) + ")" for r in rows)
-            cols = ", ".join(f"`{k}`" for k in key)
-            extra = f"({cols}) IN ({tuples})"
-        return f"({where}) AND {extra}"
+        return f"({where}) AND {self._keys_in_predicate(key, rows)}"
 
-    def _q_update(self, sql: str) -> OkResult:
+    @staticmethod
+    def _keys_in_predicate(key: list[str], rows) -> str:
+        """Pin a collected victim-key set as an IN-list predicate."""
+        if len(key) == 1:
+            vals = ", ".join(Engine._lit(r[0]) for r in rows)
+            return f"`{key[0]}` IN ({vals})"
+        tuples = ", ".join(
+            "(" + ", ".join(Engine._lit(v) for v in r) + ")" for r in rows)
+        cols = ", ".join(f"`{k}`" for k in key)
+        return f"({cols}) IN ({tuples})"
+
+    def _q_update(self, sql: str, cte_prefix: str = "") -> OkResult:
         sql = self._substitute_vars(sql)
         if re.search(r"UPDATE\s+IGNORE\s+", sql, re.I) is None and re.search(
             r"\bJOIN\b", sql.split(" SET ")[0] if " SET " in sql else sql, re.I
         ):
-            return self._q_update_join(sql)
+            return self._q_update_join(sql, cte_prefix)
         sql, order_sql, limit_n, offset_n = self._strip_order_limit(sql)
         # single-table alias form (UPDATE test t SET t.i = ...): fold the
         # alias away — strip `alias.` qualifiers outside string literals
@@ -3416,7 +3438,20 @@ class Engine:
         if not m:
             raise SqlError(f"cannot parse UPDATE: {sql[:60]!r}")
         ts = self._table(m.group(2))
-        where = transpile_select(m.group(4)) if m.group(4) else "true"
+        if cte_prefix and m.group(4):
+            # WITH ... UPDATE: the WHERE references CTE names, which
+            # DataFrame.filter can't host — resolve victims through the
+            # full SELECT pipeline and pin their keys as an IN-list
+            # (bounded by the DML batch, like _limit_victims_where)
+            key = list(ts.primary_key) or [c.name for c in ts.columns]
+            cols = ", ".join(f"`{k}`" for k in key)
+            vict = self._q_select(
+                f"{cte_prefix} SELECT {cols} FROM {ts.name}"
+                f" WHERE {m.group(4)}")
+            rows = vict.distinct().collect()
+            where = self._keys_in_predicate(key, rows) if rows else "false"
+        else:
+            where = transpile_select(m.group(4)) if m.group(4) else "true"
         if limit_n is not None:
             where = self._limit_victims_where(ts, where, order_sql,
                                               limit_n, offset_n)
@@ -3487,7 +3522,14 @@ class Engine:
         if any(c.generated for c in ts.columns):
             updated = self._compute_generated(ts, updated)
         pairs_old = pairs_new = None
-        snap = self._snapshot_state() if (seq_rows and n_match) else None
+        # statement atomicity whenever any UPDATE trigger can mutate state
+        # outside the row (same contract as _insert_df / _q_delete): the
+        # set-based AFTER path at the bottom runs after ts.df is committed,
+        # so a failing trigger body must roll the whole statement back
+        need_snap = n_match and (
+            seq_rows or any(self._trigger_has_side_effects(t)
+                            for t in utrigs))
+        snap = self._snapshot_state() if need_snap else None
         try:
             if seq_rows and n_match:
                 # MySQL row-at-a-time trigger sequencing over the
@@ -3711,12 +3753,14 @@ class Engine:
                           (F.col("__matched")
                            & ~F.col("__viol")).alias("__matched"))
 
-    def _q_update_join(self, sql: str) -> OkResult:
+    def _q_update_join(self, sql: str, cte_prefix: str = "") -> OkResult:
         """Multi-table UPDATE (reference sql/plan/update_join.go:1-269),
         single target table: UPDATE t JOIN ... ON ... SET t.c = expr [WHERE].
 
         Evaluated as: project (pk → new values) over the join, then merge
-        into the target by PK — two distributed joins, no row loops."""
+        into the target by PK — two distributed joins, no row loops.
+        A WITH prefix (cte_prefix) is transpiled and prepended to the
+        staging SELECT so the join refs may name CTEs."""
         m = re.match(r"UPDATE\s+(.*?)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
@@ -3765,9 +3809,11 @@ class Engine:
             new_select = ", ".join(
                 f"({transpile_select(expr)}) AS __new_{c}"
                 for c, expr in assigns.items())
+            cte_sql = (transpile_select(cte_prefix) + " ") if cte_prefix \
+                else ""
             updates = self.spark.sql(
-                f"SELECT {pk_select}, {new_select}, 1 AS __upd_match "
-                f"FROM {from_clause}{where_sql}"
+                f"{cte_sql}SELECT {pk_select}, {new_select}, "
+                f"1 AS __upd_match FROM {from_clause}{where_sql}"
             ).dropDuplicates(pk)
             n = updates.count()
             total += n

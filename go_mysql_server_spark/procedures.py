@@ -768,15 +768,19 @@ class ProcedureInterpreter:
             if self.trigger_new is not None or self.trigger_old is not None:
                 p = re.sub(r"\b(NEW|OLD)\.[`]?(\w+)[`]?", repl_row, p,
                            flags=re.I)
-            # @var: bind wholly (SET @v in a body wrote scope['v']);
-            # an unbound @var stays intact for the engine's own
-            # user-variable substitution. @@sysvars are never scope.
+            # @name lives in the session user-variable namespace, which
+            # MySQL keeps DISTINCT from params/DECLAREd locals — never
+            # bind it from scope (a local `v` must not shadow `@v`).
+            # Lookup is case-insensitive like MySQL's; an unbound @var
+            # stays intact for the engine's own substitution.
             def repl_uvar(m: re.Match) -> str:
+                uv = self.engine.user_vars
+                if m.group(1) in uv:
+                    return Engine._lit(uv[m.group(1)])
                 key = m.group(1).lower()
-                if key in scope:
-                    return Engine._lit(scope[key])
-                if m.group(1) in self.engine.user_vars:
-                    return Engine._lit(self.engine.user_vars[m.group(1)])
+                for k in uv:
+                    if k.lower() == key:
+                        return Engine._lit(uv[k])
                 return m.group(0)
 
             p = re.sub(r"(?<!@)@(\w+)", repl_uvar, p)

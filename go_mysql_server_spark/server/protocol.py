@@ -25,6 +25,7 @@ CLIENT_CONNECT_WITH_DB = 1 << 3
 CLIENT_PROTOCOL_41 = 1 << 9
 CLIENT_TRANSACTIONS = 1 << 13
 CLIENT_SECURE_CONNECTION = 1 << 15
+CLIENT_MULTI_STATEMENTS = 1 << 16
 CLIENT_MULTI_RESULTS = 1 << 17
 CLIENT_PLUGIN_AUTH = 1 << 19
 CLIENT_PLUGIN_AUTH_LENENC = 1 << 21
@@ -33,9 +34,11 @@ CLIENT_DEPRECATE_EOF = 1 << 24
 SERVER_CAPABILITIES = (
     CLIENT_LONG_PASSWORD | CLIENT_FOUND_ROWS | CLIENT_LONG_FLAG
     | CLIENT_CONNECT_WITH_DB | CLIENT_PROTOCOL_41 | CLIENT_TRANSACTIONS
-    | CLIENT_SECURE_CONNECTION | CLIENT_MULTI_RESULTS | CLIENT_PLUGIN_AUTH)
+    | CLIENT_SECURE_CONNECTION | CLIENT_MULTI_STATEMENTS
+    | CLIENT_MULTI_RESULTS | CLIENT_PLUGIN_AUTH)
 
 SERVER_STATUS_AUTOCOMMIT = 0x0002
+SERVER_MORE_RESULTS_EXISTS = 0x0008
 
 # -- commands
 COM_QUIT = 0x01
@@ -44,6 +47,11 @@ COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_STATISTICS = 0x09
 COM_PING = 0x0E
+COM_STMT_PREPARE = 0x16
+COM_STMT_EXECUTE = 0x17
+COM_STMT_SEND_LONG_DATA = 0x18
+COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 COM_RESET_CONNECTION = 0x1F
 
 # -- column type codes (public protocol) and charset ids
@@ -52,14 +60,17 @@ MYSQL_TYPE_SHORT = 0x02
 MYSQL_TYPE_LONG = 0x03
 MYSQL_TYPE_FLOAT = 0x04
 MYSQL_TYPE_DOUBLE = 0x05
+MYSQL_TYPE_NULL = 0x06
 MYSQL_TYPE_TIMESTAMP = 0x07
 MYSQL_TYPE_LONGLONG = 0x08
 MYSQL_TYPE_DATE = 0x0A
+MYSQL_TYPE_TIME = 0x0B
 MYSQL_TYPE_DATETIME = 0x0C
 MYSQL_TYPE_JSON = 0xF5
 MYSQL_TYPE_NEWDECIMAL = 0xF6
 MYSQL_TYPE_BLOB = 0xFC
 MYSQL_TYPE_VAR_STRING = 0xFD
+MYSQL_TYPE_STRING = 0xFE
 
 CHARSET_UTF8MB4 = 255  # utf8mb4_0900_ai_ci
 CHARSET_BINARY = 63
@@ -243,3 +254,113 @@ def text_row(cells) -> bytes:
         else:
             out += lenenc_bytes(b)
     return bytes(out)
+
+
+# -- binary protocol (prepared statements; COM_STMT_EXECUTE resultsets).
+# Byte layouts are the public MySQL binary resultset row / binary value
+# encodings (the reference serves them through vitess's mysql package;
+# server/handler.go:261 ComStmtExecute).
+
+def _binary_datetime(v: datetime.datetime) -> bytes:
+    if v.microsecond:
+        return bytes([11]) + struct.pack(
+            "<HBBBBBI", v.year, v.month, v.day, v.hour, v.minute,
+            v.second, v.microsecond)
+    return bytes([7]) + struct.pack(
+        "<HBBBBB", v.year, v.month, v.day, v.hour, v.minute, v.second)
+
+
+def binary_value(v, dt: T.DataType) -> bytes:
+    """One non-NULL cell in a binary resultset row, encoded per the
+    column's wire type (must agree with spark_type_to_mysql)."""
+    if isinstance(dt, (T.ByteType, T.BooleanType)):
+        return struct.pack("<b", int(v))
+    if isinstance(dt, T.ShortType):
+        return struct.pack("<h", int(v))
+    if isinstance(dt, T.IntegerType):
+        return struct.pack("<i", int(v))
+    if isinstance(dt, T.LongType):
+        return struct.pack("<q", int(v))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("<f", float(v))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("<d", float(v))
+    if isinstance(dt, T.DateType):
+        return bytes([4]) + struct.pack("<HBB", v.year, v.month, v.day)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _binary_datetime(v)
+    return lenenc_bytes(render_text_value(v) or b"")
+
+
+def binary_row(cells, schema) -> bytes:
+    """Binary resultset row: 0x00 header, NULL bitmap (offset 2), then
+    the non-NULL values in column order."""
+    n = len(cells)
+    bitmap = bytearray((n + 9) // 8)
+    body = bytearray()
+    for i, (v, f) in enumerate(zip(cells, schema.fields)):
+        if v is None:
+            bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+        else:
+            body += binary_value(v, f.dataType)
+    return b"\x00" + bytes(bitmap) + bytes(body)
+
+
+def read_binary_value(buf: bytes, pos: int, type_code: int,
+                      unsigned: bool = False):
+    """Decode one bound parameter value from a COM_STMT_EXECUTE body.
+    Returns (python_value, next_pos)."""
+    if type_code == MYSQL_TYPE_NULL:
+        return None, pos
+    if type_code == MYSQL_TYPE_TINY:
+        v = buf[pos] if unsigned else struct.unpack_from("<b", buf, pos)[0]
+        return v, pos + 1
+    if type_code == MYSQL_TYPE_SHORT:
+        fmt = "<H" if unsigned else "<h"
+        return struct.unpack_from(fmt, buf, pos)[0], pos + 2
+    if type_code == MYSQL_TYPE_LONG:
+        fmt = "<I" if unsigned else "<i"
+        return struct.unpack_from(fmt, buf, pos)[0], pos + 4
+    if type_code == MYSQL_TYPE_LONGLONG:
+        fmt = "<Q" if unsigned else "<q"
+        return struct.unpack_from(fmt, buf, pos)[0], pos + 8
+    if type_code == MYSQL_TYPE_FLOAT:
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if type_code == MYSQL_TYPE_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if type_code in (MYSQL_TYPE_DATE, MYSQL_TYPE_DATETIME,
+                     MYSQL_TYPE_TIMESTAMP):
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            v = datetime.date(1970, 1, 1) if type_code == MYSQL_TYPE_DATE \
+                else datetime.datetime(1970, 1, 1)
+            return v, pos
+        y, mo, d = struct.unpack_from("<HBB", buf, pos)
+        if n == 4:
+            out = (datetime.date(y, mo, d)
+                   if type_code == MYSQL_TYPE_DATE
+                   else datetime.datetime(y, mo, d))
+            return out, pos + n
+        h, mi, s = struct.unpack_from("<BBB", buf, pos + 4)
+        us = struct.unpack_from("<I", buf, pos + 7)[0] if n == 11 else 0
+        return datetime.datetime(y, mo, d, h, mi, s, us), pos + n
+    if type_code == MYSQL_TYPE_TIME:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return datetime.timedelta(0), pos
+        neg = buf[pos]
+        days = struct.unpack_from("<I", buf, pos + 1)[0]
+        h, mi, s = struct.unpack_from("<BBB", buf, pos + 5)
+        us = struct.unpack_from("<I", buf, pos + 8)[0] if n == 12 else 0
+        td = datetime.timedelta(days=days, hours=h, minutes=mi,
+                                seconds=s, microseconds=us)
+        return -td if neg else td, pos + n
+    # decimals, strings, blobs, JSON: length-encoded bytes
+    b, pos = read_lenenc_bytes(buf, pos)
+    if type_code == MYSQL_TYPE_NEWDECIMAL:
+        return decimal.Decimal(b.decode("ascii")), pos
+    if type_code == MYSQL_TYPE_BLOB:
+        return bytes(b), pos
+    return b.decode("utf-8", "replace"), pos

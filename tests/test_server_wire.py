@@ -117,6 +117,140 @@ def test_mysql_functions_over_wire(cli):
     assert rs.rows == [("ab", "7", "3")]
 
 
+def test_session_isolation_between_connections(srv):
+    """Two concurrent connections must never observe each other's
+    session state (reference server/context.go:50 SessionManager:
+    a sql.Session per connection)."""
+    c1 = Client(srv.host, srv.port)
+    c2 = Client(srv.host, srv.port)
+    try:
+        c1.query("CREATE DATABASE IF NOT EXISTS isodb")
+        c1.query("SET @who = 'conn1'")
+        c2.query("SET @who = 'conn2'")
+        c1.select_db("isodb")
+        # c2 still sees its own db and its own @who
+        assert c2.query("SELECT DATABASE() AS d").rows == [("mydb",)]
+        assert c2.query("SELECT @who AS w").rows == [("conn2",)]
+        assert c1.query("SELECT DATABASE() AS d").rows == [("isodb",)]
+        assert c1.query("SELECT @who AS w").rows == [("conn1",)]
+        # per-connection LAST_INSERT_ID
+        c1.select_db("mydb")
+        c1.query("CREATE TABLE iso_t (i BIGINT PRIMARY KEY AUTO_INCREMENT,"
+                 " v BIGINT)")
+        c1.query("INSERT INTO iso_t (v) VALUES (1)")
+        assert c2.query("SELECT LAST_INSERT_ID() AS l").rows == [("0",)]
+        assert c1.query("SELECT LAST_INSERT_ID() AS l").rows == [("1",)]
+        c1.query("DROP TABLE iso_t")
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_large_resultset_streams_without_collect(srv, cli, monkeypatch):
+    """The wire front must spool resultsets partition-at-a-time
+    (toLocalIterator), never a full driver collect() — the reference
+    streams rows through a pull-based RowIter (server/handler.go:407)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("wire server called DataFrame.collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    rs = cli.query(
+        "SELECT x.id, x.id * 2 AS dbl FROM RANGE(120000) x")
+    assert len(rs.rows) == 120000
+    assert rs.rows[0] == ("0", "0")
+    assert rs.rows[-1] == ("119999", "239998")
+
+
+def test_multi_statement_com_query(cli):
+    """CLIENT_MULTI_STATEMENTS: several statements in one COM_QUERY
+    packet, one result each, chained with SERVER_MORE_RESULTS_EXISTS
+    (reference server/handler.go:337 ComMultiQuery)."""
+    cli.query("CREATE TABLE mq (i BIGINT PRIMARY KEY, s VARCHAR(10))")
+    results = cli.multi_query(
+        "INSERT INTO mq VALUES (1, 'a'); "
+        "INSERT INTO mq VALUES (2, 'b'); "
+        "SELECT s FROM mq ORDER BY i")
+    assert len(results) == 3
+    assert isinstance(results[0], OkStatus) and results[0].affected == 1
+    assert isinstance(results[1], OkStatus)
+    assert results[2].rows == [("a",), ("b",)]
+    # an error mid-chain terminates it with an ERR packet; statements
+    # before the failure still applied (MySQL multi-statement semantics)
+    cli.query("DELETE FROM mq")
+    with pytest.raises(MySQLClientError):
+        cli.multi_query(
+            "INSERT INTO mq VALUES (3, 'c'); SELECT * FROM nope_missing")
+    assert cli.query("SELECT COUNT(*) AS n FROM mq").rows == [("1",)]
+    cli.query("DROP TABLE mq")
+
+
+def test_multi_statement_error_packet(cli):
+    with pytest.raises(MySQLClientError):
+        # first statement already fails → single ERR
+        cli.multi_query("SELECT * FROM missing_one; SELECT 1")
+
+
+# -- binary prepared-statement protocol
+# (reference server/handler.go:126 ComPrepare, :261 ComStmtExecute)
+
+
+def test_stmt_prepare_execute_typed_params(cli):
+    cli.query("CREATE TABLE ps (i BIGINT PRIMARY KEY, s VARCHAR(20), "
+              "d DOUBLE, dt DATE)")
+    ins = cli.prepare("INSERT INTO ps VALUES (?, ?, ?, ?)")
+    assert ins.nparams == 4
+    import datetime
+    ok = cli.execute(ins, (1, "hello", 2.5, datetime.date(2024, 3, 4)))
+    assert isinstance(ok, OkStatus) and ok.affected == 1
+    ok = cli.execute(ins, (2, None, -1.25, None))
+    assert ok.affected == 1
+    sel = cli.prepare("SELECT i, s, d, dt FROM ps WHERE i = ?")
+    rs = cli.execute(sel, (1,))
+    assert rs.columns == ["i", "s", "d", "dt"]
+    assert rs.rows == [(1, "hello", 2.5, datetime.date(2024, 3, 4))]
+    rs = cli.execute(sel, (2,))
+    assert rs.rows == [(2, None, -1.25, None)]
+    # re-execute with new params, types already bound server-side
+    rs = cli.execute(sel, (999,))
+    assert rs.rows == []
+    cli.stmt_close(sel)
+    cli.stmt_close(ins)
+    cli.query("DROP TABLE ps")
+
+
+def test_stmt_execute_last_insert_id(cli):
+    cli.query("CREATE TABLE psa (i BIGINT PRIMARY KEY AUTO_INCREMENT, "
+              "v VARCHAR(10))")
+    ins = cli.prepare("INSERT INTO psa (v) VALUES (?)")
+    ok = cli.execute(ins, ("x",))
+    assert ok.last_insert_id == 1
+    ok = cli.execute(ins, ("y",))
+    assert ok.last_insert_id == 2
+    cli.query("DROP TABLE psa")
+
+
+def test_stmt_binary_resultset_types(cli):
+    """Binary rows round-trip ints, doubles, strings, dates, datetimes
+    and NULLs with their native wire encodings."""
+    sel = cli.prepare(
+        "SELECT CAST(7 AS SIGNED) AS i, 1.5E0 AS d, 'txt' AS s, "
+        "DATE '2020-05-06' AS dt, TIMESTAMP '2021-07-08 09:10:11' AS ts, "
+        "NULL AS n")
+    rs = cli.execute(sel, ())
+    import datetime
+    assert rs.rows == [(7, 1.5, "txt", datetime.date(2020, 5, 6),
+                        datetime.datetime(2021, 7, 8, 9, 10, 11), None)]
+
+
+def test_stmt_unknown_id_errors(cli):
+    from go_mysql_server_spark.server.client import Prepared
+    with pytest.raises(MySQLClientError) as ei:
+        cli.execute(Prepared(99999, 0), ())
+    assert ei.value.errno == 1243
+
+
 # -- DB-API 2.0 (reference driver/driver.go)
 
 
