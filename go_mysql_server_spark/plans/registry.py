@@ -62,6 +62,8 @@ _PLAN_MODULES = (
     "go_mysql_server_spark.plans.ddl_admin_catalog",
     # round-4: streaming-engine executions (availableNow drain → oracle)
     "go_mysql_server_spark.plans.streaming_catalog",
+    # round-7: row-sequential triggers + wire/dbapi round-trip (r6 surface)
+    "go_mysql_server_spark.plans.server_catalog",
 )
 
 
