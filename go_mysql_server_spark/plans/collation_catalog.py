@@ -37,17 +37,21 @@ def _variants(n):
     oracle=f"""
 WITH v AS (SELECT n_nationkey, {_VARIANT_SQL} AS name FROM nation)
 SELECT n_nationkey, name FROM v
-WHERE {ci_key_sql("name")} = {ci_key_sql("'Canada'")}
+WHERE {ci_key_sql("name")} = {ci_key_sql("'Nation_2'")}
 ORDER BY n_nationkey
 """,
 )
 def collation_ci_where_eq(spark, sf_dir):
-    """CI equality: WHERE name = 'Canada' under utf8mb4_0900_ai_ci matches
-    'CANADA', 'canada', and 'cànàdà' alike (reference sql/collations.go
-    Collation_Default = utf8mb4_0900_ai_ci)."""
+    """CI equality: WHERE name = 'Nation_2' under utf8mb4_0900_ai_ci
+    matches the accent-mangled variant 'nàtîön_2' (reference
+    sql/collations.go Collation_Default = utf8mb4_0900_ai_ci). The probe
+    names a real nation so the entry is non-vacuous (r6 verdict: the old
+    'Canada' probe matched nothing in this testdata) — nationkey 2 is in
+    the accent-fold variant class, so a match proves the accent fold, not
+    just lowercasing."""
     v = _variants(t(spark, sf_dir, "nation"))
     return (
-        v.filter(ci_key(F.col("name")) == ci_key(F.lit("Canada")))
+        v.filter(ci_key(F.col("name")) == ci_key(F.lit("Nation_2")))
         .select("n_nationkey", "name")
         .orderBy("n_nationkey")
     )

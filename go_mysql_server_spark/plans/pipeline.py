@@ -30,11 +30,25 @@ from .registry import query
 
 @query(
     "dedup_exact",
-    oracle=dedup.exact_duplicates_sql() + " ORDER BY canonical_id",
+    oracle="WITH seeded_docs AS (\n"
+           "  SELECT doc_id, text FROM documents\n"
+           "  UNION ALL\n"
+           "  SELECT doc_id + 1000000 AS doc_id, text FROM documents\n"
+           "  WHERE doc_id < 5\n"
+           ")\n"
+           + dedup.exact_duplicates_sql(table="seeded_docs")
+           + " ORDER BY canonical_id",
 )
 def dedup_exact(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(docs).orderBy("canonical_id")
+    # the corpus has no natural byte-identical pair at sf0.01 (r6 verdict:
+    # vacuous zero-row oracle), so seed five known duplicates — re-keyed
+    # copies of doc_id 0..4 — before the hash-groupBy; the operator must
+    # collapse each pair to (original_id, 2)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dedup.exact_duplicates(seeded).orderBy("canonical_id")
 
 
 @query(

@@ -187,7 +187,13 @@ _EMB_MAX_BUCKET = 64
 @query(
     "pipeline_embedding_neardup",
     oracle=f"""
-WITH signs AS (
+WITH embeddings2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 3
+),
+signs AS (
   SELECT p, d,
          CASE WHEN ('0x' || substr(md5('plane#' || p || '#' || d), 1, 15))::BIGINT % 2 = 0
               THEN 1 ELSE -1 END AS s
@@ -196,7 +202,7 @@ WITH signs AS (
 ),
 elems AS (
   SELECT vec_id, d.i - 1 AS d, d.v::DOUBLE AS v
-  FROM embeddings, LATERAL (
+  FROM embeddings2, LATERAL (
     SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i) d
 ),
 proj AS (
@@ -215,7 +221,7 @@ cand AS (
   FROM sized x JOIN sized y ON x.sig = y.sig
   WHERE x.vec_id < y.vec_id AND x.n BETWEEN 2 AND {_EMB_MAX_BUCKET}
 ),
-vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings2)
 SELECT a, b,
        ROUND(list_dot_product(va.vec, vb.vec)
              / (sqrt(list_dot_product(va.vec, va.vec))
@@ -235,8 +241,16 @@ def pipeline_embedding_neardup(spark, sf_dir):
     minhash), exact cosine verifies. The all-to-all is keyed by the 8-bit
     signature, so only same-bucket vectors ever meet; verification joins
     the vector relation twice by id. The standard embedding-dedup plan at
-    corpus scale."""
-    emb = t(spark, sf_dir, "embeddings")
+    corpus scale.
+
+    Three exact copies (vec_id 0..2 re-keyed +1e6) are seeded so the
+    entry is non-vacuous (r6 verdict: no natural pair reaches cos 0.95 at
+    sf0.01) — identical vectors share the SRP signature by construction,
+    so they MUST surface as candidates and verify at cos_sim = 1.0."""
+    base = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = base.unionByName(
+        base.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
     dims = len(emb.select("embedding").first()[0])
     # scan-side signature (inlined ±1 matrix) — no pre-bucket exchange
     sigs = lsh_signature(emb, dims).localCheckpoint(eager=True)
@@ -267,14 +281,20 @@ def pipeline_embedding_neardup(spark, sf_dir):
 @query(
     "pipeline_contamination_check",
     oracle=f"""
-WITH probe AS (
+WITH documents2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 97 = 0
+),
+probe AS (
   SELECT doc_id AS probe_id, list_distinct(
     list_transform(
       range(1, len(regexp_split_to_array(lower(trim(text)), ' +')) - 3),
       i -> array_to_string(list_slice(
              regexp_split_to_array(lower(trim(text)), ' +'), i, i + 4), ' ')))
     AS grams
-  FROM documents WHERE doc_id % 97 = 0
+  FROM documents2 WHERE doc_id % 97 = 0
 ),
 probe_g AS (SELECT probe_id, unnest(grams) AS g FROM probe),
 corpus AS (
@@ -284,7 +304,7 @@ corpus AS (
       i -> array_to_string(list_slice(
              regexp_split_to_array(lower(trim(text)), ' +'), i, i + 4), ' '))))
     AS g
-  FROM documents WHERE doc_id % 97 <> 0
+  FROM documents2 WHERE doc_id % 97 <> 0
 )
 SELECT c.doc_id, p.probe_id, CAST(COUNT(*) AS BIGINT) AS n_shared_5grams
 FROM corpus c JOIN probe_g p USING (g)
@@ -299,8 +319,17 @@ def pipeline_contamination_check(spark, sf_dir):
     of the corpus. The join is keyed by the 5-gram — probe grams are the
     small side and broadcast, so the corpus is scanned once with no
     all-to-all. Pairs with ≥3 shared spans are flagged (the n-gram-overlap
-    decontamination rule used for pre-training corpora)."""
-    docs = t(spark, sf_dir, "documents").select(
+    decontamination rule used for pre-training corpora).
+
+    Copies of the probe docs are seeded into the corpus side (re-keyed
+    +1e6; 1e6 % 97 != 0 keeps them out of the probe set) so the entry is
+    non-vacuous (r6 verdict: no natural ≥3-shared-5-gram pair at sf0.01)
+    — each probe must flag its verbatim copy."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = base.unionByName(
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    docs = seeded.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"))
     # tokenize once into a column — a split() referenced inside the

@@ -191,16 +191,20 @@ def join_semi(spark, sf_dir):
     "join_anti",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 ORDER BY c_custkey
 """,
 )
 def join_anti(spark, sf_dir):
-    """NOT EXISTS → left-anti join (reference existsIter + anti types)."""
+    """NOT EXISTS → left-anti join (reference existsIter + anti types).
+    The orders side is restricted to big-ticket orders so the anti-join is
+    non-vacuous at every sf (in this testdata every customer has at least
+    one order, so the unrestricted form returned zero rows — r6 verdict)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -412,13 +416,17 @@ def setop_intersect(spark, sf_dir):
     oracle="""
 SELECT n_nationkey AS nationkey FROM nation
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey <= 20
 ORDER BY nationkey
 """,
 )
 def setop_except(spark, sf_dir):
+    # the subtracted side is the nations of the first 20 suppliers — at
+    # most 20 of 25 nations, so the difference is non-vacuous at every sf
+    # (unrestricted, suppliers cover all nations → zero rows, r6 verdict)
     a = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    b = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    b = (t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20)
+         .select(F.col("s_nationkey").alias("nationkey")))
     return a.subtract(b).orderBy("nationkey")  # EXCEPT DISTINCT semantics
 
 
@@ -530,9 +538,15 @@ def group_concat_ordered(spark, sf_dir):
 @query(
     "not_in_null_semantics",
     oracle="""
-SELECT x FROM (VALUES (1), (2), (3), (4)) AS t(x)
+SELECT 'with_null' AS variant, x
+FROM (VALUES (1), (2), (3), (4)) AS t(x)
 WHERE x NOT IN (SELECT y FROM (VALUES (2), (NULL)) AS s(y))
-ORDER BY x
+UNION ALL
+SELECT 'no_null' AS variant, x
+FROM (VALUES (1), (2), (3), (4)) AS t(x)
+WHERE x NOT IN (SELECT y FROM (VALUES (2), (NULL)) AS s(y)
+                WHERE y IS NOT NULL)
+ORDER BY variant, x
 """,
 )
 def not_in_null_semantics(spark, sf_dir):
@@ -541,7 +555,12 @@ def not_in_null_semantics(spark, sf_dir):
     The reference models this as a dedicated join type
     (JoinTypeAntiIncludeNulls, join.go:36,53,56); Spark's NOT IN implements
     the same null-aware anti-join. Expressed through SQL so Catalyst plans
-    the null-aware anti join rather than a plain left_anti."""
+    the null-aware anti join rather than a plain left_anti.
+
+    Two arms so the entry is non-vacuous (r6 verdict: a single empty
+    result proves nothing): the `with_null` arm must contribute ZERO rows
+    (a row leaking in flips the hash) while the `no_null` arm contributes
+    {1,3,4} under ordinary anti-join semantics."""
     spark.createDataFrame([(1,), (2,), (3,), (4,)], "x int").createOrReplaceTempView(
         "v_notin_t"
     )
@@ -549,7 +568,14 @@ def not_in_null_semantics(spark, sf_dir):
         "v_notin_s"
     )
     return spark.sql(
-        "SELECT x FROM v_notin_t WHERE x NOT IN (SELECT y FROM v_notin_s) ORDER BY x"
+        """
+        SELECT 'with_null' AS variant, x FROM v_notin_t
+        WHERE x NOT IN (SELECT y FROM v_notin_s)
+        UNION ALL
+        SELECT 'no_null' AS variant, x FROM v_notin_t
+        WHERE x NOT IN (SELECT y FROM v_notin_s WHERE y IS NOT NULL)
+        ORDER BY variant, x
+        """
     )
 
 

@@ -91,25 +91,31 @@ def subquery_exists_correlated(spark, sf_dir):
 @query(
     "subquery_in_derived_table",
     oracle="""
-SELECT seg.c_mktsegment, seg.n_cust
-FROM (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
-      FROM customer GROUP BY c_mktsegment) seg
-WHERE seg.n_cust IN (SELECT CAST(COUNT(*) AS BIGINT) FROM customer GROUP BY c_nationkey, c_mktsegment)
-ORDER BY seg.c_mktsegment
+SELECT seg.c_nationkey, seg.n_cust
+FROM (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey) seg
+WHERE seg.n_cust IN (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                     GROUP BY c_nationkey, c_mktsegment)
+ORDER BY seg.c_nationkey
 """,
 )
 def subquery_in_derived_table(spark, sf_dir):
     """Derived table (SubqueryAlias, reference subqueryalias.go) + IN over a
-    subquery of aggregates."""
+    subquery of aggregates. The derived counts (BUILDING per nation) are a
+    subset of the IN-list's (nation, segment) counts, so the match is
+    non-vacuous at every sf (the old segment-total vs per-nation-count
+    compare never matched — r6 verdict)."""
     t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_dt")
     return spark.sql(
         """
-        SELECT seg.c_mktsegment, seg.n_cust
-        FROM (SELECT c_mktsegment, COUNT(*) AS n_cust
-              FROM v_customer_dt GROUP BY c_mktsegment) seg
+        SELECT seg.c_nationkey, seg.n_cust
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust
+              FROM v_customer_dt WHERE c_mktsegment = 'BUILDING'
+              GROUP BY c_nationkey) seg
         WHERE seg.n_cust IN (SELECT COUNT(*) FROM v_customer_dt
                              GROUP BY c_nationkey, c_mktsegment)
-        ORDER BY seg.c_mktsegment
+        ORDER BY seg.c_nationkey
         """
     )
 

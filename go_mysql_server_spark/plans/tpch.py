@@ -410,16 +410,21 @@ SELECT nk, CAST(COUNT(*) AS BIGINT) AS numcust, ROUND(SUM(c_acctbal), 2) AS tota
 FROM (
   SELECT c_nationkey AS nk, c_acctbal FROM customer
   WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
 ) custsale
 GROUP BY nk
 ORDER BY nk
 """,
 )
 def q22(spark, sf_dir):
-    """Scalar subquery + NOT EXISTS anti-join (reference join_iters.go:361)."""
+    """Scalar subquery + NOT EXISTS anti-join (reference join_iters.go:361).
+    The anti-join side is restricted to orders over 200k so the result is
+    non-vacuous in this testdata, where every customer has at least one
+    order (r6 verdict; TPC-H's spec relies on order-less customers the
+    generator here doesn't produce)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg("c_acctbal").alias("a"))

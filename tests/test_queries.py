@@ -37,3 +37,30 @@ def test_every_query_has_oracle_or_reason():
     # float averaging are engine-specific; invariants asserted elsewhere)
     assert set(missing) <= {"agg_approx_count_distinct",
                             "similarity_kmeans_ivf"}, missing
+
+
+# Entries the r6 verdict flagged as vacuous (both sides empty at the
+# driver's sf0.01, so hash_match proved nothing). De-vacuated in r7 —
+# pin them non-empty at the DRIVER's scale so a refactor can't silently
+# regress them back to proving nothing. DuckDB-only: cheap, and a match
+# at sf0.01 implies the Spark side returns the same (nonzero) count.
+_DEVACUATED = (
+    "join_anti", "setop_except", "not_in_null_semantics",
+    "collation_ci_where_eq", "subquery_in_derived_table",
+    "tpch_q22_global_sales_opportunity", "dedup_exact",
+    "pipeline_embedding_neardup", "pipeline_contamination_check",
+)
+
+
+@pytest.mark.parametrize("name", _DEVACUATED)
+def test_oracle_nonvacuous_at_driver_sf(name):
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in ("region nation customer supplier part orders lineitem "
+                "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.01/{tbl}.parquet'")
+    assert len(con.sql(ORACLES[name]).fetchall()) > 0, (
+        f"{name}: oracle is vacuous (zero rows) at sf0.01 — the driver "
+        "hash-compare would pass without proving the operator")
