@@ -206,6 +206,12 @@ def _rewrite_collate(sql: str) -> str:
             # the expanded text.
             from .collation_ja import ja_key_sql_body
             return ja_key_sql_body(operand)
+        if coll.startswith("utf8mb4_zh_0900"):
+            # pinyin-order ICU-weight key for the Chinese collation
+            # (restricted code point set — dialect/collation_zh.py);
+            # inlined for the same Spark-4 Sort/SQL-UDF reason as ja
+            from .collation_zh import zh_key_sql_body
+            return zh_key_sql_body(operand)
         return operand  # _bin / _cs: binary compare is the Spark default
 
     return _COLLATE.sub(repl, sql)
@@ -737,10 +743,16 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
         if name == "JSON_ARRAY":
             # arguments may themselves be JSON_ARRAY/JSON_OBJECT calls
             # (nested constructors) — rewrite them before splicing
+            args = [a for a in args if a.strip()]
+            if not args:  # JSON_ARRAY() → empty array
+                return "'[]'"
             args = [_rewrite_calls(a, _MISC_FN, repl) for a in args]
             frags = ", ".join(_json_frag(a) for a in args)
             return f"CONCAT('[', concat_ws(',', {frags}), ']')"
         if name == "JSON_OBJECT":
+            args = [a for a in args if a.strip()]
+            if not args:  # JSON_OBJECT() → empty object
+                return "'{}'"
             if len(args) % 2:
                 return None
             args = [_rewrite_calls(a, _MISC_FN, repl) for a in args]

@@ -304,15 +304,126 @@ def _normalize_default(text: str) -> str:
                   "now()", text, flags=re.I)
 
 
+def _extract_default(rest: str) -> str | None:
+    """The DEFAULT clause of a column definition: a quoted string (single
+    or double quotes), a balanced-paren expression of any depth —
+    (concat('id00', md5(name))) — or a bare literal / zero-arg function
+    (reference sql/planbuilder parses the same surface; the old regex
+    capped paren nesting at two and silently dropped deeper defaults)."""
+    m = re.search(r"\bDEFAULT\s+", rest, re.I)
+    if not m:
+        return None
+    i = m.end()
+    if i >= len(rest):
+        return None
+    c = rest[i]
+    if c in "'\"":
+        j = i + 1
+        while j < len(rest):
+            if rest[j] == c:
+                if j + 1 < len(rest) and rest[j + 1] == c:  # '' doubling
+                    j += 2
+                    continue
+                break
+            j += 1
+        return rest[i:j + 1]
+    if c == "(":
+        close = _find_close_paren(rest, i)
+        return rest[i:close + 1]
+    # bare literal or unparenthesized function call — now(6),
+    # CURRENT_TIMESTAMP, uuid(), 1.5
+    lm = re.match(r"[\w.+-]+(?:\s*\([^()]*\))?", rest[i:])
+    if lm and lm.group(0).upper() != "NULL":
+        return lm.group(0)
+    return None
+
+
+def _canon_default(default: str | None, dtype, bounds) -> str | None:
+    """Canonicalize a LITERAL default at DDL time the way MySQL does
+    (reference sql/rowexec normalization; enginetest
+    column_default_queries.go 'normalization' scripts): numeric-string
+    defaults convert into the column's type — '1.999' on INT stores 2
+    (rounded), '1.23000' on FLOAT stores 1.23 (trailing zeros dropped).
+    Parenthesized expression defaults are stored verbatim."""
+    if default is None:
+        return None
+    d = default.strip()
+    if d.startswith("("):
+        return d
+    txt = None
+    if d[0] in "'\"" and len(d) >= 2 and d[-1] == d[0]:
+        txt = d[1:-1]
+    elif re.fullmatch(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", d):
+        txt = d
+    if txt is None:
+        return d  # CURRENT_TIMESTAMP and friends
+    import decimal
+    try:
+        dec = decimal.Decimal(txt)
+    except decimal.InvalidOperation:
+        # non-numeric string literal: normalize to single quotes
+        return "'" + txt.replace("'", "''") + "'" if d[0] == '"' else d
+    if bounds is not None or isinstance(
+            dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return str(int(dec.to_integral_value(
+            rounding=decimal.ROUND_HALF_UP)))
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        s = format(dec.normalize(), "f")
+        return s
+    return "'" + txt.replace("'", "''") + "'" if d[0] == '"' else d
+
+
+def _default_display(c) -> str | None:
+    """information_schema.columns COLUMN_DEFAULT rendering: literals show
+    their bare value, expression defaults show the expression with the
+    outer parens stripped (MySQL 8 display convention)."""
+    if c.default is None:
+        return None
+    d = c.default.strip()
+    if d.startswith("(") and d.endswith(")"):
+        return d[1:-1].strip()
+    if d and d[0] in "'\"" and len(d) >= 2 and d[-1] == d[0]:
+        return d[1:-1]
+    return d
+
+
 def _default_col(c) -> "F.Column":
     """Column expression for a declared default, with MySQL's insert-time
     conversion: numeric-string defaults ROUND into integer columns
     ('1.999' -> 2), not truncate (reference sql/types/number.go rounding
-    on convert)."""
-    expr = F.expr(_normalize_default(c.default))
+    on convert). The expression text is MySQL dialect — route it through
+    the transpiler so defaults like JSON_OBJECT() resolve."""
+    from .dialect.transpiler import transpile_select
+    expr = F.expr(transpile_select(_normalize_default(c.default)))
     if c.int_bounds is not None:
         return F.round(expr.cast("double")).cast(c.spark_type)
     return expr.cast(c.spark_type)
+
+
+def _rename_in_col_exprs(ts, old: str, new: str) -> None:
+    """A column rename follows into OTHER columns' stored DEFAULT and
+    GENERATED expressions (MySQL rewrites the stored definition; reference
+    alter_table.go RenameColumn + enginetest 'Column referenced with name
+    change')."""
+    pat = rf"(?<![`\w]){re.escape(old)}(?![`\w])"
+    for c in ts.columns:
+        if c.default and c.default.strip().startswith("("):
+            c.default = re.sub(pat, new, c.default)
+        if c.generated:
+            c.generated = re.sub(pat, new, c.generated)
+
+
+def _default_references(c, colnames: set) -> bool:
+    """True when the default expression references another column of the
+    table (so it must evaluate against the row, after simpler defaults)."""
+    if not c.default or not c.default.strip().startswith("("):
+        return False
+    from .dialect.transpiler import mask_literals
+    masked, _ = mask_literals(c.default)
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", masked):
+        if m.group(1).lower() in colnames:
+            return True
+    return False
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -410,6 +521,8 @@ class Engine:
             _register_ci(self.spark)   # mysql_ci_key macro (COLLATE)
             from .dialect.collation_ja import register_sql as _register_ja
             _register_ja(self.spark)   # mysql_ja_key macro (ja collation)
+            from .dialect.collation_zh import register_sql as _register_zh
+            _register_zh(self.spark)   # mysql_zh_key macro (zh collation)
             from .dialect.sql_macros import register_sql_macros
             register_sql_macros(self.spark)  # TIME/date shims for SQL text
             spark.conf.set("spark.gms.fnRegistered", "1")
@@ -890,11 +1003,17 @@ class Engine:
         if "ANSI_QUOTES" in str(self.sys_vars.get("sql_mode", "")).upper() \
                 and '"' in sql:
             sql = _ansi_quotes_to_backticks(sql)
-        head = sql.split(None, 1)[0].upper() if sql else ""
+        # leading keyword only — `select(select ...)` is legal MySQL with
+        # no whitespace after the verb, and `(SELECT ...)` may open with a
+        # paren (reference parser accepts both)
+        _mh = re.match(r"[A-Za-z]+", sql)
+        head = (_mh.group(0).upper() if _mh
+                else ("(" if sql.startswith("(") else ""))
         self._query_count += 1
         handler = {
             "SELECT": self._q_select, "WITH": self._q_select,
             "TABLE": self._q_select, "VALUES": self._q_select,
+            "(": self._q_select,
             "CREATE": self._q_create, "DROP": self._q_drop,
             "ALTER": self._q_alter, "RENAME": self._q_rename,
             "INSERT": self._q_insert, "REPLACE": self._q_insert,
@@ -1353,7 +1472,8 @@ class Engine:
                 (db, ts.name, c.name, i + 1,
                  c.spark_type.simpleString(),
                  "YES" if c.nullable else "NO",
-                 "PRI" if c.name in ts.primary_key else "")
+                 "PRI" if c.name in ts.primary_key else "",
+                 _default_display(c))
                 for db, tables in sorted(self.databases.items())
                 for ts in tables.values()
                 for i, c in enumerate(ts.columns)
@@ -1374,14 +1494,15 @@ class Engine:
                 rows += [
                     (self.current_db, r.name, f.name, i + 1,
                      f.dataType.simpleString(),
-                     "YES" if f.nullable else "NO", "")
+                     "YES" if f.nullable else "NO", "", None)
                     for i, f in enumerate(fields)
                 ]
             self.spark.createDataFrame(
-                rows or [(self.current_db, None, None, 0, None, None, None)],
+                rows or [(self.current_db, None, None, 0, None, None, None,
+                          None)],
                 "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
                 "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string, "
-                "COLUMN_KEY string",
+                "COLUMN_KEY string, COLUMN_DEFAULT string",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__columns")
         if "views" in needed:
@@ -2160,15 +2281,7 @@ class Engine:
             rest_up = rest.upper()
             nullable = "NOT NULL" not in rest_up
             auto_inc = "AUTO_INCREMENT" in rest_up
-            default = None
-            # one nesting level inside the parenthesized form covers
-            # DEFAULT (uuid()), (now()), ((1+2)*3)-style expressions
-            dm = re.search(
-                r"DEFAULT\s+('(?:[^']|'')*'"
-                r"|\((?:[^()]|\([^()]*\))*\)"
-                r"|[\w.+-]+(?:\s*\(\s*\))?)", rest, re.I)
-            if dm and dm.group(1).upper() != "NULL":
-                default = dm.group(1)
+            default = _canon_default(_extract_default(rest), dtype, bounds)
             generated = _parse_generated(rest)
             if "PRIMARY KEY" in rest_up:
                 pk = (cname,)
@@ -2241,12 +2354,8 @@ class Engine:
                 dtype, enum_vals, bounds = _parse_type(col_rest)
                 rest_up = col_rest.upper()
                 nullable = "NOT NULL" not in rest_up
-                dm = re.search(
-                    r"DEFAULT\s+('(?:[^']|'')*'"
-                    r"|\((?:[^()]|\([^()]*\))*\)"
-                    r"|[\w.+-]+(?:\s*\(\s*\))?)",
-                    col_rest, re.I)
-                default = dm.group(1) if dm and dm.group(1).upper() != "NULL" else None
+                default = _canon_default(_extract_default(col_rest),
+                                         dtype, bounds)
                 generated = _parse_generated(col_rest)
                 enum_vals, set_vals = _split_enum_set(enum_vals)
                 col = ColumnDef(col_name, dtype, nullable, default,
@@ -2260,7 +2369,8 @@ class Engine:
                         Window.orderBy(F.monotonically_increasing_id())
                     ).cast(dtype)
                 elif default:
-                    fill = F.expr(default).cast(dtype)
+                    fill = F.expr(transpile_select(
+                        _normalize_default(default))).cast(dtype)
                 elif not nullable:
                     # implicit default backfill (reference column default
                     # resolution: NOT NULL without DEFAULT takes the
@@ -2309,6 +2419,7 @@ class Engine:
                 # stored constraint; reference alter_table.go RenameColumn)
                 ts.checks = [re.sub(rf"(?<![`\w]){re.escape(old)}(?![`\w])",
                                     new, chk) for chk in ts.checks]
+                _rename_in_col_exprs(ts, old, new)
             elif up.startswith("RENAME INDEX") or up.startswith("RENAME KEY"):
                 rm2 = re.match(r"RENAME\s+(?:INDEX|KEY)\s+[`]?(\w+)[`]?\s+"
                                r"TO\s+[`]?(\w+)[`]?", action, re.I)
@@ -2354,6 +2465,7 @@ class Engine:
                             re.sub(rf"(?<![`\w]){re.escape(old_name)}"
                                    rf"(?![`\w])", new_name, chk)
                             for chk in ts.checks]
+                        _rename_in_col_exprs(ts, old_name, new_name)
                     body = new_name + " " + (cparts[2] if len(cparts) > 2
                                              else "")
                 parts = body.split(None, 1)
@@ -2368,6 +2480,12 @@ class Engine:
                         c.int_bounds = bounds
                         c.set_values = set_vals
                         c.nullable = "NOT NULL" not in modify_up
+                        # MODIFY restates the whole definition: a DEFAULT
+                        # clause (re)binds it, its absence drops any prior
+                        # default (MySQL ALTER semantics; reference
+                        # alter_table.go ModifyColumn)
+                        c.default = _canon_default(
+                            _extract_default(parts[1]), dtype, bounds)
                         was_ai = c.auto_increment
                         c.auto_increment = "AUTO_INCREMENT" in modify_up
                         if c.auto_increment and not was_ai:
@@ -2941,6 +3059,7 @@ class Engine:
         # INSERT IGNORE and non-strict sql_mode use lenient value conversion
         lenient = ignore or not self._strict_mode()
         select_cols = []
+        deferred_defaults: list = []  # defaults referencing other columns
         for c in ts.columns:
             if c.generated is not None:
                 # placeholder; computed in a second projection so the expr
@@ -3012,7 +3131,18 @@ class Engine:
                 last_id = ts.auto_inc_next
                 ts.auto_inc_next += n_new
             elif c.default is not None:
-                select_cols.append(_default_col(c).alias(c.name))
+                if _default_references(
+                        c, {cc.name.lower() for cc in ts.columns}):
+                    # cross-column default — (pk + 5), (concat(.., name)):
+                    # defer to a second projection over the FULL row so it
+                    # can read provided columns and earlier defaults
+                    # (reference column defaults may reference other
+                    # columns; enginetest 'Modify column ... add reference')
+                    select_cols.append(
+                        F.lit(None).cast(c.spark_type).alias(c.name))
+                    deferred_defaults.append(c)
+                else:
+                    select_cols.append(_default_col(c).alias(c.name))
             elif c.enum_values and not c.nullable:
                 # NOT NULL ENUM without DEFAULT: implicit default is the
                 # first enumeration value (MySQL)
@@ -3029,6 +3159,11 @@ class Engine:
                 ts, named, {c.name: F.col(c.name) for c in ts.columns
                             if c.name in target_cols})
         incoming = named.select(*select_cols)
+        # cross-column defaults evaluate in TABLE ORDER over the assembled
+        # row, so a default can read a provided column anywhere in the row
+        # and the result of any default evaluated before it
+        for c in deferred_defaults:
+            incoming = incoming.withColumn(c.name, _default_col(c))
         if gen_cols:
             incoming = self._compute_generated(ts, incoming)
         incoming = self._apply_insert_triggers(ts, incoming, "BEFORE")
@@ -3838,6 +3973,10 @@ class Engine:
                 if c.name in assigns else F.col(c.name)
                 for c in ts.columns
             ])
+            if any(c.generated for c in ts.columns):
+                # generated columns recompute from the post-assignment
+                # base values (reference virtual_column_table.go)
+                out = self._compute_generated(ts, out)
             # enforced CHECKs over the updated rows
             viol = F.lit(False)
             for ci, chk in enumerate(ts.checks):

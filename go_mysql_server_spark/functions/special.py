@@ -28,16 +28,33 @@ def _c(x) -> Column:
 
 # ---- JSON read (expression-level) ------------------------------------------
 
+def _ensure_wild_registered() -> None:
+    """The Column-API json_extract references the json_extract_wild UDF
+    in its plan, so the UDF must exist at ANALYSIS time — register it
+    lazily against the active session (idempotent) so mysql_fn users
+    don't need to construct an Engine first."""
+    from pyspark.sql import SparkSession
+    s = SparkSession.getActiveSession()
+    if s is not None and s.conf.get(
+            "spark.gms.jsonWildRegistered", "") != "1":
+        s.udf.register("json_extract_wild", _extract_wild, T.StringType())
+        s.conf.set("spark.gms.jsonWildRegistered", "1")
+
+
 def _json_extract(doc, path) -> Column:
+    _ensure_wild_registered()
     if isinstance(path, str) and "*" in path:
         # wildcard legs ($.*, $[*], $**.k) exceed get_json_object — route
         # to the Python path evaluator (registered in register_udfs)
         return F.call_udf("json_extract_wild", _c(doc), F.lit(path))
     # NULL from get_json_object is ambiguous: missing key vs JSON null
-    # value — the evaluator distinguishes (missing → NULL, null → 'null')
-    return F.coalesce(F.get_json_object(_c(doc), path),
-                      F.call_udf("json_extract_wild", _c(doc),
-                                 F.lit(path)))
+    # value — the evaluator distinguishes (missing → NULL, null → 'null');
+    # gate the per-row fallback on the document containing 'null' at all,
+    # so the common missing-key case stays on the JVM fast path
+    return F.coalesce(
+        F.get_json_object(_c(doc), path),
+        F.when(F.instr(_c(doc), "null") > 0,
+               F.call_udf("json_extract_wild", _c(doc), F.lit(path))))
 
 
 def _extract_wild(doc: str | None, path: str | None):

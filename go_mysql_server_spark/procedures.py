@@ -183,6 +183,10 @@ class _ExitBlock(Exception):
         self.frame_id = frame_id
 
 
+# sentinel: a name not bound before this block DECLAREd it
+_UNBOUND = object()
+
+
 class _Cursor:
     """Materialized cursor over a SELECT's rows (reference fetch.go).
 
@@ -249,14 +253,29 @@ class ProcedureInterpreter:
             self.trigger_new = self.trigger_old = None
         return new
 
+    MAX_SP_RECURSION = 64
+
     def call(self, proc: Procedure, args: list,
              scope_out: dict | None = None):
+        from .engine import SqlError
         if len(args) != len(proc.params):
-            from .engine import SqlError
             raise SqlError(
                 f"procedure {proc.name} expects {len(proc.params)} args, got {len(args)}")
-        scope = {p[1].lower(): a for p, a in zip(proc.params, args)}
-        result = self._exec_block(split_statements(proc.body), scope)
+        # recursion guard (MySQL max_sp_recursion_depth; reference
+        # planbuilder call depth check) — a body whose CALL re-enters the
+        # engine must bottom out as error 1456, not a Python RecursionError
+        depth = getattr(self.engine, "_sp_depth", 0)
+        if depth >= self.MAX_SP_RECURSION:
+            raise SqlError(
+                f"Recursive limit {self.MAX_SP_RECURSION} (as set by the "
+                f"max_sp_recursion_depth variable) was exceeded for routine "
+                f"{proc.name}", sqlstate="HY000", errno=1456)
+        self.engine._sp_depth = depth + 1
+        try:
+            scope = {p[1].lower(): a for p, a in zip(proc.params, args)}
+            result = self._exec_block(split_statements(proc.body), scope)
+        finally:
+            self.engine._sp_depth = depth
         if scope_out is not None:
             # final parameter values, for the caller's OUT/INOUT
             # writeback (reference sql/plan/call.go)
@@ -266,14 +285,27 @@ class ProcedureInterpreter:
     # ---- block / handler machinery ------------------------------------------
 
     def _push_frame(self) -> dict:
-        frame = {"id": self._next_frame, "handlers": [], "conditions": {}}
+        frame = {"id": self._next_frame, "handlers": [], "conditions": {},
+                 "saved": {}}
         self._next_frame += 1
         self.frames.append(frame)
         return frame
 
+    def _declare_var(self, name: str, value, scope: dict) -> None:
+        """Bind a DECLAREd variable in the CURRENT block's scope (MySQL
+        block scoping, reference sql/plan/block.go + declare.go): the
+        prior binding — an outer block's variable or a same-named
+        parameter — is shadowed for the block's duration and restored on
+        exit, so inner assignments to the shadow never leak out."""
+        frame = self.frames[-1]
+        if name not in frame["saved"]:
+            frame["saved"][name] = scope.get(name, _UNBOUND)
+        scope[name] = value
+
     def _exec_block(self, stmts: list[str], scope: dict):
         """Run a statement list inside a fresh handler scope; EXIT handlers
-        declared here unwind to exactly this block."""
+        declared here unwind to exactly this block, and variables DECLAREd
+        here go out of scope (shadowed bindings restored) on exit."""
         frame = self._push_frame()
         result = None
         try:
@@ -283,6 +315,11 @@ class ProcedureInterpreter:
             if ex.frame_id != frame["id"]:
                 raise
         finally:
+            for name, old in frame["saved"].items():
+                if old is _UNBOUND:
+                    scope.pop(name, None)
+                else:
+                    scope[name] = old
             self.frames.pop()
         return result
 
@@ -387,8 +424,19 @@ class ProcedureInterpreter:
         from .engine import SqlError
         stripped = stmt.strip()
         up = stripped.upper()
-        if re.match(r"^BEGIN\b", up):
-            return self._exec_block(split_statements(stripped), scope)
+        lb = re.match(r"(?:(\w+)\s*:\s*)?BEGIN\b", stripped, re.I)
+        if lb:
+            # [label:] BEGIN ... END — LEAVE <label> unwinds to the end of
+            # the block (reference sql/plan/block.go labeled blocks)
+            label = (lb.group(1) or "").lower()
+            body = stripped[lb.end(1):].lstrip(": \t\n") if lb.group(1) \
+                else stripped
+            try:
+                return self._exec_block(split_statements(body), scope)
+            except _Leave as lv:
+                if label and lv.label == label:
+                    return None
+                raise
         m = re.match(r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.*)$", stripped,
                      re.I | re.S)
         if m:
@@ -414,12 +462,18 @@ class ProcedureInterpreter:
                 self.frames[-1]["id"]))
             return None
         if up.startswith("DECLARE"):
-            m = re.match(r"DECLARE\s+(\w+)\s+\S+(?:\s+DEFAULT\s+(.*))?$",
-                         stripped, re.I | re.S)
+            # DECLARE a[, b, ...] <type> [DEFAULT expr] — every name in
+            # the list gets the same type and default (MySQL syntax;
+            # reference sql/plan/declare.go)
+            m = re.match(
+                r"DECLARE\s+((?:\w+\s*,\s*)*\w+)\s+\S+"
+                r"(?:\s+DEFAULT\s+(.*))?$",
+                stripped, re.I | re.S)
             if m:
-                scope[m.group(1).lower()] = (
-                    self._eval(m.group(2), scope) if m.group(2) else None
-                )
+                default = (self._eval(m.group(2), scope)
+                           if m.group(2) else None)
+                for name in m.group(1).split(","):
+                    self._declare_var(name.strip().lower(), default, scope)
             return None
         if up.startswith("SIGNAL") or up.startswith("RESIGNAL"):
             return self._exec_signal(stripped, scope)
@@ -478,6 +532,8 @@ class ProcedureInterpreter:
             for assign in _split_top_level(stripped[4:]):
                 name, expr = assign.split("=", 1)
                 name = name.strip()
+                if name.endswith(":"):  # MySQL's `SET x := expr`
+                    name = name[:-1].strip()
                 nm = re.fullmatch(r"NEW\.[`]?(\w+)[`]?", name, re.I)
                 if nm and self.trigger_new is not None:
                     self.trigger_new[nm.group(1).lower()] = \
@@ -540,6 +596,41 @@ class ProcedureInterpreter:
                     else:
                         scope[t.lower()] = v
                 return None
+        if up.startswith("CALL"):
+            # nested CALL with by-reference OUT/INOUT writeback: a bare
+            # scope variable passed to an OUT/INOUT parameter receives the
+            # callee's final value (reference sql/plan/call.go — binding
+            # through _bind would literalize the arg and lose the
+            # writeback; `CALL p2(x)` must mutate x)
+            m = re.match(r"CALL\s+([`\w.]+)\s*(?:\((.*)\))?\s*$", stripped,
+                         re.I | re.S)
+            if m:
+                pname = m.group(1).strip("`").split(".")[-1].lower()
+                proc = self.engine.procedures.get(pname)
+                if proc is not None:
+                    from .engine import _split_top_level
+                    arg_txts = ([a.strip()
+                                 for a in _split_top_level(m.group(2))]
+                                if m.group(2) and m.group(2).strip() else [])
+                    args = []
+                    for i, a in enumerate(arg_txts):
+                        mode = (proc.params[i][0]
+                                if i < len(proc.params) else "IN")
+                        args.append(None if mode == "OUT"
+                                    else self._eval(a, scope))
+                    scope_out: dict = {}
+                    result = ProcedureInterpreter(self.engine).call(
+                        proc, args, scope_out=scope_out)
+                    for i, a in enumerate(arg_txts):
+                        if i >= len(proc.params) \
+                                or proc.params[i][0] not in ("OUT", "INOUT"):
+                            continue
+                        val = scope_out.get(proc.params[i][1].lower())
+                        if a.startswith("@"):
+                            self.engine.user_vars[a[1:]] = val
+                        elif re.fullmatch(r"\w+", a) and a.lower() in scope:
+                            scope[a.lower()] = val
+                    return result
         return self.engine.query(self._bind(stmt, scope))
 
     # ---- control-flow statements --------------------------------------------

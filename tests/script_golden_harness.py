@@ -77,6 +77,33 @@ def _parse_go_rows(text: str):
     if end < 0:
         return None
     inner = body[start + 1:end]
+    # braces INSIDE double-quoted strings ("{}" is a common JSON golden)
+    # would break the row-chunk regex — mask them to sentinels and restore
+    # after cell parse (same trick as the backtick masking above)
+    out2: list[str] = []
+    instr2, i2 = False, 0
+    while i2 < len(inner):
+        ch = inner[i2]
+        if instr2:
+            if ch == "\\" and i2 + 1 < len(inner):
+                out2 += [ch, inner[i2 + 1]]
+                i2 += 2
+                continue
+            if ch == '"':
+                instr2 = False
+                out2.append(ch)
+            elif ch == "{":
+                out2.append("\x04")
+            elif ch == "}":
+                out2.append("\x05")
+            else:
+                out2.append(ch)
+        else:
+            if ch == '"':
+                instr2 = True
+            out2.append(ch)
+        i2 += 1
+    inner = "".join(out2)
     rows = []
     for rm in re.finditer(
             r"\{([^{}]*)\}|sql\.NewRow\(((?:[^()]|\([^()]*\))*)\)", inner):
@@ -87,6 +114,7 @@ def _parse_go_rows(text: str):
             if isinstance(v, str):
                 v = re.sub(r"\x02(\d+)\x02",
                            lambda m: bt_vals[int(m.group(1))], v)
+                v = v.replace("\x04", "{").replace("\x05", "}")
             cells.append(v)
         rows.append(tuple(cells))
     return rows

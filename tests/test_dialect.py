@@ -116,3 +116,19 @@ def test_resolve_projection_alias_in_subquery():
     # only bare-(SELECT alias) shapes; anything else untouched
     sql = "SELECT 1 as a, (select x from xy) from xy"
     assert fix(sql) == sql
+
+
+def test_zh_collation_sql_text(spark):
+    """ORDER BY s COLLATE utf8mb4_zh_0900_as_cs through SQL text: pinyin
+    order for the restricted hanzi set (aihao < baima < zhongguo), Han
+    script reordered ahead of Latin — reference
+    sql/encodings/generate/utf8mb4_zh_0900_as_cs.go weights."""
+    from go_mysql_server_spark.engine import Engine
+
+    eng = Engine(spark, default_db="zhdb")
+    eng.query("CREATE TABLE zht (id INT PRIMARY KEY, s VARCHAR(20))")
+    eng.query("INSERT INTO zht VALUES (1,'中国'),(2,'爱好'),(3,'abc'),"
+              "(4,'白马')")
+    r = eng.query("SELECT s FROM zht ORDER BY s COLLATE "
+                  "utf8mb4_zh_0900_as_cs")
+    assert [row[0] for row in r.collect()] == ['爱好', '白马', '中国', 'abc']

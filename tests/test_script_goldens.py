@@ -9,10 +9,12 @@ expected rows (tests/script_golden_harness.py):
 - derived_table_outer_scope_visibility_queries.go — outer-scope alias
   visibility edges
 
-column_default_queries.go is NOT yet registered: it pins MySQL's default
--expression normalization surface (information_schema.columns
-COLUMN_DEFAULT strings, cross-column default expressions at ALTER time)
-— triaged in r5, queued as future work.
+- variable_queries.go / view_queries.go — r5
+- procedure_queries.go (ProcedureLogicTests + ProcedureCallTests) — r7:
+  block-scoped DECLARE, labeled blocks, nested CALL INOUT writeback,
+  bounded recursion
+- column_default_queries.go — r7: literal-default normalization,
+  cross-column default expressions, information_schema COLUMN_DEFAULT
 """
 
 from __future__ import annotations
@@ -299,3 +301,53 @@ def test_json_golden_scripts(spark):
         spark, QDIR / "json_scripts.go", script_skip=JSON_SKIP, db="mydb")
     assert ok >= 23, f"json golden pass count regressed: {ok}"
     assert not failures, failures[:8]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_procedure_logic_golden_scripts(spark):
+    """Stored-procedure control flow vs the reference's own pin for that
+    surface (procedure_queries.go ProcedureLogicTests): block-scoped
+    DECLARE (nesting + parameter shadowing), multi-name DECLARE, labeled
+    BEGIN/LOOP/REPEAT/WHILE with ITERATE/LEAVE, cursors + handlers,
+    SET := spelling, bounded CALL recursion, subquery set operations."""
+    scripts = parse_script_vars(
+        QDIR / "procedure_queries.go")["ProcedureLogicTests"]
+    ok, skipped, failures = run_script_seq(
+        spark, scripts, _fixtures())
+    assert ok >= 26, f"procedure-logic golden pass count regressed: {ok}"
+    assert not failures, failures[:8]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_procedure_call_golden_scripts(spark):
+    """CALL surface (procedure_queries.go ProcedureCallTests): OUT/INOUT
+    writeback through @vars, nested CALL with by-reference INOUT
+    parameters, argument count/order checks."""
+    scripts = parse_script_vars(
+        QDIR / "procedure_queries.go")["ProcedureCallTests"]
+    ok, skipped, failures = run_script_seq(
+        spark, scripts, _fixtures())
+    assert ok >= 7, f"procedure-call golden pass count regressed: {ok}"
+    assert not failures, failures[:8]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_column_default_golden_scripts(spark):
+    """Column-default surface vs column_default_queries.go: literal
+    default normalization (int rounds, float trims, double quotes),
+    expression defaults of any paren depth, cross-column default
+    references (including after MODIFY ... FIRST repositioning), RENAME
+    following into stored default expressions, DEFAULT now(6) /
+    JSON_OBJECT() function defaults, information_schema COLUMN_DEFAULT
+    rendering, generated-column recompute through multi-table UPDATE."""
+    scripts = parse_script_vars(
+        QDIR / "column_default_queries.go")["ColumnDefaultTests"]
+    ok, skipped, failures = run_script_seq(
+        spark, scripts, _fixtures())
+    assert ok >= 23, f"column-default golden pass count regressed: {ok}"
+    assert not failures, failures[:8]
+
+
+def _fixtures():
+    from .test_goldens import FIXTURES
+    return dict(FIXTURES)
