@@ -3926,6 +3926,8 @@ class Engine:
         # EVERY table untouched (MySQL statement atomicity)
         staged = []
         total = 0
+        trig_after: list = []  # (AFTER triggers, pairs_old, pairs_new)
+        need_snap = False
         for qual_l, assigns in groups.items():
             qual = quals[qual_l]
             tname = alias_map.get(qual_l, qual)
@@ -3952,6 +3954,47 @@ class Engine:
             ).dropDuplicates(pk)
             n = updates.count()
             total += n
+            # UPDATE triggers fire per matched row on EACH target table
+            # (reference update_join.go routes through the same trigger
+            # plan as single-table UPDATE). BEFORE bodies may mutate NEW
+            # (rebuilt into the staged updates); AFTER bodies run post-
+            # commit, row-sequentially, with OLD./NEW. bound.
+            utrigs = [t for t in self.triggers.get(ts.name, [])
+                      if t.event == "UPDATE"]
+            if utrigs and n:
+                from .procedures import ProcedureInterpreter
+                prs = ts.df.join(updates, pk, "inner").collect()
+                pairs_old = [{c.name.lower(): r[c.name]
+                              for c in ts.columns} for r in prs]
+                pairs_new = [
+                    {c.name.lower(): (r["__new_" + c.name]
+                                      if c.name in assigns else r[c.name])
+                     for c in ts.columns} for r in prs]
+                bts = [t for t in utrigs if t.timing == "BEFORE"]
+                for i, newd in enumerate(pairs_new):
+                    for t in bts:
+                        ProcedureInterpreter(self).run_trigger(
+                            t.body, new=newd, old=pairs_old[i])
+                if bts and prs:
+                    # NEW may have been mutated — rebuild the staging df
+                    by_name = {c.name: c for c in ts.columns}
+                    fields = pk + [c for c in assigns if c not in pk]
+                    data = [tuple(self._py_coerce(
+                        d[f.lower()], by_name[f].spark_type)
+                        for f in fields) for d in pairs_new]
+                    schema2 = T.StructType(
+                        [T.StructField(f, by_name[f].spark_type)
+                         for f in fields])
+                    rebuilt = self.spark.createDataFrame(data, schema2)
+                    updates = rebuilt.select(
+                        *pk,
+                        *[F.col(c).alias(f"__new_{c}") for c in assigns],
+                        F.lit(1).alias("__upd_match")).dropDuplicates(pk)
+                trig_after.append((
+                    [t for t in utrigs if t.timing == "AFTER"],
+                    pairs_old, pairs_new))
+                need_snap = need_snap or any(
+                    self._trigger_has_side_effects(t) for t in utrigs)
             fks = self._referencing_fks(ts, set(assigns))
             if fks and n:
                 needed = sorted(
@@ -3993,9 +4036,22 @@ class Engine:
                         f"CHECK constraint violated on UPDATE of "
                         f"{tname!r}")
             staged.append((ts, out))
-        for ts, out in staged:
-            ts.df = out.localCheckpoint(eager=True)
-            self._register(ts)
+        snap = self._snapshot_state() if need_snap else None
+        try:
+            for ts, out in staged:
+                ts.df = out.localCheckpoint(eager=True)
+                self._register(ts)
+            if trig_after:
+                from .procedures import ProcedureInterpreter
+                for ats, pairs_old, pairs_new in trig_after:
+                    for i, old in enumerate(pairs_old):
+                        for t in ats:
+                            ProcedureInterpreter(self).run_trigger(
+                                t.body, new=pairs_new[i], old=old)
+        except Exception:
+            if snap is not None:
+                self._restore_state(snap)
+            raise
         return OkResult(total)
 
     def _q_delete(self, sql: str, cte_prefix: str = "") -> OkResult:

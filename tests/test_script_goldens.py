@@ -175,13 +175,11 @@ def test_alter_table_golden_scripts(spark):
 # documented future-work item; a failure OUTSIDE these scripts is a
 # regression.
 UPDATE_KNOWN_FAIL = (
-    "ON UPDATE works with CTE",
+    # r7 cleared the rest of this list (WITH-attached UPDATE, UPDATE-join
+    # triggers with OLD./NEW. row values, FK-constrained UPDATE join,
+    # conflicting subquery alias); the one survivor is row-level IGNORE
+    # conflict-skip semantics on pk/secondary-index collisions
     "UPDATE IGNORE with primary keys and indexes",
-    "UPDATE join - conflicting alias in Subquery Alias",
-    "UPDATE join – multiple tables with same column names with triggers",
-    "UPDATE join – multiple tables with triggers that reference row values",
-    "UPDATE join – multiple tables, with FK constraint",
-    "UPDATE join – multiple tables, with trigger",
 )
 INSERT_KNOWN_FAIL = (
     "Defaults with escaped strings",
