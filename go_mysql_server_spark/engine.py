@@ -75,6 +75,10 @@ class ColumnDef:
     # SET('a','b') members — comma-list values validated element-wise
     # (reference sql/types/set.go)
     set_values: tuple[str, ...] | None = None
+    # CHAR/VARCHAR declared length — lenient-mode (IGNORE / non-strict)
+    # conversion truncates to it, as MySQL's warning path does
+    # (reference sql/types/strings.go Convert)
+    char_length: int | None = None
 
 
 @dataclass
@@ -320,6 +324,9 @@ def _extract_default(rest: str) -> str | None:
     if c in "'\"":
         j = i + 1
         while j < len(rest):
+            if rest[j] == "\\" and j + 1 < len(rest):  # \' escapes
+                j += 2
+                continue
             if rest[j] == c:
                 if j + 1 < len(rest) and rest[j + 1] == c:  # '' doubling
                     j += 2
@@ -338,6 +345,43 @@ def _extract_default(rest: str) -> str | None:
     return None
 
 
+def _char_len_of(type_text: str) -> int | None:
+    m = re.match(r"\s*(?:VAR)?CHAR\s*\(\s*(\d+)\s*\)", type_text, re.I)
+    return int(m.group(1)) if m else None
+
+
+def _decode_str_literal(d: str) -> str:
+    """MySQL string literal (either quote char, '' doubling and backslash
+    escapes) → its VALUE."""
+    q, body = d[0], d[1:-1]
+    out: list[str] = []
+    i = 0
+    esc = {"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+           "\\": "\\", "'": "'", '"': '"'}
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(esc.get(body[i + 1], body[i + 1]))
+            i += 2
+            continue
+        if ch == q and i + 1 < len(body) and body[i + 1] == q:
+            out.append(q)
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _encode_str_literal(value: str) -> str:
+    """A value → canonical single-quoted literal (backslash escapes, the
+    one spelling every downstream consumer — VALUES fill, SHOW CREATE,
+    the transpiler's masking — reads unambiguously)."""
+    return "'" + (value.replace("\\", "\\\\").replace("'", "\\'")
+                  .replace("\t", "\\t").replace("\n", "\\n")
+                  .replace("\r", "\\r")) + "'"
+
+
 def _canon_default(default: str | None, dtype, bounds) -> str | None:
     """Canonicalize a LITERAL default at DDL time the way MySQL does
     (reference sql/rowexec normalization; enginetest
@@ -352,7 +396,7 @@ def _canon_default(default: str | None, dtype, bounds) -> str | None:
         return d
     txt = None
     if d[0] in "'\"" and len(d) >= 2 and d[-1] == d[0]:
-        txt = d[1:-1]
+        txt = _decode_str_literal(d)
     elif re.fullmatch(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", d):
         txt = d
     if txt is None:
@@ -361,8 +405,9 @@ def _canon_default(default: str | None, dtype, bounds) -> str | None:
     try:
         dec = decimal.Decimal(txt)
     except decimal.InvalidOperation:
-        # non-numeric string literal: normalize to single quotes
-        return "'" + txt.replace("'", "''") + "'" if d[0] == '"' else d
+        # non-numeric string literal: canonical single-quoted spelling
+        # (resolves '' doubling vs backslash-escape ambiguity once)
+        return _encode_str_literal(txt)
     if bounds is not None or isinstance(
             dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return str(int(dec.to_integral_value(
@@ -370,7 +415,7 @@ def _canon_default(default: str | None, dtype, bounds) -> str | None:
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         s = format(dec.normalize(), "f")
         return s
-    return "'" + txt.replace("'", "''") + "'" if d[0] == '"' else d
+    return _encode_str_literal(txt)
 
 
 def _default_display(c) -> str | None:
@@ -430,12 +475,27 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     out, depth, cur, i, n = [], 0, [], 0, len(s)
     while i < n:
         c = s[i]
-        if c == "'":
+        if c in ("'", '"', "`"):
+            # quoted region: honor backslash escapes (\' — not in
+            # backticks) and doubled-quote escapes ('' / "" / ``), both
+            # of which MySQL accepts; the old scan ended the literal at
+            # the SECOND quote of a doubled pair, splitting mid-string
+            q = c
             cur.append(c)
             i += 1
             while i < n:
-                cur.append(s[i])
-                if s[i] == "'" and not (i + 1 < n and s[i + 1] == "'"):
+                ch = s[i]
+                if ch == "\\" and q != "`" and i + 1 < n:
+                    cur.append(ch)
+                    cur.append(s[i + 1])
+                    i += 2
+                    continue
+                cur.append(ch)
+                if ch == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled-quote escape
+                        cur.append(q)
+                        i += 2
+                        continue
                     break
                 i += 1
         elif c == "(":
@@ -1454,8 +1514,14 @@ class Engine:
             rows = [
                 ("def", db, ts.name, "BASE TABLE", "InnoDB",
                  ts.stats.get("rows"),
-                 ts.auto_inc_next if any(c.auto_increment
-                                         for c in ts.columns) else None)
+                 # MySQL shows NULL until the counter has actually been
+                 # advanced past its initial value (a fresh auto-inc
+                 # table, or one only ever fed explicit values under
+                 # NO_AUTO_VALUE_ON_ZERO, reports NULL)
+                 ts.auto_inc_next
+                 if ts.auto_inc_next > 1 and any(c.auto_increment
+                                                 for c in ts.columns)
+                 else None)
                 for db, tables in sorted(self.databases.items())
                 for ts in tables.values()
             ]
@@ -2306,7 +2372,8 @@ class Engine:
                     not re.search(r"\)\s*NOT\s+ENFORCED", rest, re.I))
             columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
                                      enum_vals, bounds, generated,
-                                     set_values=set_vals))
+                                     set_values=set_vals,
+                                     char_length=_char_len_of(rest)))
         if pk:
             for c in columns:
                 if c.name in pk:
@@ -2360,7 +2427,8 @@ class Engine:
                 enum_vals, set_vals = _split_enum_set(enum_vals)
                 col = ColumnDef(col_name, dtype, nullable, default,
                                 enum_values=enum_vals, int_bounds=bounds,
-                                generated=generated, set_values=set_vals)
+                                generated=generated, set_values=set_vals,
+                                char_length=_char_len_of(col_rest))
                 if generated is not None:
                     # ALTER ADD generated column backfills over existing rows
                     fill = F.expr(transpile_select(generated)).cast(dtype)
@@ -2486,6 +2554,7 @@ class Engine:
                         # alter_table.go ModifyColumn)
                         c.default = _canon_default(
                             _extract_default(parts[1]), dtype, bounds)
+                        c.char_length = _char_len_of(parts[1])
                         was_ai = c.auto_increment
                         c.auto_increment = "AUTO_INCREMENT" in modify_up
                         if c.auto_increment and not was_ai:
@@ -2749,7 +2818,16 @@ class Engine:
 
     _INSERT = re.compile(
         r"^(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([`\w.]+)\s*"
-        r"(\(([^)]*)\))?\s*(VALUES?\s*(.*)|(SELECT.*)|SET\s+(.*))$",
+        r"(\(([^)]*)\))?\s*(VALUES?\s*(.*)|((?:SELECT|WITH|TABLE).*)"
+        r"|SET\s+(.*))$",
+        re.I | re.S,
+    )
+    # `INSERT INTO t (SELECT ...)` — MySQL accepts the query source in
+    # parens with no column list (reference insert_queries.go 'references
+    # table in subquery'); peel the parens so _INSERT sees a plain SELECT
+    _INSERT_PAREN_SRC = re.compile(
+        r"^((?:INSERT|REPLACE)\s+(?:IGNORE\s+)?INTO\s+[`\w.]+\s*)"
+        r"\(\s*((?:SELECT|WITH)\b.*)\)\s*$",
         re.I | re.S,
     )
 
@@ -2775,6 +2853,9 @@ class Engine:
             odku = unmask_literals(m_odku.group(1), _lits)
             masked = masked[:m_odku.start()].rstrip()
         sql = unmask_literals(masked, _lits)
+        pm = self._INSERT_PAREN_SRC.match(sql)
+        if pm:
+            sql = pm.group(1) + pm.group(2)
         m = self._INSERT.match(sql)
         if not m:
             raise SqlError(f"cannot parse INSERT: {sql[:80]!r}")
@@ -2783,8 +2864,10 @@ class Engine:
             [c.strip().strip("`") for c in m.group(5).split(",")] if m.group(5) else None
         )
         ts = self._table(name)
-        if m.group(8):  # INSERT ... SELECT
+        src_cols = None
+        if m.group(8):  # INSERT ... SELECT / WITH / TABLE
             new_rows = self._q_select(m.group(8))
+            src_cols = list(new_rows.columns)
         elif m.group(9):  # INSERT ... SET c=v
             from .dialect.transpiler import rewrite_numeric_literals
             assigns = _split_top_level(m.group(9))
@@ -2855,7 +2938,7 @@ class Engine:
                         new_rows = self.spark.sql(
                             transpile_select(union_sql))
         result = self._insert_df(ts, new_rows, col_list, verb, ignore,
-                                 odku)
+                                 odku, src_cols=src_cols)
         if returning is not None and getattr(self, "_last_inserted",
                                              None) is not None:
             # INSERT ... RETURNING (MariaDB/Dolt extension the reference
@@ -2867,7 +2950,7 @@ class Engine:
 
     def _enforce_unique_indexes(
             self, ts: TableState, incoming: DataFrame, ignore: bool,
-            verb: str) -> tuple[DataFrame, list]:
+            verb: str, odku: bool = False) -> tuple[DataFrame, list]:
         """Returns (filtered incoming, replace_victims) where
         replace_victims is [(key_cols, keys_df), ...] — existing rows
         REPLACE must delete because an incoming row clashes on that
@@ -2895,6 +2978,8 @@ class Engine:
             clash = keyed.join(ts.df.select(*cols).na.drop(), cols,
                                "left_semi").count()
             if (dup_in_batch or clash) and not ignore and verb != "REPLACE":
+                if odku:
+                    continue  # folds via _apply_odku_unique instead
                 raise SqlError(
                     f"duplicate entry for key {ix.name!r}")
             if verb == "REPLACE" and (dup_in_batch or clash):
@@ -2977,9 +3062,14 @@ class Engine:
         Substituted textually per position before the VALUES relation is
         built."""
         from .dialect.transpiler import mask_literals, unmask_literals
-        cols = ([next(c for c in ts.columns if c.name == n)
-                 for n in col_list] if col_list
+
+        def col_of(n: str):
+            nl = n.lower()
+            return next(c for c in ts.columns if c.name.lower() == nl)
+
+        cols = ([col_of(n) for n in col_list] if col_list
                 else [c for c in ts.columns if c.generated is None])
+        colnames = {c.name.lower() for c in ts.columns}
 
         def default_text(c) -> str:
             if c.default:
@@ -3005,15 +3095,54 @@ class Engine:
                 out_rows.append(row)
                 continue
             cells = _split_top_level(row[1:-1])
-            for i, cell in enumerate(cells):
-                if cell.strip().upper() == "DEFAULT" and i < len(cols):
-                    cells[i] = default_text(cols[i])
+            idx_of = {cols[i].name.lower(): i
+                      for i in range(min(len(cols), len(cells)))}
+            pending = {i for i, cell in enumerate(cells)
+                       if cell.strip().upper() == "DEFAULT"
+                       and i < len(cols)}
+            # a cross-column default — b INT DEFAULT (a + 1) — evaluates
+            # against the ROW being inserted: inline the row's other
+            # cells (they're expressions/literals) in dependency order
+            # (reference sql/plan/insert.go resolveDefaults over the row)
+            for _ in range(len(pending) + 1):
+                progressed = False
+                for i in sorted(pending):
+                    d = default_text(cols[i])
+                    # re-index the default's own string literals into the
+                    # OUTER sentinel list so one final unmask restores
+                    # both them and any inlined cell's literals
+                    dm, dl = mask_literals(d)
+                    dm = re.sub(r"\x00(\d+)\x00",
+                                lambda mm: f"\x00{len(lits) + int(mm.group(1))}\x00",
+                                dm)
+                    lits.extend(dl)
+                    refs = {mm.group(1).lower() for mm in re.finditer(
+                        r"\b([A-Za-z_]\w*)\b(?!\s*\()", dm)} & colnames
+                    if any(idx_of.get(r) in pending for r in refs):
+                        continue  # wait for the referenced DEFAULT cell
+
+                    def sub(mm):
+                        j = idx_of.get(mm.group(1).lower())
+                        if j is None or j == i:
+                            return mm.group(0)
+                        return "(" + cells[j].strip() + ")"
+
+                    if refs:
+                        dm = re.sub(r"\b([A-Za-z_]\w*)\b(?!\s*\()", sub, dm)
+                    cells[i] = dm
+                    pending.discard(i)
+                    progressed = True
+                if not pending or not progressed:
+                    break
+            for i in pending:  # unresolvable self/cyclic reference
+                cells[i] = "NULL"
             out_rows.append("(" + ", ".join(c.strip() for c in cells) + ")")
         return unmask_literals(", ".join(out_rows), lits)
 
     def _insert_df(self, ts: TableState, new_rows: DataFrame,
                    col_list: list[str] | None, verb: str, ignore: bool,
-                   odku: str | None) -> OkResult:
+                   odku: str | None,
+                   src_cols: list[str] | None = None) -> OkResult:
         # Triggers that mutate other tables mid-statement (sequential OR
         # set-based audit INSERTs): a failure part-way (SIGNAL,
         # constraint) must leave NO trace — MySQL statement atomicity
@@ -3025,16 +3154,17 @@ class Engine:
             snap = self._snapshot_state()
             try:
                 return self._insert_df_inner(ts, new_rows, col_list, verb,
-                                             ignore, odku)
+                                             ignore, odku, src_cols)
             except Exception:
                 self._restore_state(snap)
                 raise
         return self._insert_df_inner(ts, new_rows, col_list, verb, ignore,
-                                     odku)
+                                     odku, src_cols)
 
     def _insert_df_inner(self, ts: TableState, new_rows: DataFrame,
                          col_list: list[str] | None, verb: str,
-                         ignore: bool, odku: str | None) -> OkResult:
+                         ignore: bool, odku: str | None,
+                         src_cols: list[str] | None = None) -> OkResult:
         if col_list:
             # MySQL column names are case-insensitive: map to declared
             actual = {c.name.lower(): c.name for c in ts.columns}
@@ -3221,7 +3351,7 @@ class Engine:
         # under IGNORE; rows with any NULL key part always pass (MySQL)
         self._replace_batch_dropped = 0
         incoming, uq_victims = self._enforce_unique_indexes(
-            ts, incoming, ignore, verb)
+            ts, incoming, ignore, verb, odku=odku is not None)
         self._validate(ts, incoming, lenient=lenient,
                        skip_raises=ignore)
 
@@ -3276,17 +3406,30 @@ class Engine:
                 if verb == "REPLACE":
                     existing = existing.join(incoming.select(*pk), pk, "left_anti")
                 elif odku is not None:
-                    existing = self._apply_odku(ts, existing, incoming, odku)
+                    # clash detection keys are the PRE-update existing
+                    # keys: the ODKU assignment may rewrite the pk itself
+                    # (a.i = b.j + 100), and the folded incoming rows must
+                    # still be excluded from the append
+                    pre_keys = existing.select(*pk)
+                    existing = self._apply_odku(ts, existing, incoming, odku,
+                                                src_cols=src_cols,
+                                                target_cols=target_cols,
+                                                lenient=ignore)
                     if any(c.generated for c in ts.columns):
                         # generated columns recompute after the ODKU
                         # update mutates their inputs (reference
                         # issue: virtual col stays consistent)
                         existing = self._compute_generated(ts, existing)
-                    incoming = incoming.join(existing.select(*pk), pk, "left_anti")
+                    incoming = incoming.join(pre_keys, pk, "left_anti")
                 elif ignore:
                     incoming = incoming.join(existing.select(*pk), pk, "left_anti")
                 else:
                     raise SqlError("duplicate entry for primary key")
+        if odku is not None:
+            existing, incoming, n_uq_fold = self._apply_odku_unique(
+                ts, existing, incoming, odku, src_cols, target_cols,
+                lenient=ignore)
+            n_clash += n_uq_fold
         result = existing.unionByName(incoming).localCheckpoint(eager=True)
         self._last_inserted = incoming
         # affected arithmetically (saves two count jobs): for INSERT the
@@ -3324,32 +3467,228 @@ class Engine:
         return OkResult(max(affected, 0), last_id)
 
     def _apply_odku(self, ts: TableState, existing: DataFrame,
-                    incoming: DataFrame, odku: str) -> DataFrame:
+                    incoming: DataFrame, odku: str,
+                    src_cols: list[str] | None = None,
+                    target_cols: list[str] | None = None,
+                    key_cols: list[str] | None = None,
+                    lenient: bool = False) -> DataFrame:
         """ON DUPLICATE KEY UPDATE: update clashing existing rows; VALUES(c)
-        refers to the incoming row's value."""
-        pk = list(ts.primary_key)
+        refers to the incoming row's value. With an INSERT...SELECT
+        source, assignments may also reference the SOURCE's columns
+        (qualified or not — `a.i = b.j + 100`, `t.j`, `cte.j`): each maps
+        positionally onto the incoming row (MySQL 8 / reference
+        insert_queries.go 'references table in subquery')."""
+        pk = key_cols if key_cols is not None else list(ts.primary_key)
         inc = incoming.select(
             *[F.col(c).alias(f"__new_{c}") for c in incoming.columns]
         )
         cond = [existing[k] == inc[f"__new_{k}"] for k in pk]
         joined = existing.join(inc, cond, "left")
         out_cols = []
+
+        def rewrite_rhs(rhs: str) -> str:
+            rhs = re.sub(r"\bVALUES\s*\(\s*`?(\w+)`?\s*\)", r"__new_\1",
+                         rhs, flags=re.I)
+            if src_cols and target_cols:
+                pos = {s.lower(): i for i, s in enumerate(src_cols)}
+
+                def to_new(name: str, fallback: str) -> str:
+                    j = pos.get(name.lower())
+                    if j is not None and j < len(target_cols):
+                        return f"__new_{target_cols[j]}"
+                    return fallback
+
+                # qualified source ref (any alias), then bare source
+                # columns that don't collide with a target column name
+                rhs = re.sub(
+                    r"\b(\w+)\.`?(\w+)`?",
+                    lambda mm: to_new(mm.group(2), mm.group(0)), rhs)
+                tset = {t.lower() for t in target_cols} | {
+                    c.name.lower() for c in ts.columns}
+                rhs = re.sub(
+                    r"(?<![.\w`])(\w+)\b(?!\s*\()",
+                    lambda mm: to_new(mm.group(1), mm.group(0))
+                    if mm.group(1).lower() not in tset else mm.group(0),
+                    rhs)
+            return rhs
+
         assigns = {
-            a.split("=", 1)[0].strip().strip("`"):
-                re.sub(r"\bVALUES\s*\(\s*`?(\w+)`?\s*\)", r"__new_\1",
-                       a.split("=", 1)[1].strip(), flags=re.I)
+            re.sub(rf"^`?{re.escape(ts.name)}`?\.", "",
+                   a.split("=", 1)[0].strip().strip("`"), flags=re.I)
+            .strip("`"):
+                rewrite_rhs(a.split("=", 1)[1].strip())
             for a in _split_top_level(odku)
         }
+        # `col = DEFAULT` takes the column's declared default (reference
+        # sql/plan/insert.go ODKU resolveDefaults); NULL without one
+        by_name = {c.name.lower(): c for c in ts.columns}
+        for cname in [k for k, v in assigns.items()
+                      if v.strip().upper() == "DEFAULT"]:
+            cd = by_name.get(cname.lower())
+            assigns[cname] = (_normalize_default(cd.default)
+                              if cd is not None and cd.default else "NULL")
         for c in ts.columns:
             if c.name in assigns:
+                newv = F.expr(assigns[c.name])
+                newv = (self._lenient_cast(c, newv) if lenient
+                        else newv.cast(c.spark_type))
                 out_cols.append(
-                    F.when(F.col(f"__new_{pk[0]}").isNotNull(),
-                           F.expr(assigns[c.name]).cast(c.spark_type))
+                    F.when(F.col(f"__new_{pk[0]}").isNotNull(), newv)
                     .otherwise(F.col(c.name)).alias(c.name)
                 )
             else:
                 out_cols.append(F.col(c.name))
-        return joined.select(*out_cols)
+        out = joined.select(
+            *out_cols,
+            *[F.col(c.name).alias(f"__old__{c.name}") for c in ts.columns
+              if c.name in assigns],
+            F.col(f"__new_{pk[0]}").isNotNull().alias("__odku_m"))
+        if lenient and any(ts.check_enforced_at(ci)
+                           for ci in range(len(ts.checks))):
+            # INSERT IGNORE + ODKU: an update that would violate a CHECK
+            # is skipped (warning), reverting to the old values
+            viol = F.lit(False)
+            for ci, chk in enumerate(ts.checks):
+                if not ts.check_enforced_at(ci):
+                    continue
+                viol = viol | ~F.coalesce(
+                    F.expr(transpile_select(chk)).cast("boolean"),
+                    F.lit(True))
+            out = out.withColumn("__odku_viol", viol & F.col("__odku_m"))
+            out = out.select(*[
+                (F.when(F.col("__odku_viol"), F.col(f"__old__{c.name}"))
+                 .otherwise(F.col(c.name)).alias(c.name))
+                if c.name in assigns else F.col(c.name)
+                for c in ts.columns])
+            return out
+        return out.select(*[c.name for c in ts.columns])
+
+    def _apply_odku_unique(self, ts: TableState, existing: DataFrame,
+                           incoming: DataFrame, odku: str,
+                           src_cols: list[str] | None,
+                           target_cols: list[str] | None,
+                           lenient: bool = False):
+        """ON DUPLICATE KEY conflicts on UNIQUE SECONDARY indexes
+        (keyless tables included — reference insert_queries.go
+        InsertDuplicateKeyKeyless): incoming rows clashing on any unique
+        index fold into the existing row via the ODKU assignment; rows
+        with a NULL key part never clash (MySQL). Returns
+        (existing, incoming, n_folded)."""
+        uniq = [ix for ix in ts.indexes
+                if ix.unique and all(any(c.name == col for c in ts.columns)
+                                     for col in ix.columns)]
+        if not uniq:
+            return existing, incoming, 0
+        folded = 0
+        # within-batch duplicates fold SEQUENTIALLY (row k applies the
+        # ODKU update onto the state row k-1 produced) — driver-side over
+        # the bounded DML batch, mirroring MySQL's row-at-a-time insert
+        for ix in uniq:
+            cols = list(ix.columns)
+            nn = None
+            for cc in cols:
+                n2 = F.col(cc).isNotNull()
+                nn = n2 if nn is None else (nn & n2)
+            keyed = incoming.filter(nn)
+            if keyed.count() > keyed.select(*cols).distinct().count():
+                incoming = self._fold_batch_odku(
+                    ts, incoming, odku, uniq, src_cols, target_cols)
+                break
+        for ix in uniq:
+            cols = list(ix.columns)
+            nn = None
+            for cc in cols:
+                n2 = F.col(cc).isNotNull()
+                nn = n2 if nn is None else (nn & n2)
+            ex_keys = existing.select(*cols).na.drop().distinct()
+            clash_inc = incoming.filter(nn).join(ex_keys, cols, "left_semi")
+            k = clash_inc.count()
+            if not k:
+                continue
+            folded += k
+            existing = self._apply_odku(
+                ts, existing, clash_inc, odku, src_cols=src_cols,
+                target_cols=target_cols, key_cols=cols, lenient=lenient)
+            incoming = incoming.filter(~nn).unionByName(
+                incoming.filter(nn).join(ex_keys, cols, "left_anti"))
+        return existing, incoming, folded
+
+    def _fold_batch_odku(self, ts: TableState, incoming: DataFrame,
+                         odku: str, uniq: list,
+                         src_cols: list[str] | None,
+                         target_cols: list[str] | None) -> DataFrame:
+        """Sequential within-batch ODKU fold for unique-key duplicates:
+        walk the batch in order; a row whose unique key matches an
+        earlier row applies the ODKU assignments onto that row (driver
+        side, bounded by the statement batch — the reference's rowexec
+        inserts row-at-a-time and hits the same path)."""
+        cols_in = list(incoming.columns)
+        rows = [r.asDict() for r in incoming.collect()]
+        assigns = {
+            re.sub(rf"^`?{re.escape(ts.name)}`?\.", "",
+                   a.split("=", 1)[0].strip().strip("`"), flags=re.I)
+            .strip("`"): a.split("=", 1)[1].strip()
+            for a in _split_top_level(odku)
+        }
+        pos = ({s.lower(): i for i, s in enumerate(src_cols)}
+               if src_cols else {})
+        out_rows: list[dict] = []
+        keymaps: list[dict] = [dict() for _ in uniq]
+
+        by_name = {c.name.lower(): c for c in ts.columns}
+
+        def eval_rhs(col: str, rhs: str, cur: dict, new: dict):
+            if rhs.strip().upper() == "DEFAULT":
+                cd = by_name.get(col.lower())
+                return (self._eval_scalar(_normalize_default(cd.default))
+                        if cd is not None and cd.default else None)
+            txt = re.sub(
+                r"\bVALUES\s*\(\s*`?(\w+)`?\s*\)",
+                lambda mm: Engine._lit(new.get(mm.group(1))), rhs,
+                flags=re.I)
+            if pos and target_cols:
+                def src_sub(mm):
+                    j = pos.get(mm.group(2).lower())
+                    if j is not None and j < len(target_cols):
+                        return Engine._lit(new.get(target_cols[j]))
+                    return mm.group(0)
+                txt = re.sub(r"\b(\w+)\.`?(\w+)`?", src_sub, txt)
+            for cname in sorted((c.name for c in ts.columns), key=len,
+                                reverse=True):
+                txt = re.sub(rf"(?<![.\w`])`?{re.escape(cname)}`?(?![\w`])",
+                             Engine._lit(cur.get(cname)), txt, flags=re.I)
+            return self._eval_scalar(txt)
+
+        for r in rows:
+            hit = None
+            for kmi, ix in enumerate(uniq):
+                kt = tuple(r.get(c) for c in ix.columns)
+                if any(v is None for v in kt):
+                    continue
+                if kt in keymaps[kmi]:
+                    hit = keymaps[kmi][kt]
+                    break
+            if hit is None:
+                idx = len(out_rows)
+                out_rows.append(dict(r))
+                for kmi, ix in enumerate(uniq):
+                    kt = tuple(r.get(c) for c in ix.columns)
+                    if all(v is not None for v in kt):
+                        keymaps[kmi][kt] = idx
+            else:
+                cur = out_rows[hit]
+                for col, rhs in assigns.items():
+                    cur[col] = eval_rhs(col, rhs, dict(cur), r)
+        types = {c.name: c.spark_type for c in ts.columns}
+        schema = T.StructType([
+            T.StructField(c, types.get(c, T.StringType())) for c in cols_in])
+        data = [tuple(self._py_coerce(d.get(c), types.get(c, T.StringType()))
+                      for c in cols_in) for d in out_rows]
+        return (self.spark.createDataFrame(data, schema)
+                if data else self._empty_df_for(schema))
+
+    def _empty_df_for(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
 
     def _validate(self, ts: TableState, df: DataFrame,
                   lenient: bool = False,
@@ -3457,6 +3796,11 @@ class Engine:
                 .when(base.isNull(), F.lit(0).cast(wide)) \
                 .otherwise(clamped)
         expr = expr.cast(c.spark_type)
+        if c.char_length is not None and \
+                c.spark_type.simpleString() == "string":
+            # over-length strings truncate to the declared CHAR/VARCHAR
+            # length with a warning in MySQL's non-strict path
+            expr = F.substring(expr, 1, c.char_length)
         if not c.nullable:
             t = c.spark_type.simpleString()
             if t == "string":
@@ -3508,6 +3852,13 @@ class Engine:
         LIMIT k, n too."""
         m = self._DML_ORDER_LIMIT.search(sql)
         if not m:
+            # bare trailing ORDER BY with no LIMIT: meaningful only for
+            # row-sequencing (trigger order, IGNORE skip order) — strip
+            # it so WHERE parsing stays clean, keep the order text
+            m2 = re.search(r"\s+ORDER\s+BY\s+([^()]+?)\s*$", sql,
+                           re.I | re.S)
+            if m2:
+                return sql[:m2.start()], m2.group(1), None, 0
             return sql, None, None, 0
         if m.group(4) is not None:  # LIMIT offset, n
             return sql[:m.start()], m.group(1), int(m.group(4)), \
@@ -3854,6 +4205,44 @@ class Engine:
                 changed = changed | ~F.col(k).eqNullSafe(old_ref)
             viol = viol | (
                 F.col(f"__orig_{ts.primary_key[0]}").isNotNull() & changed)
+            # collisions WITHIN the statement: two rows updating to the
+            # same new key — the first (table order) wins, later ones
+            # skip (MySQL row-at-a-time IGNORE)
+            wdup = Window.partitionBy(
+                *[F.col(k) for k in ts.primary_key]).orderBy("__rid")
+            viol = viol | (changed & (F.row_number().over(wdup) > 1))
+        # UNIQUE secondary indexes: a new value tuple colliding with
+        # another row's ORIGINAL tuple skips the row (UPDATE IGNORE on
+        # keyless tables — reference insert_queries.go
+        # IgnoreWithDuplicateUniqueKeyKeylessScripts); NULL key parts
+        # never collide
+        for ui, ix in enumerate(ts.indexes):
+            if not ix.unique or not (set(ix.columns) & set(assigns)):
+                continue
+            ucols = list(ix.columns)
+            orig = base.select(*[
+                F.col(k).alias(f"__uorig{ui}_{k}") for k in ucols
+            ]).na.drop().distinct()
+            cond = None
+            for k in ucols:
+                c2 = F.col(k).eqNullSafe(F.col(f"__uorig{ui}_{k}"))
+                cond = c2 if cond is None else (cond & c2)
+            upd = upd.join(F.broadcast(orig), cond, "left")
+            changed = F.lit(False)
+            for k in ucols:
+                old_ref = (F.col(f"__old_{k}") if k in assigns
+                           else F.col(k))
+                changed = changed | ~F.col(k).eqNullSafe(old_ref)
+            viol = viol | (
+                F.col(f"__uorig{ui}_{ucols[0]}").isNotNull() & changed)
+            nn_new = None
+            for k in ucols:
+                n3 = F.col(k).isNotNull()
+                nn_new = n3 if nn_new is None else (nn_new & n3)
+            wdup = Window.partitionBy(
+                *[F.col(k) for k in ucols]).orderBy("__rid")
+            viol = viol | (changed & nn_new
+                           & (F.row_number().over(wdup) > 1))
         for fi, fk in enumerate(ts.foreign_keys):
             if not (set(fk.columns) & set(assigns)):
                 continue

@@ -181,23 +181,25 @@ UPDATE_KNOWN_FAIL = (
     # conflict-skip semantics on pk/secondary-index collisions
     "UPDATE IGNORE with primary keys and indexes",
 )
+# r7 cleared most of the r5 triage list (explicit DEFAULT incl.
+# cross-column references, escaped-string defaults, ODKU on keyless
+# unique indexes + DEFAULT update values + subquery-source references,
+# IGNORE string truncation + lenient ODKU, UPDATE IGNORE unique-collision
+# skip, NO_AUTO_VALUE_ON_ZERO info_schema). Survivors, cause-annotated:
 INSERT_KNOWN_FAIL = (
-    "Defaults with escaped strings",
-    "Explicit default with column reference",
+    # reference's own InsertBrokenScripts var (its harness skips them
+    # too): per-cell heterogeneous literal typing under IGNORE, and an
+    # assertion reading the PREVIOUS script's table
     "INSERT INTO with ENUM NOT NULL",
-    "INSERT...ON DUPLICATE KEY UPDATE works with DEFAULT update value",
-    "Insert Ignore works correctly with ON DUPLICATE UPDATE",
-    "Insert on duplicate key references table in",
     "Test that INSERT IGNORE assigns the closest dataype correctly",
-    "Test that INSERT IGNORE properly addresses data conversion",
+    # IGNORE must downgrade a multi-row scalar-subquery error to a
+    # warning mid-SELECT — Spark evaluates the subquery inside the scan
     "Try INSERT IGNORE with primary key, non null, and single row",
-    "UPDATE IGNORE keyless tables and secondary indexes",
-    "explicit DEFAULT",
-    "insert on duplicate key for keyless table",
-    "insert...returning works with",  # before/after trigger interplay
+    # RETURNING must observe BEFORE-trigger-mutated values
+    "insert...returning works with",
+    # nested WITH inside a CTE body with qualified column aliases —
+    # Spark analyzer cap
     "issue 4857: insert cte column alias",
-    "issue 6675: on duplicate rearranged getfield",
-    "sql_mode=NO_auto_value_ON_ZERO",
 )
 
 
