@@ -52,6 +52,9 @@ class EventDef:
     every_secs: float | None = None   # ON SCHEDULE EVERY — recurring
     enabled: bool = True
     preserve: bool = False            # ON COMPLETION PRESERVE
+    starts_ts: float | None = None    # EVERY ... STARTS
+    ends_ts: float | None = None      # EVERY ... ENDS
+    comment: str = ""
     last_run: float | None = None
     # LAST_EXECUTED bookkeeping (reference eventscheduler/event_executor.go
     # records execution times; surfaced by SHOW EVENTS)
@@ -61,7 +64,80 @@ class EventDef:
 
 _INTERVAL_SECS = {
     "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800,
+    "MONTH": 2592000, "QUARTER": 7776000, "YEAR": 31536000,
 }
+
+# composite interval units: 'a:b[:c[:d]]' quoted values — per-part
+# multipliers in order (reference sql/types/conversions for EVERY
+# intervals; MySQL EVERY '1:2' MINUTE_SECOND = 62 seconds)
+_COMPOSITE_UNITS = {
+    "MINUTE_SECOND": (60, 1),
+    "HOUR_SECOND": (3600, 60, 1),
+    "HOUR_MINUTE": (3600, 60),
+    "DAY_SECOND": (86400, 3600, 60, 1),
+    "DAY_MINUTE": (86400, 3600, 60),
+    "DAY_HOUR": (86400, 3600),
+    "YEAR_MONTH": (31536000, 2592000),
+    "SECOND_MICROSECOND": (1, 1e-6),
+    "MINUTE_MICROSECOND": (60, 1, 1e-6),
+    "HOUR_MICROSECOND": (3600, 60, 1, 1e-6),
+    "DAY_MICROSECOND": (86400, 3600, 60, 1, 1e-6),
+}
+
+
+def _interval_secs(value: str, unit: str) -> float:
+    """n SECOND / '1:2' MINUTE_SECOND → seconds."""
+    from .engine import SqlError
+    unit = unit.upper()
+    value = value.strip().strip("'")
+    if unit in _COMPOSITE_UNITS:
+        mults = _COMPOSITE_UNITS[unit]
+        parts = [p for p in re.split(r"[:. ]", value) if p != ""]
+        if len(parts) > len(mults):
+            raise SqlError(f"bad composite interval {value!r} for {unit}")
+        # right-align: '2' MINUTE_SECOND means 2 seconds
+        mults = mults[len(mults) - len(parts):]
+        return sum(float(p) * m for p, m in zip(parts, mults))
+    u = unit.rstrip("S")
+    if u not in _INTERVAL_SECS:
+        raise SqlError(f"unsupported interval unit {unit!r}")
+    return float(value) * _INTERVAL_SECS[u]
+
+
+def _parse_ts_expr(text: str) -> float:
+    """Event timestamp expression: CURRENT_TIMESTAMP | 'literal'
+    [ +/- INTERVAL v unit ]* — lenient literal parse (2-digit years,
+    1-digit fields, trailing dot: '38-01-16 12:2:3.')."""
+    import time as _time
+    from .engine import SqlError
+    text = text.strip()
+    m = re.match(r"(CURRENT_TIMESTAMP(?:\s*\(\s*\))?|NOW\s*\(\s*\)"
+                 r"|'[^']*')", text, re.I)
+    if not m:
+        raise SqlError(f"cannot parse event timestamp: {text[:40]!r}")
+    head = m.group(1)
+    if head.startswith("'"):
+        lit = head.strip("'").strip()
+        tm = re.match(r"(\d{1,4})-(\d{1,2})-(\d{1,2})"
+                      r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?)?", lit)
+        if not tm:
+            raise SqlError(f"invalid event timestamp literal {lit!r}")
+        import datetime as _dt
+        y = int(tm.group(1))
+        if y < 70:
+            y += 2000  # MySQL 2-digit year
+        elif y < 100:
+            y += 1900
+        base = _dt.datetime(y, int(tm.group(2)), int(tm.group(3)),
+                            int(tm.group(4) or 0), int(tm.group(5) or 0),
+                            int(tm.group(6) or 0)).timestamp()
+    else:
+        base = _time.time()
+    for im in re.finditer(r"([+-])\s*INTERVAL\s+('[^']*'|[\d.]+)\s+(\w+)",
+                          text[m.end():]):
+        delta = _interval_secs(im.group(2), im.group(3))
+        base += delta if im.group(1) == "+" else -delta
+    return base
 
 
 # ---- users / grants ---------------------------------------------------------
@@ -171,14 +247,25 @@ def show_grants(eng, sql: str) -> DataFrame:
 
 # ---- events -----------------------------------------------------------------
 
+_TS_EXPR = (r"(?:CURRENT_TIMESTAMP(?:\s*\(\s*\))?|NOW\s*\(\s*\)|'[^']*')"
+            r"(?:\s*[+-]\s*INTERVAL\s+(?:'[^']*'|[\d.]+)\s+\w+)*")
+
+
 def create_event(eng, sql: str):
+    """CREATE EVENT: AT/EVERY schedules with composite interval units
+    ('1:2' MINUTE_SECOND), STARTS/ENDS bounds, ON COMPLETION, ENABLE /
+    DISABLE [ON SLAVE], COMMENT (reference sql/plan/create_event.go +
+    eventscheduler/)."""
     from .engine import OkResult, SqlError
     m = re.match(
-        r"CREATE\s+EVENT\s+(IF\s+NOT\s+EXISTS\s+)?[`]?(\w+)[`]?\s+ON\s+SCHEDULE\s+"
-        r"(AT\s+(?:CURRENT_TIMESTAMP|'[^']+')(?:\s*\+\s*INTERVAL\s+\d+\s+\w+)?"
-        r"|EVERY\s+\d+\s+\w+)"
+        r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?EVENT\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"[`]?(\w+)[`]?\s+ON\s+SCHEDULE\s+"
+        rf"(AT\s+{_TS_EXPR}"
+        rf"|EVERY\s+(?:'[^']*'|[\d.]+)\s+\w+"
+        rf"(?:\s+STARTS\s+{_TS_EXPR})?(?:\s+ENDS\s+{_TS_EXPR})?)"
         r"(\s+ON\s+COMPLETION\s+(?:NOT\s+)?PRESERVE)?"
-        r"(?:\s+(ENABLE|DISABLE))?"
+        r"(?:\s+(ENABLE|DISABLE(?:\s+ON\s+SLAVE)?))?"
+        r"(?:\s+COMMENT\s+('(?:[^']|'')*'))?"
         r"\s+DO\s+(.*)$", sql, re.I | re.S)
     if not m:
         raise SqlError(f"cannot parse CREATE EVENT: {sql[:80]!r}")
@@ -187,47 +274,114 @@ def create_event(eng, sql: str):
         if m.group(1):
             return OkResult(0)
         raise SqlError(f"event {name!r} exists")
-    sched = m.group(3)
-    ev = EventDef(name, m.group(6).strip(),
+    ev = EventDef(name, m.group(7).strip(),
                   preserve=bool(m.group(4)) and "NOT" not in (m.group(4) or "").upper(),
-                  enabled=(m.group(5) or "ENABLE").upper() != "DISABLE")
-    sm = re.match(r"EVERY\s+(\d+)\s+(\w+)", sched, re.I)
-    if sm:
-        unit = sm.group(2).upper().rstrip("S")
-        if unit not in _INTERVAL_SECS:
-            raise SqlError(f"unsupported interval unit {sm.group(2)!r}")
-        ev.every_secs = int(sm.group(1)) * _INTERVAL_SECS[unit]
-        ev.last_run = time.time()  # first run one interval from now
-    else:
-        am = re.match(r"AT\s+(CURRENT_TIMESTAMP|'[^']+')"
-                      r"(?:\s*\+\s*INTERVAL\s+(\d+)\s+(\w+))?", sched, re.I)
-        base = time.time()
-        if am.group(1).upper() != "CURRENT_TIMESTAMP":
-            import datetime as _dt
-            base = _dt.datetime.fromisoformat(am.group(1).strip("'")).timestamp()
-        if am.group(2):
-            unit = am.group(3).upper().rstrip("S")
-            base += int(am.group(2)) * _INTERVAL_SECS[unit]
-        ev.at_ts = base
+                  enabled=(m.group(5) or "ENABLE").upper().startswith("ENABLE"),
+                  comment=(m.group(6) or "''").strip("'"))
+    _apply_schedule(ev, m.group(3))
     eng.events[name] = ev
     return OkResult(0)
 
 
+def _apply_schedule(ev: EventDef, sched: str) -> None:
+    ev.at_ts = ev.every_secs = ev.starts_ts = ev.ends_ts = None
+    sm = re.match(r"EVERY\s+('[^']*'|[\d.]+)\s+(\w+)(.*)$", sched,
+                  re.I | re.S)
+    if sm:
+        ev.every_secs = _interval_secs(sm.group(1), sm.group(2))
+        rest = sm.group(3)
+        stm = re.search(rf"\bSTARTS\s+({_TS_EXPR})", rest, re.I)
+        if stm:
+            ev.starts_ts = _parse_ts_expr(stm.group(1))
+        enm = re.search(rf"\bENDS\s+({_TS_EXPR})", rest, re.I)
+        if enm:
+            ev.ends_ts = _parse_ts_expr(enm.group(1))
+        base = ev.starts_ts if ev.starts_ts is not None else time.time()
+        ev.last_run = max(base, time.time())  # first run one interval out
+    else:
+        am = re.match(rf"AT\s+({_TS_EXPR})", sched, re.I | re.S)
+        ev.at_ts = _parse_ts_expr(am.group(1))
+
+
+def _event_expired(ev: EventDef, now: float) -> bool:
+    """One-shot whose AT has passed (and already ran / lies in the past
+    at creation), or a recurring event past its ENDS bound."""
+    if ev.ends_ts is not None and now >= ev.ends_ts:
+        return True
+    return ev.at_ts is not None and ev.at_ts < now and not ev.enabled
+
+
 def alter_event(eng, sql: str):
+    """ALTER EVENT: any combination of ON SCHEDULE, ON COMPLETION,
+    RENAME TO, COMMENT, ENABLE/DISABLE, DO (reference
+    sql/plan/alter_event.go). Re-enabling an expired event keeps it
+    disabled (PRESERVE) or drops it (NOT PRESERVE) — MySQL scheduler
+    semantics."""
     from .engine import OkResult, SqlError
-    m = re.match(r"ALTER\s+EVENT\s+[`]?(\w+)[`]?\s+(ENABLE|DISABLE)", sql, re.I)
-    if not m or m.group(1) not in eng.events:
-        raise SqlError(f"cannot parse/resolve ALTER EVENT: {sql[:60]!r}")
-    eng.events[m.group(1)].enabled = m.group(2).upper() == "ENABLE"
+    m = re.match(r"ALTER\s+(?:DEFINER\s*=\s*\S+\s+)?EVENT\s+"
+                 r"[`]?(\w+)[`]?\s+(.*)$", sql, re.I | re.S)
+    if not m:
+        raise SqlError(f"cannot parse ALTER EVENT: {sql[:60]!r}")
+    key = next((k for k in eng.events if k.lower() == m.group(1).lower()),
+               None)
+    if key is None:
+        raise SqlError(f"unknown event {m.group(1)!r}")
+    ev = eng.events[key]
+    rest = m.group(2).strip().rstrip(";")
+    now = time.time()
+    sm = re.match(rf"ON\s+SCHEDULE\s+(AT\s+{_TS_EXPR}"
+                  rf"|EVERY\s+(?:'[^']*'|[\d.]+)\s+\w+"
+                  rf"(?:\s+STARTS\s+{_TS_EXPR})?(?:\s+ENDS\s+{_TS_EXPR})?)"
+                  r"\s*(.*)$", rest, re.I | re.S)
+    if sm:
+        _apply_schedule(ev, sm.group(1))
+        rest = sm.group(2).strip()
+    cm = re.match(r"ON\s+COMPLETION\s+((?:NOT\s+)?PRESERVE)\s*(.*)$",
+                  rest, re.I | re.S)
+    if cm:
+        ev.preserve = "NOT" not in cm.group(1).upper()
+        rest = cm.group(2).strip()
+    rm = re.match(r"RENAME\s+TO\s+[`]?(\w+)[`]?\s*(.*)$", rest,
+                  re.I | re.S)
+    if rm:
+        new = rm.group(1)
+        ev.name = new
+        eng.events[new] = eng.events.pop(key)
+        key = new
+        rest = rm.group(2).strip()
+    com = re.match(r"COMMENT\s+('(?:[^']|'')*')\s*(.*)$", rest,
+                   re.I | re.S)
+    if com:
+        ev.comment = com.group(1).strip("'")
+        rest = com.group(2).strip()
+    em = re.match(r"(ENABLE|DISABLE(?:\s+ON\s+SLAVE)?)\s*(.*)$", rest,
+                  re.I | re.S)
+    if em:
+        want = em.group(1).upper().startswith("ENABLE")
+        if want and _event_expired(ev, now):
+            # expired: ENABLE keeps it disabled (PRESERVE) or drops it
+            if not ev.preserve:
+                del eng.events[key]
+            return OkResult(0)
+        ev.enabled = want
+        rest = em.group(2).strip()
+    dm = re.match(r"DO\s+(.*)$", rest, re.I | re.S)
+    if dm:
+        ev.body = dm.group(1).strip()
+        rest = ""
+    if rest:
+        raise SqlError(f"cannot parse/resolve ALTER EVENT: {rest[:60]!r}")
     return OkResult(0)
 
 
 def drop_event(eng, sql: str):
     from .engine import OkResult, SqlError
     m = re.match(r"DROP\s+EVENT\s+(IF\s+EXISTS\s+)?[`]?(\w+)[`]?", sql, re.I)
-    if m.group(2) not in eng.events and not m.group(1):
+    key = next((k for k in eng.events
+                if k.lower() == m.group(2).lower()), None)
+    if key is None and not m.group(1):
         raise SqlError(f"unknown event {m.group(2)!r}")
-    eng.events.pop(m.group(2), None)
+    eng.events.pop(key, None)
     return OkResult(0)
 
 
@@ -244,9 +398,17 @@ def run_due_events(eng) -> None:
             ev = eng.events.get(name)
             if ev is None or not ev.enabled:
                 continue
+            if ev.ends_ts is not None and now >= ev.ends_ts:
+                # recurring event past its ENDS bound expires
+                if ev.preserve:
+                    ev.enabled = False
+                else:
+                    del eng.events[name]
+                continue
             due = (ev.at_ts is not None and now >= ev.at_ts) or (
                 ev.every_secs is not None
-                and now >= (ev.last_run or 0) + ev.every_secs)
+                and now >= (ev.last_run or 0) + ev.every_secs
+                and (ev.starts_ts is None or now >= ev.starts_ts))
             if not due:
                 continue
             for stmt in split_statements(ev.body):
@@ -545,8 +707,9 @@ def show_misc(eng, sql: str) -> DataFrame | None:
         from .engine import SqlError
         raise SqlError(f"trigger {name} does not exist")
     if up.startswith("SHOW CREATE EVENT"):
-        name = _object_name(sql).lower()
-        ev = eng.events.get(name)
+        name = _object_name(sql)
+        ev = next((v for k, v in eng.events.items()
+                   if k.lower() == name.lower()), None)
         if ev is None:
             from .engine import SqlError
             raise SqlError(f"event {name} does not exist")

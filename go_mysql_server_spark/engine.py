@@ -2232,8 +2232,69 @@ class Engine:
             tables[tbl] = ts
             self._register(ts)
             return OkResult(0)
-        # CREATE TABLE ... AS SELECT
-        m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+AS\s+(SELECT.*)$",
+        # CREATE TABLE name (col overrides / keys) [AS] SELECT ... —
+        # declared definitions merge with the selected schema: a declared
+        # column overrides the matching output column's type/nullability,
+        # declared-only columns are prepended, PK/UNIQUE/KEY/CHECK attach
+        # (reference create_table_queries.go 'CREATE TABLE with
+        # constraints AS SELECT')
+        m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+                     r"([`\w.]+)\s*\(", sql, re.I)
+        if m:
+            op = sql.index("(", m.end() - 1)
+            close = _find_close_paren(sql, op)
+            tail = sql[close + 1:].strip()
+            # table options (DEFAULT CHARSET=..., ENGINE=...) may sit
+            # between the body and the AS SELECT
+            tm = re.match(
+                r"(?:(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET|COLLATE"
+                r"|ENGINE|AUTO_INCREMENT|COMMENT|ROW_FORMAT)\s*=?\s*"
+                r"(?:'[^']*'|\w+)\s*,?\s*)*"
+                r"(?:AS\s+)?((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+                tail, re.I | re.S)
+            if tm:
+                db, tbl = self._split_name(m.group(2))
+                tables = self._db(db)
+                if tbl in tables:
+                    if m.group(1):
+                        return OkResult(0)
+                    raise SqlError(f"table {tbl!r} exists")
+                df = self._q_select(tm.group(1))
+                decl = self._parse_table_body(tbl, sql[op + 1:close])
+                decl_by = {c.name.lower(): c for c in decl.columns}
+                sel_names = {f.name.lower() for f in df.schema.fields}
+                cols = [c for c in decl.columns
+                        if c.name.lower() not in sel_names]
+                for f in df.schema.fields:
+                    dc = decl_by.get(f.name.lower())
+                    cols.append(dc if dc is not None else
+                                ColumnDef(f.name, f.dataType, f.nullable))
+                # declared-only columns fill with their default/NULL;
+                # overridden columns cast to the declared type
+                out = df
+                for c in cols:
+                    if c.name.lower() not in sel_names:
+                        fill = (_default_col(c) if c.default
+                                else F.lit(None)).cast(c.spark_type)
+                        out = out.withColumn(c.name, fill)
+                    elif c.name.lower() in decl_by:
+                        out = out.withColumn(
+                            c.name, F.col(c.name).cast(c.spark_type))
+                out = out.select(*[c.name for c in cols])
+                ts = TableState(tbl, cols, decl.primary_key,
+                                checks=decl.checks, df=out,
+                                indexes=decl.indexes,
+                                check_names=decl.check_names,
+                                check_enforced=decl.check_enforced)
+                tables[tbl] = ts
+                self._register(ts)
+                return OkResult(out.count())
+        # CREATE TABLE ... [AS] SELECT/WITH/VALUES/TABLE — MySQL accepts
+        # CTAS without AS and with any query shape (joins, GROUP BY,
+        # window functions, JSON_TABLE — reference create_table_queries.go
+        # 'create table with select')
+        m = re.match(r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+"
+                     r"(?:AS\s+)?((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
                      sql, re.I | re.S)
         if m:
             db, tbl = self._split_name(m.group(2))
@@ -3738,8 +3799,17 @@ class Engine:
             child_keys = df.select(
                 *[F.col(c).alias(p) for c, p in zip(fk.columns, fk.parent_columns)]
             ).na.drop()  # NULL FK values are allowed (MySQL semantics)
+            parent_keys = parent.df.select(*fk.parent_columns)
+            if fk.parent_table == ts.name:
+                # self-referential FK: the batch may reference rows it
+                # itself inserts — validate against post-insert state
+                # (reference foreign_key_editor.go self-reference path)
+                pcols = [c.name for c in ts.columns]
+                if set(pcols) <= set(df.columns):
+                    parent_keys = parent_keys.unionByName(
+                        df.select(*pcols).select(*fk.parent_columns))
             orphans = child_keys.join(
-                parent.df.select(*fk.parent_columns), list(fk.parent_columns),
+                parent_keys, list(fk.parent_columns),
                 "left_anti",
             ).count()
             if orphans:
@@ -3924,6 +3994,19 @@ class Engine:
         if not m:
             raise SqlError(f"cannot parse UPDATE: {sql[:60]!r}")
         ts = self._table(m.group(2))
+        if f"{ts.name.lower()}." in sql.lower():
+            # self-qualified references (UPDATE test SET ... WHERE
+            # test.pk = 0) — fold the table qualifier away, outside
+            # string literals
+            from .dialect.transpiler import mask_literals, unmask_literals
+            tail = sql[m.end(2):]
+            masked, lits = mask_literals(tail)
+            masked = re.sub(rf"(?<![\w`.]){re.escape(ts.name)}\.", "",
+                            masked, flags=re.I)
+            sql = sql[:m.end(2)] + unmask_literals(masked, lits)
+            m = re.match(
+                r"UPDATE\s+(IGNORE\s+)?([`\w.]+)\s+SET\s+(.*?)"
+                r"(?:\s+WHERE\s+(.*))?$", sql, re.I | re.S)
         if cte_prefix and m.group(4):
             # WITH ... UPDATE: the WHERE references CTE names, which
             # DataFrame.filter can't host — resolve victims through the
@@ -4634,6 +4717,9 @@ class Engine:
                         keys.withColumnsRenamed(
                             dict(zip(fk.parent_columns, fk.columns))),
                         list(fk.columns), "left_anti",
+                    ).select(  # name-list joins put join keys FIRST —
+                        # restore the declared column order
+                        *[c.name for c in child_ts.columns]
                     ).localCheckpoint(eager=True)
                     self._register(child_ts)
                 else:  # SET NULL
@@ -4648,7 +4734,11 @@ class Engine:
                           if col in fk.columns else F.col(col)
                           for col in child_ts.df.columns]
                     )
-                    child_ts.df = miss.unionByName(nulled).localCheckpoint(eager=True)
+                    out = miss.unionByName(nulled).select(
+                        *[c.name for c in child_ts.columns])
+                    if any(c.generated for c in child_ts.columns):
+                        out = self._compute_generated(child_ts, out)
+                    child_ts.df = out.localCheckpoint(eager=True)
                     self._register(child_ts)
 
     def _referencing_fks(self, parent_ts: TableState,
@@ -4700,13 +4790,19 @@ class Engine:
                 new_val = {c: F.col(f"__n_{c}") for c in fk.columns}
             else:  # SET NULL
                 new_val = {c: F.lit(None) for c in fk.columns}
-            child_ts.df = joined.select(*[
+            out = joined.select(*[
                 (F.when(matched, new_val[col.name])
                  .otherwise(F.col(col.name)).cast(col.spark_type)
                  .alias(col.name))
                 if col.name in fk.columns else F.col(col.name)
                 for col in child_ts.columns
-            ]).localCheckpoint(eager=True)
+            ])
+            if any(c.generated for c in child_ts.columns):
+                # generated columns over the FK column recompute after
+                # the referential action (reference foreign_key_editor.go
+                # + virtual_column_table.go interplay)
+                out = self._compute_generated(child_ts, out)
+            child_ts.df = out.localCheckpoint(eager=True)
             self._register(child_ts)
 
     def _old_trigger_vectorizable(self, trig) -> bool:
@@ -4921,7 +5017,8 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in names], f"`{field}` string"
             )
-        if up.startswith(("SHOW COLUMNS", "SHOW FIELDS", "SHOW FULL COLUMNS")):
+        if up.startswith(("SHOW COLUMNS", "SHOW FIELDS", "SHOW FULL COLUMNS",
+                          "SHOW FULL FIELDS")):
             m = re.search(r"(?:FROM|IN)\s+([`\w.]+)", sql, re.I)
             if not m:
                 raise SqlError("SHOW COLUMNS needs FROM <table>")

@@ -174,13 +174,11 @@ def test_alter_table_golden_scripts(spark):
 # WITH-attached UPDATE, and lax cross-row literal typing. Each is a
 # documented future-work item; a failure OUTSIDE these scripts is a
 # regression.
-UPDATE_KNOWN_FAIL = (
-    # r7 cleared the rest of this list (WITH-attached UPDATE, UPDATE-join
-    # triggers with OLD./NEW. row values, FK-constrained UPDATE join,
-    # conflicting subquery alias); the one survivor is row-level IGNORE
-    # conflict-skip semantics on pk/secondary-index collisions
-    "UPDATE IGNORE with primary keys and indexes",
-)
+# r7 cleared the whole r5 triage list: WITH-attached UPDATE, UPDATE-join
+# triggers with OLD./NEW. row values, FK-constrained UPDATE join,
+# conflicting subquery alias, and row-level UPDATE IGNORE conflict-skip
+# on pk/unique collisions (inter-row and within-statement).
+UPDATE_KNOWN_FAIL = ()
 # r7 cleared most of the r5 triage list (explicit DEFAULT incl.
 # cross-column references, escaped-string defaults, ODKU on keyless
 # unique indexes + DEFAULT update values + subquery-source references,
@@ -351,3 +349,52 @@ def test_column_default_golden_scripts(spark):
 def _fixtures():
     from .test_goldens import FIXTURES
     return dict(FIXTURES)
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_create_table_golden_scripts(spark):
+    """CREATE TABLE surface vs create_table_queries.go: CTAS in every
+    MySQL spelling (no AS, joins/GROUP BY/window/JSON_TABLE sources,
+    declared constraint/column overrides merged with the selected schema,
+    table options between body and AS), auto-increment carryover,
+    SHOW FULL FIELDS."""
+    for var, floor in (("CreateTableScriptTests", 7),
+                       ("CreateTableAutoIncrementTests", 3)):
+        scripts = parse_script_vars(
+            QDIR / "create_table_queries.go")[var]
+        ok, skipped, failures = run_script_seq(spark, scripts, _fixtures())
+        assert ok >= floor, f"{var} golden pass count regressed: {ok}"
+        assert not failures, (var, failures[:8])
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_event_golden_scripts(spark):
+    """EVENT surface vs event_queries.go: composite interval units
+    ('1:2' MINUTE_SECOND), STARTS/ENDS bounds, lenient timestamp
+    literals ('38-01-16 12:2:3.'), ON COMPLETION semantics for expired
+    events (re-ENABLE keeps disabled under PRESERVE, drops under NOT
+    PRESERVE), ALTER EVENT RENAME/COMMENT/DO/schedule swaps. All
+    assertions are execute-only in this corpus — the gate is zero
+    failures."""
+    scripts = parse_script_vars(QDIR / "event_queries.go")["EventTests"]
+    ok, skipped, failures = run_script_seq(spark, scripts, _fixtures())
+    assert not failures, failures[:8]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_foreign_key_golden_scripts(spark):
+    """FK referential-action surface vs foreign_key_queries.go — the
+    virtual-column interplay, multi-FK, and self-referential script
+    families (the full 74-script var runs ~15 min under per-script fresh
+    fixtures, so the sweep pins the families r7 fixed: generated columns
+    recompute after CASCADE/SET NULL, cascaded joins preserve declared
+    column order, self-referential inserts validate against post-insert
+    state, self-qualified UPDATE references)."""
+    keys = ("virtual column", "multiple foreign key refs",
+            "self-referential")
+    scripts = [s for s in parse_script_vars(
+        QDIR / "foreign_key_queries.go")["ForeignKeyTests"]
+        if any(k in s[0] for k in keys)]
+    ok, skipped, failures = run_script_seq(spark, scripts, _fixtures())
+    assert ok >= 23, f"foreign-key golden pass count regressed: {ok}"
+    assert not failures, failures[:8]
