@@ -398,3 +398,24 @@ def test_foreign_key_golden_scripts(spark):
     ok, skipped, failures = run_script_seq(spark, scripts, _fixtures())
     assert ok >= 23, f"foreign-key golden pass count regressed: {ok}"
     assert not failures, failures[:8]
+
+
+PREPARED_SKIP = (
+    # Go-harness artifacts: a raw `?` bindvar outside PREPARE (the
+    # reference binds through its test driver), and a datetime() Go
+    # helper call in SETUP — same class as the json_scripts bind skips
+    "prepare with time type binding",
+    "Large character data",
+)
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_prepared_statement_golden_scripts(spark):
+    """PREPARE/EXECUTE surface vs prepared_statement_queries.go: repeated
+    EXECUTE with rebinding, USING @vars, statement invalidation."""
+    scripts = [s for s in parse_script_vars(
+        QDIR / "prepared_statement_queries.go")["PreparedScriptTests"]
+        if not any(k in s[0] for k in PREPARED_SKIP)]
+    ok, skipped, failures = run_script_seq(spark, scripts, _fixtures())
+    assert ok >= 4, f"prepared golden pass count regressed: {ok}"
+    assert not failures, failures[:8]
