@@ -1,42 +1,45 @@
-"""Exploratory corpus sweeper: run one []ScriptTest var through the
-Engine and print pass/skip/failure tallies with the first N failures,
-to build skip-lists and find engine gaps before registering the sweep
-as a pytest. Usage:
-    python scripts/sweep_probe.py trigger_queries.go TriggerTests [max]
+"""Scratch probe: run a reference ScriptTest corpus var through the
+golden harness and report pass/fail breakdown. Usage:
+
+    python scripts/sweep_probe.py <corpus.go> <VarName> [start] [end]
+
+Prints each failure (script name + cause) and the ok/skip totals.
 """
-
-from __future__ import annotations
-
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from pyspark.sql import SparkSession
-
-from tests.script_golden_harness import parse_script_vars, run_script_seq
+from tests.script_golden_harness import parse_script_vars, run_script_seq  # noqa: E402
 
 
 def main() -> None:
-    fname, var = sys.argv[1], sys.argv[2]
-    limit = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "8g")
-             .appName("sweep-probe").getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
-    from tests.test_goldens import FIXTURES
+    corpus = Path("/root/reference/enginetest/queries") / sys.argv[1]
+    var = sys.argv[2]
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    end = int(sys.argv[4]) if len(sys.argv) > 4 else 10 ** 9
 
-    scripts = parse_script_vars(
-        Path("/root/reference/enginetest/queries") / fname).get(var, [])
-    if limit:
-        scripts = scripts[:limit]
-    print(f"{len(scripts)} scripts in {var}")
-    ok, skipped, failures = run_script_seq(spark, scripts, FIXTURES)
-    print(f"ok={ok} skipped={skipped} failures={len(failures)}")
-    for name, msg in failures[:60]:
-        print(f"  [{name[:60]}] {msg}")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("sweep-probe")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    from tests.test_goldens import FIXTURES
+    scripts = parse_script_vars(corpus)[var][start:end]
+    print(f"{corpus.name} {var}: {len(scripts)} scripts "
+          f"({sum(len(a) for _, _, a in scripts)} asserts)")
+    for i, sc in enumerate(scripts):
+        name = sc[0]
+        ok, skipped, failures = run_script_seq(
+            spark, [sc], FIXTURES, db="mydb")
+        status = "ok" if not failures else "FAIL"
+        print(f"[{start + i}] {status} ok={ok} skip={skipped} {name!r}",
+              flush=True)
+        for n, cause in failures:
+            print(f"    - {cause}", flush=True)
 
 
 if __name__ == "__main__":
