@@ -28,18 +28,29 @@ def main() -> None:
              .getOrCreate())
 
     from tests.test_goldens import FIXTURES
-    scripts = parse_script_vars(corpus)[var][start:end]
+    script_vars = parse_script_vars(corpus)
+    scripts = script_vars.get(var)
+    if scripts is None:
+        print(f"unknown var {var!r} in {corpus.name}; available: "
+              f"{', '.join(sorted(script_vars))}")
+        sys.exit(1)
+    scripts = scripts[start:end]
     print(f"{corpus.name} {var}: {len(scripts)} scripts "
           f"({sum(len(a) for _, _, a in scripts)} asserts)")
+    tot_ok = tot_skip = tot_fail = 0
     for i, sc in enumerate(scripts):
         name = sc[0]
         ok, skipped, failures = run_script_seq(
             spark, [sc], FIXTURES, db="mydb")
         status = "ok" if not failures else "FAIL"
+        tot_ok += ok
+        tot_skip += skipped
+        tot_fail += len(failures)
         print(f"[{start + i}] {status} ok={ok} skip={skipped} {name!r}",
               flush=True)
         for n, cause in failures:
             print(f"    - {cause}", flush=True)
+    print(f"TOTAL ok={tot_ok} skip={tot_skip} fail={tot_fail}", flush=True)
 
 
 if __name__ == "__main__":
