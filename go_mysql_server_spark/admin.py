@@ -520,7 +520,10 @@ def q_analyze(eng, sql: str):
 def create_index(eng, sql: str):
     from .engine import OkResult, SqlError
     m = re.match(r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+"
-                 r"[`]?(\w+)[`]?\s+ON\s+([`\w.]+)\s*\(([^)]*)\)", sql, re.I)
+                 r"[`]?(\w+)[`]?\s*(?:USING\s+(?:HASH|BTREE)\s*)?"
+                 r"ON\s+([`\w.]+)\s*\(([^)]*)\)"
+                 r"(?:\s+(?:USING\s+(?:HASH|BTREE)|(?:IN)?VISIBLE|"
+                 r"COMMENT\s+\S+))*\s*$", sql, re.I)
     if not m:
         raise SqlError(f"cannot parse CREATE INDEX: {sql[:60]!r}")
     ts = eng._table(m.group(3))

@@ -80,6 +80,12 @@ FUNC_ALIASES = {
     # MySQL introspection functions to prefixed SQL macros
     "charset": "mysql_charset",
     "collation": "mysql_collation",
+    # MySQL STD/STDDEV/VARIANCE are the POPULATION forms (reference
+    # sql/expression/function/aggregation/unary_agg.go); Spark's
+    # stddev/variance default to the sample forms
+    "std": "stddev_pop",
+    "stddev": "stddev_pop",
+    "variance": "var_pop",
 }
 
 
@@ -383,8 +389,40 @@ def _rewrite_cast_datetime(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
-def _rewrite_cast_signed(sql: str) -> str:
-    """CAST(x AS SIGNED) → MySQL lax numeric-prefix parse (never NULL)."""
+def _lax_double_expr(x: str) -> str:
+    """MySQL lax string→double: longest numeric prefix, else 0; NULL in →
+    NULL out (reference sql/types/number.go convertToFloat64)."""
+    p = f"regexp_extract(TRIM(CAST({x} AS STRING)), {_LAX_PREFIX_RE}, 0)"
+    return (
+        f"(CASE WHEN {p} = '' THEN COALESCE(TRY_CAST({x} AS DOUBLE), 0.0D) "
+        f"ELSE CAST({p} AS DOUBLE) END)"
+    )
+
+
+def _lax_unsigned_expr(x: str) -> str:
+    """MySQL CAST(x AS UNSIGNED): lax signed parse, negatives wrap to
+    uint64 two's complement (reference sql/types/number.go
+    convertToUint64: -3 → 18446744073709551613)."""
+    v = _lax_signed_expr(x)
+    return (
+        f"(CASE WHEN {v} < 0 THEN CAST({v} AS DECIMAL(20,0)) "
+        f"+ 18446744073709551616BD ELSE CAST({v} AS DECIMAL(20,0)) END)"
+    )
+
+
+def _lax_decimal_expr(x: str, prec: str, scale: str) -> str:
+    p = f"regexp_extract(TRIM(CAST({x} AS STRING)), {_LAX_PREFIX_RE}, 0)"
+    t = f"DECIMAL({prec},{scale})"
+    return (
+        f"(CASE WHEN {p} = '' THEN COALESCE(TRY_CAST({x} AS {t}), 0) "
+        f"ELSE CAST({p} AS {t}) END)"
+    )
+
+
+def _rewrite_cast_binary(sql: str) -> str:
+    """CAST(x AS BINARY(n)) — Spark has no length-parameterized BINARY.
+    MySQL zero-pads (and truncates) to n bytes (reference
+    sql/types/strings.go binary padding)."""
     pos = 0
     while True:
         m = _CAST_CALL.search(sql, pos)
@@ -392,12 +430,49 @@ def _rewrite_cast_signed(sql: str) -> str:
             return sql
         close = _find_close(sql, m.end() - 1)
         body = sql[m.end():close]
-        mm = re.search(r"\s+AS\s+SIGNED(\s+INTEGER)?\s*$", body, re.IGNORECASE)
+        mm = re.search(r"\s+AS\s+BINARY\s*\(\s*(\d+)\s*\)\s*$", body,
+                       re.IGNORECASE)
+        if not mm:
+            pos = m.end()
+            continue
+        inner = _rewrite_cast_binary(body[:mm.start()])
+        n = mm.group(1)
+        repl = f"rpad(CAST(({inner}) AS BINARY), {n}, x'00')"
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_cast_signed(sql: str) -> str:
+    """CAST(x AS SIGNED/UNSIGNED/FLOAT/DOUBLE/REAL/DECIMAL) → MySQL lax
+    numeric-prefix parse (never NULL on junk, never an error; reference
+    sql/types/number.go convertTo*)."""
+    pos = 0
+    while True:
+        m = _CAST_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        body = sql[m.end():close]
+        mm = re.search(
+            r"\s+AS\s+(SIGNED(?:\s+INTEGER)?|UNSIGNED(?:\s+INTEGER)?|"
+            r"FLOAT|DOUBLE|REAL|DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)|"
+            r"DECIMAL\s*\(\s*(\d+)\s*\)|DECIMAL)\s*$",
+            body, re.IGNORECASE)
         if not mm:
             pos = m.end()
             continue
         inner = _rewrite_cast_signed(body[:mm.start()])
-        repl = _lax_signed_expr(inner)
+        target = mm.group(1).upper().split()[0].split("(")[0]
+        if target == "SIGNED":
+            repl = _lax_signed_expr(inner)
+        elif target == "UNSIGNED":
+            repl = _lax_unsigned_expr(inner)
+        elif target in ("FLOAT", "DOUBLE", "REAL"):
+            repl = _lax_double_expr(inner)
+        else:  # DECIMAL
+            prec = mm.group(2) or mm.group(4) or "10"
+            scale = mm.group(3) or "0"
+            repl = _lax_decimal_expr(inner, prec, scale)
         sql = sql[:m.start()] + repl + sql[close + 1:]
         pos = m.start() + len(repl)
 
@@ -587,7 +662,7 @@ _MISC_FN = re.compile(
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
     r"INTERVAL|JSON_ARRAYAGG|JSON_OBJECTAGG|JSON_ARRAY|JSON_OBJECT|"
     r"JSON_LENGTH|JSON_VALUE|"
-    r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT)\s*\(",
+    r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT|NAME_CONST|FIND_IN_SET)\s*\(",
     re.IGNORECASE)
 
 
@@ -598,6 +673,96 @@ def _json_frag(arg: str) -> str:
     return (f"(CASE WHEN ({arg}) IS NULL THEN 'null' ELSE "
             f"regexp_replace(to_json(struct(({arg}) AS v)), "
             f"'^\\\\{{\"v\":|\\\\}}$', '') END)")
+
+
+_UNARY_PREV = re.compile(
+    r"(?:^|[,(=<>+\-*/%]|\b(?:SELECT|WHERE|HAVING|WHEN|THEN|ELSE|AND|OR|"
+    r"NOT|XOR|ON|RETURN|DISTINCT|BY|IN|IS)\b)\s*$", re.IGNORECASE)
+_UNARY_ATOM = re.compile(
+    r"`?[A-Za-z_]\w*`?(?:\s*\.\s*`?[A-Za-z_]\w*`?)*")
+_UNARY_ATOM_KEYWORDS = frozenset((
+    "TRUE", "FALSE", "NULL", "INTERVAL", "EXISTS", "NOT", "CASE", "SELECT",
+    "DATE", "TIME", "TIMESTAMP", "CURRENT_DATE", "CURRENT_TIMESTAMP"))
+
+
+def _promote_unary_minus(sql: str, lits: list[str] | None = None) -> str:
+    """MySQL widens unary minus: -TINYINT_MIN is 128, -INT_MIN is
+    2147483648 (reference sql/expression/arithmetic.go UnaryMinus
+    promotes to the next wider type). Spark's negative() keeps the input
+    type and wraps at the minimum. Rewrite `-atom` (identifier or paren
+    group, NOT a numeric literal — Spark types those wide already) to
+    `(-((atom) + 0L))`: int + bigint promotes to bigint, double/decimal
+    pass through unchanged. A string-literal operand gets MySQL's lax
+    numeric parse ('' → 0) instead."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c != "-":
+            out.append(c)
+            i += 1
+            continue
+        if not _UNARY_PREV.search("".join(out[-40:])):
+            out.append(c)
+            i += 1
+            continue
+        j = i + 1
+        while j < n and sql[j] in " \t\n":
+            j += 1
+        if j < n and sql[j] == "(":
+            close = _find_close(sql, j)
+            if close < 0 or (close + 1 < n
+                             and re.match(r"\s*\(", sql[close + 1:])):
+                out.append(c)
+                i += 1
+                continue
+            atom = ("(" + _promote_unary_minus(sql[j + 1:close], lits)
+                    + ")")
+            out.append(f"(-(({atom}) + 0L))")
+            i = close + 1
+            continue
+        pm = re.compile(r"\x00(\d+)\x00").match(sql, j)
+        if pm and lits is not None and lits[int(pm.group(1))][:1] == "'":
+            out.append(f"(-({_lax_double_expr(pm.group(0))}))")
+            i = pm.end()
+            continue
+        am = _UNARY_ATOM.match(sql, j)
+        if (not am or am.group(0).upper() in _UNARY_ATOM_KEYWORDS
+                or re.match(r"\s*\(", sql[am.end():])):
+            out.append(c)
+            i += 1
+            continue
+        out.append(f"(-(({am.group(0)}) + 0L))")
+        i = am.end()
+    return "".join(out)
+
+
+_ORDERED_WIN_FN = re.compile(
+    r"\b(?:ROW_NUMBER|RANK|DENSE_RANK|PERCENT_RANK|NTILE|LAG|LEAD|"
+    r"CUME_DIST)\s*\((?:[^()]|\([^()]*\))*\)\s*OVER\s*(\()", re.IGNORECASE)
+
+
+def _fix_unordered_windows(sql: str) -> str:
+    """MySQL permits rank-family window functions with an unordered OVER
+    clause (result order is the scan order); Spark's analyzer requires
+    ORDER BY. Append a constant `ORDER BY (SELECT NULL)` — same frame,
+    no sort exchange beyond the partition's existing layout."""
+    pos = 0
+    while True:
+        m = _ORDERED_WIN_FN.search(sql, pos)
+        if not m:
+            return sql
+        open_p = m.start(1)
+        close = _find_close(sql, open_p)
+        if close < 0:
+            return sql
+        body = sql[open_p + 1:close]
+        if re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE):
+            pos = close
+            continue
+        sql = (sql[:close] + (" " if body.strip() else "")
+               + "ORDER BY (SELECT NULL)" + sql[close:])
+        pos = close + len("ORDER BY (SELECT NULL)") + 1
 
 
 def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
@@ -767,6 +932,20 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
                 f"{_json_frag(args[i + 1])})"
                 for i in range(0, len(args), 2))
             return f"CONCAT('{{', concat_ws(',', {pairs}), '}}')"
+        if name == "FIND_IN_SET":
+            # the default utf8mb4_0900_ai_ci collation makes member
+            # matching case-insensitive (reference sql/expression/
+            # function/str.go FindInSet with collated compare)
+            if len(args) != 2:
+                return None
+            return f"find_in_set(lower({args[0]}), lower({args[1]}))"
+        if name == "NAME_CONST":
+            # NAME_CONST(name, value) → the value (reference
+            # sql/expression/function/name_const.go; the name only
+            # affects the result column label)
+            if len(args) != 2:
+                return None
+            return f"({args[1]})"
         if name == "MAKE_SET":
             bits, rest = args[0], ", ".join(args[1:])
             return (f"array_join(filter(transform(array({rest}), "
@@ -1081,31 +1260,53 @@ def wrap_truthy_operands(sql: str) -> str:
     def _between_ands(text: str) -> set[int]:
         return {m.start(1) for m in between_and.finditer(text)}
 
+    # operand shapes: numeric literal, string placeholder (gets MySQL's
+    # lax numeric parse — 'Hello' is 0, not NULL), fully-parenthesized
+    # identifier ("(t0.c0) OR (t1.c0)"), bare identifier
+    _ATOM = (r"(?:[-+]?\d+\.?\d*|\x00\d+\x00|"
+             r"\(\s*(?:`?\w+`?(?:\.`?\w+`?)*|[-+]?\d+\.?\d*|\x00\d+\x00)"
+             r"\s*\)|`?\w+`?(?:\.`?\w+`?)*)")
+    _KEYWORDS = ("TRUE", "FALSE", "NULL", "NOT", "EXISTS", "IN", "BETWEEN",
+                 "LIKE", "ILIKE", "IS", "CASE", "WHEN", "THEN", "ELSE",
+                 "END", "SELECT", "AND", "OR", "INTERVAL", "CAST")
+
+    def _wrap_atom(a: str) -> str:
+        a = a.strip()
+        core = a.strip("()").strip()
+        if re.fullmatch(r"\x00\d+\x00", core):
+            lit = lits[int(core.strip("\x00"))]
+            if lit[:1] == "'":
+                return f"({_lax_double_expr(core)} <> 0.0)"
+        return wrap(a)
+
+    def _is_keyword(a: str) -> bool:
+        return a.strip().strip("()").strip().upper() in _KEYWORDS
+
     skip = _between_ands(masked)
 
     def lit_before(m):
-        if m.start(2) in skip:
+        if m.start(2) in skip or _is_keyword(m.group(1)):
             return m.group(0)
         prefix = masked[:m.start(1)].rstrip()
         if prefix and not _STANDALONE_BEFORE.search(prefix):
             return m.group(0)
-        return f"{wrap(m.group(1))} {m.group(2)} "
+        return f"{_wrap_atom(m.group(1))} {m.group(2)} "
 
-    masked = re.sub(r"([-+]?\d+\.?\d*)\s+(AND|OR)\s+", lit_before, masked,
+    masked = re.sub(rf"({_ATOM})\s*\b(AND|OR)\b", lit_before, masked,
                     flags=re.IGNORECASE)
 
     skip = _between_ands(masked)  # positions shifted by the first pass
 
     def lit_after(m):
-        if m.start(1) in skip:
+        if m.start(1) in skip or _is_keyword(m.group(2)):
             return m.group(0)
         rest = masked2[m.end(2):].lstrip()
         if rest and not _STANDALONE_AFTER.match(rest):
             return m.group(0)
-        return f"{m.group(1)} {wrap(m.group(2))}"
+        return f"{m.group(1)} {_wrap_atom(m.group(2))}"
 
     masked2 = masked
-    masked = re.sub(r"\b(AND|OR)\s+([-+]?\d+\.?\d*)(?![\w.])", lit_after,
+    masked = re.sub(rf"\b(AND|OR)\b\s*({_ATOM})(?![\w.])", lit_after,
                     masked, flags=re.IGNORECASE)
     return unmask_literals(masked, lits)
 
@@ -1174,6 +1375,7 @@ def transpile_select(sql: str) -> str:
     sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
     sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     sql = _rewrite_json_arrows(sql)
+    sql = _promote_unary_minus(sql, lits)
     sql = _rewrite_datetime_formats(sql, lits)
     sql = _rewrite_group_concat(sql, lits)
     # misc fn rewrites BEFORE truncate: the truncate expansion generates
@@ -1185,12 +1387,23 @@ def transpile_select(sql: str) -> str:
     # MySQL CAST target types with no Spark spelling
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_tuple_compare(sql)
+    sql = _fix_unordered_windows(sql)
+    # ORDER BY -N: MySQL folds the negative literal to a constant (no
+    # positional meaning, unlike ORDER BY N); Spark still reads it as a
+    # position and errors out of range — neutralize to a constant key
+    sql = re.sub(r"(ORDER\s+BY\s+)-\d+(\.\d+)?(?=\s*(?:,|$|LIMIT\b|\)))",
+                 r"\1(SELECT NULL)", sql, flags=re.IGNORECASE)
     sql = _rewrite_having_no_group(sql)
     sql = _rewrite_any_value_nogroup(sql)
     # integer literals wider than BIGINT parse as DOUBLE in Spark (losing
     # exactness); MySQL keeps them DECIMAL — spell them as decimal
     # literals (BD suffix), up to Spark's 38-digit cap
-    sql = re.sub(r"\b(\d{20,38})\b(?!\s*\.)(?![\w.])", r"\1BD", sql)
+    sql = re.sub(
+        r"\b(\d{19,38})\b(?!\s*\.)(?![\w.])",
+        lambda m: (m.group(1) + "BD"
+                   if int(m.group(1)) > 9223372036854775807
+                   else m.group(1)),
+        sql)
     # CAST(x AS JSON): MySQL's JSON values print as their text form — the
     # string cast is the closest Spark analogue (JSON stays a string
     # column throughout this engine). Boolean literals must map to JSON's
@@ -1203,6 +1416,7 @@ def transpile_select(sql: str) -> str:
                  flags=re.IGNORECASE)
     sql = _rewrite_convert(sql)
     sql = _rewrite_cast_datetime(sql)
+    sql = _rewrite_cast_binary(sql)
     sql = _rewrite_cast_signed(sql)
     sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
                  flags=re.IGNORECASE)
@@ -1215,6 +1429,23 @@ def transpile_select(sql: str) -> str:
                  flags=re.IGNORECASE)
     sql = re.sub(r"CAST\s*\(\s*FALSE\s+AS", "CAST(0 AS", sql,
                  flags=re.IGNORECASE)
+    # MySQL's TRUE/FALSE are the integers 1/0 — in comparison, IN-list,
+    # and CASE-operand positions they compare numerically ('false =
+    # string_col' matches a '0'-prefixed string, not a boolean cast).
+    # The bareword stays boolean elsewhere (WHERE TRUE, AND/OR operands).
+    _tf = {"TRUE": "1", "FALSE": "0"}
+    sql = re.sub(
+        r"(=|!=|<>|<=|>=|<|>)\s*(TRUE|FALSE)\b",
+        lambda m: f"{m.group(1)} {_tf[m.group(2).upper()]}", sql,
+        flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\b(TRUE|FALSE)\s*(=|!=|<>|<=|>=|<|>)",
+        lambda m: f"{_tf[m.group(1).upper()]} {m.group(2)}", sql,
+        flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\b(IN\s*\(|WHEN)\s*(TRUE|FALSE)\s*(\)|THEN|,)",
+        lambda m: f"{m.group(1)} {_tf[m.group(2).upper()]} {m.group(3)}",
+        sql, flags=re.IGNORECASE)
     # MySQL's default collation (utf8mb4_0900_ai_ci) makes LIKE
     # case-insensitive → Spark ILIKE ("ILIKE" itself never re-matches:
     # no word boundary between I and L)
@@ -1231,6 +1462,15 @@ def transpile_select(sql: str) -> str:
     sql = _SYSDATE.sub("current_timestamp()", sql)
     # MySQL logical XOR on booleans ≡ boolean inequality
     sql = _XOR.sub("!=", sql)
+    # MySQL C-style logical operators (default sql_mode: PIPES_AS_CONCAT
+    # off): `||` is OR, `&&` is AND, prefix `!` is NOT. Spark's `||` is
+    # concat and it has no `&&`/prefix-`!` at all. Literal text is
+    # masked, so these can't hit string contents; `!=` is protected by
+    # the lookahead. The NOT spelling keeps MySQL truthiness via the
+    # engine's wrap_truthy_filters retry (NOT over a numeric operand).
+    sql = re.sub(r"\|\|", " OR ", sql)
+    sql = re.sub(r"&&", " AND ", sql)
+    sql = re.sub(r"!(?!=)", " NOT ", sql)
     # Bit shifts are 64-bit in MySQL; Spark's << / >> type from the left
     # operand, so an INT literal shifted by >=32 silently wraps. Casting
     # the left atom (number, column, placeholder, or one paren group) to

@@ -215,6 +215,48 @@ def _register_misc_sql(spark: SparkSession) -> None:
             return None
 
     _reg("json_storage_size", _json_storage_size, T.IntegerType())
+
+    # UUID helpers (reference sql/expression/function/uuid.go): IS_UUID
+    # accepts dashed, undashed, and braced forms; UUID_TO_BIN/BIN_TO_UUID
+    # round-trip 16-byte values with the optional time-swap flag that
+    # moves the time-low group for index-friendly ordering.
+    _uuid_re = __import__("re").compile(
+        r"^\{?[0-9a-fA-F]{8}-?[0-9a-fA-F]{4}-?[0-9a-fA-F]{4}-?"
+        r"[0-9a-fA-F]{4}-?[0-9a-fA-F]{12}\}?$")
+
+    def _is_uuid(s):
+        if s is None:
+            return None
+        return int(bool(_uuid_re.match(str(s))))
+
+    def _uuid_to_bin(s, swap=0):
+        if s is None:
+            return None
+        t = str(s).strip("{}").replace("-", "")
+        if len(t) != 32:
+            raise ValueError(f"Incorrect string value: '{s}' for "
+                             "function uuid_to_bin")
+        raw = bytes.fromhex(t)
+        if swap:
+            raw = raw[6:8] + raw[4:6] + raw[0:4] + raw[8:]
+        return raw
+
+    def _bin_to_uuid(b, swap=0):
+        if b is None:
+            return None
+        if isinstance(b, str):
+            b = b.encode("latin-1", "ignore")
+        if len(b) != 16:
+            raise ValueError("Incorrect binary value for function "
+                             "bin_to_uuid: need 16 bytes")
+        if swap:
+            b = b[4:8] + b[2:4] + b[0:2] + b[8:]
+        h = b.hex()
+        return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    _reg("is_uuid", _is_uuid, T.IntegerType())
+    _reg("uuid_to_bin", _uuid_to_bin, T.BinaryType())
+    _reg("bin_to_uuid", _bin_to_uuid, T.StringType())
     # a freshly-provided JSON text has no freed slack
     _reg("json_storage_free",
          lambda s: None if s is None else 0, T.IntegerType())

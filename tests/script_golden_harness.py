@@ -289,6 +289,17 @@ def _canon(v):
         v = float(v)
     if isinstance(v, float):
         return int(v) if v.is_integer() else round(v, 4)
+    if isinstance(v, str) and re.fullmatch(r"-?\d+\.\d+", v):
+        # DECIMAL goldens are Go strings ("3.000"); our DECIMAL cells
+        # canonize numerically above — meet them in the middle (same
+        # int-collapse so reprs agree).
+        f = float(v)
+        return int(f) if f.is_integer() else round(f, 4)
+    if isinstance(v, str) and re.fullmatch(r"-?\d{1,18}", v):
+        # integer-rendered DECIMAL goldens ("1" from cast(e as decimal));
+        # both sides canonize identically so string-vs-string equality is
+        # unchanged — this only aligns numeric kinds across engines
+        return int(v)
     if isinstance(v, str) and v[:1] in "[{":
         # JSON values: engines differ on insignificant whitespace
         # (MySQL prints ": ", Dolt ":") — compare canonical form
@@ -363,6 +374,12 @@ def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
             eng = fresh_engine()
         try:
             for stmt in setup:
+                # a script that creates a table shadowing a preloaded
+                # fixture (mytable & co.) owns that name — drop ours first
+                cm = re.match(r"\s*create\s+table\s+[`]?(\w+)[`]?\s*\(",
+                              stmt, re.I)
+                if cm and cm.group(1).lower() in fixtures:
+                    eng.query(f"DROP TABLE IF EXISTS {cm.group(1)}")
                 eng.query(stmt)
         except Exception as exc:  # noqa: BLE001
             skipped += len(asserts)
@@ -518,6 +535,10 @@ def run_scripts(spark, src_path: Path, script_skip=(), assert_skip=(),
                 for stmt in ([ins] if isinstance(ins, str) else ins or []):
                     eng.query(stmt)
             for stmt in setup:
+                cm = re.match(r"\s*create\s+table\s+[`]?(\w+)[`]?\s*\(",
+                              stmt, re.I)
+                if cm and cm.group(1).lower() in fixtures:
+                    eng.query(f"DROP TABLE IF EXISTS {cm.group(1)}")
                 eng.query(stmt)
         except Exception as exc:  # noqa: BLE001
             skipped += len(asserts)
