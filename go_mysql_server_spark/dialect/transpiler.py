@@ -616,23 +616,42 @@ def _rewrite_group_concat(sql: str, lits: list[str]) -> str:
             body = body[len("DISTINCT "):]
         sep_ph = _PH.format(len(lits))
         lits.append("'" + sep.replace("'", "''") + "'")
-        if order_key is not None and order_key != body:
-            if distinct:
-                raise ValueError(
-                    "GROUP_CONCAT(DISTINCT x ORDER BY y) with y != x is "
-                    "not supported (MySQL restriction)")
+
+        def _ident_canon(s: str) -> str:
+            # backtick identifiers arrive as literal placeholders —
+            # expand them before comparing key and value text
+            s = re.sub(r"\x00(\d+)\x00",
+                       lambda mm: lits[int(mm.group(1))], s)
+            return s.replace("`", "").strip().lower()
+
+        same_key = (order_key is None
+                    or _ident_canon(order_key) == _ident_canon(body))
+        if not same_key:
             cmp_lt, cmp_gt = ("-1", "1") if order_dir == "ASC" else ("1", "-1")
             arr = (
                 f"transform(array_sort(collect_list(struct({order_key} AS _k, "
                 f"{body} AS _v)), (l, r) -> CASE WHEN l._k < r._k THEN {cmp_lt} "
                 f"WHEN l._k > r._k THEN {cmp_gt} ELSE 0 END), s -> s._v)"
             )
+            if distinct:
+                # DISTINCT values keep their first (key-ordered)
+                # occurrence — array_distinct preserves encounter order
+                arr = f"array_distinct({arr})"
         else:
             collect = "collect_set" if distinct else "collect_list"
-            arr = f"array_sort({collect}({body}))"
-            if order_key is not None and order_dir == "DESC":
-                arr = f"reverse({arr})"
-        repl = f"array_join({arr}, {sep_ph})"
+            # sort_array, not array_sort: array_sort desugars to a lambda
+            # comparator, and Spark rejects subquery operands inside
+            # higher-order functions (GROUP_CONCAT((SELECT 2)))
+            if order_key is not None:
+                asc = "true" if order_dir == "ASC" else "false"
+                arr = f"sort_array({collect}({body}), {asc})"
+            else:
+                arr = f"sort_array({collect}({body}))"
+        # empty group (or all NULLs) → NULL, not '' (reference
+        # group_concat.go: no rows appended returns NULL)
+        repl = (f"IF(size({arr}) = 0, NULL, array_join({arr}, {sep_ph}))"
+                if same_key else
+                f"IF(COUNT({body}) = 0, NULL, array_join({arr}, {sep_ph}))")
         sql = sql[:m.start()] + repl + sql[close + 1:]
 
 

@@ -79,6 +79,13 @@ class ColumnDef:
     # conversion truncates to it, as MySQL's warning path does
     # (reference sql/types/strings.go Convert)
     char_length: int | None = None
+    # DATETIME(n)/TIMESTAMP(n)/TIME(n) fractional-seconds precision —
+    # values ROUND to n digits on write (reference sql/types/datetime.go
+    # ConvertToDatetime); None = bare DATETIME (fsp 0)
+    fsp: int | None = None
+    # YEAR: 2-digit inputs map 1-69 → 2001-2069, 70-99 → 1970-1999
+    # (reference sql/types/year.go Convert)
+    is_year: bool = False
 
 
 @dataclass
@@ -227,10 +234,13 @@ def _parse_type(
 
 
 def _split_enum_set(vals):
-    """Split _parse_type's enum slot into (enum_values, set_values)."""
+    """Split _parse_type's enum slot into (enum_values, set_values).
+    MySQL trims TRAILING spaces from ENUM/SET members at definition
+    (reference sql/types/enum.go CreateEnumType)."""
     if vals and vals[0] == "\x00set":
-        return None, vals[1:]
-    return vals, None
+        return None, tuple(v.rstrip(" ") for v in vals[1:])
+    return (tuple(v.rstrip(" ") for v in vals)
+            if vals is not None else None), None
 
 
 _CHECK_KEYWORDS = frozenset(
@@ -348,6 +358,16 @@ def _extract_default(rest: str) -> str | None:
 def _char_len_of(type_text: str) -> int | None:
     m = re.match(r"\s*(?:VAR)?CHAR\s*\(\s*(\d+)\s*\)", type_text, re.I)
     return int(m.group(1)) if m else None
+
+
+def _fsp_of(type_text: str) -> int | None:
+    """DATETIME/TIMESTAMP/TIME fractional-seconds precision: bare forms
+    are fsp 0; (n) declares n digits; non-temporal types → None."""
+    m = re.match(r"\s*(?:DATETIME|TIMESTAMP|TIME)\b\s*(?:\(\s*(\d)\s*\))?",
+                 type_text, re.I)
+    if not m:
+        return None
+    return int(m.group(1)) if m.group(1) else 0
 
 
 def _decode_str_literal(d: str) -> str:
@@ -1305,8 +1325,10 @@ class Engine:
                         self._lit(self.connection_id), masked, flags=re.I)
         masked = re.sub(r"\bROW_COUNT\s*\(\s*\)",
                         self._lit(self.last_row_count), masked, flags=re.I)
+        masked = self._rewrite_unix_timestamp(masked)
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
+        sql = self._rewrite_cross_db(sql)
         sql = self._rewrite_as_of(sql)
         sql = self._rewrite_json_table(sql)
         sql = self._rewrite_match_against(sql)
@@ -1368,7 +1390,8 @@ class Engine:
                     and re.search(r"\bORDER\s+BY\b", final, re.I)
                     and not re.search(r"\bGROUP\s+BY\b", final, re.I)
                     and re.search(r"\b(?:SUM|AVG|COUNT|MIN|MAX|STDDEV\w*|"
-                                  r"VAR\w+)\s*\(", final, re.I)):
+                                  r"VAR\w+|COLLECT_LIST|COLLECT_SET)\s*\(",
+                                  final, re.I)):
                 # aggregate query with no GROUP BY produces ONE row; MySQL
                 # accepts (and ignores) an ORDER BY on a source column
                 # Spark can no longer resolve — drop the clause
@@ -1435,6 +1458,64 @@ class Engine:
                                              wrap_truthy_operands)
             return self.spark.sql(wrap_truthy_operands(
                 wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final)))))
+
+    def _rewrite_cross_db(self, sql: str) -> str:
+        """db-qualified table references (`db1.t1`, including the 3-part
+        column form `db1.t1.i`) — Spark temp views are unqualified, so
+        each referenced db.table binds a flat view and the reference text
+        rewrites to it (reference: catalog-qualified resolution in
+        sql/analyzer/resolve_tables.go)."""
+        if "." not in sql:
+            return sql
+        from .dialect.transpiler import mask_literals, unmask_literals
+        masked, lits = mask_literals(sql)
+        changed = False
+        for db, tables in self.databases.items():
+            if db.lower() not in masked.lower():
+                continue
+            for tbl, ts2 in tables.items():
+                pat = rf"\b{re.escape(db)}\s*\.\s*{re.escape(tbl)}\b"
+                if not re.search(pat, masked, re.I):
+                    continue
+                flat = f"__db__{db}__{tbl}"
+                if ts2.df is not None:
+                    ts2.df.createOrReplaceTempView(flat)
+                masked = re.sub(pat, flat, masked, flags=re.I)
+                changed = True
+        return unmask_literals(masked, lits) if changed else sql
+
+    def _rewrite_unix_timestamp(self, masked: str) -> str:
+        """UNIX_TIMESTAMP(x) (reference sql/expression/function/
+        unixtimestamp.go): the argument is a naive datetime interpreted
+        in the SESSION time zone, and the result preserves the input's
+        fractional seconds as a DECIMAL. Runs on literal-masked text.
+        Known divergence: TIMESTAMP columns are stored naive here, so a
+        session-tz change between write and read shifts them like
+        DATETIME (MySQL would pin the stored instant)."""
+        if not re.search(r"\bUNIX_TIMESTAMP\s*\(", masked, re.I):
+            return masked
+        tz = str(self.sys_vars.get("time_zone", "SYSTEM"))
+        pat = re.compile(r"\bUNIX_TIMESTAMP\s*\(", re.I)
+        pos = 0
+        while True:
+            m = pat.search(masked, pos)
+            if not m:
+                return masked
+            from .dialect.transpiler import _find_close
+            close = _find_close(masked, m.end() - 1)
+            if close < 0:
+                return masked
+            arg = masked[m.end():close].strip()
+            if not arg:  # no-arg form: current epoch second (integer)
+                repl = "CAST(unix_timestamp() AS BIGINT)"
+            else:
+                ts = f"to_timestamp({arg})"
+                if tz.upper() not in ("SYSTEM", "UTC", "+00:00", "+0:00"):
+                    ts = f"to_utc_timestamp({ts}, '{tz}')"
+                repl = (f"CAST(CAST(unix_micros({ts}) AS DECIMAL(26,6)) "
+                        f"/ 1000000 AS DECIMAL(20,6))")
+            masked = masked[:m.start()] + repl + masked[close + 1:]
+            pos = m.start() + len(repl)
 
     def _rewrite_enum_arith(self, sql: str) -> str:
         """MySQL evaluates an ENUM column in NUMERIC context as its
@@ -1663,12 +1744,33 @@ class Engine:
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__tables")
         if "columns" in needed:
+            def _mysql_col_type(c) -> tuple[str, str]:
+                """(DATA_TYPE, COLUMN_TYPE) — MySQL spellings for ENUM/SET
+                (reference information_schema/columns_table.go renders the
+                full member list in COLUMN_TYPE); other types keep the
+                engine's native names."""
+                if c.enum_values is not None:
+                    full = "enum(" + ",".join(
+                        "'" + v.replace("'", "''") + "'"
+                        for v in c.enum_values) + ")"
+                    return "enum", full
+                if c.set_values is not None:
+                    full = "set(" + ",".join(
+                        "'" + v.replace("'", "''") + "'"
+                        for v in c.set_values) + ")"
+                    return "set", full
+                t = c.spark_type.simpleString()
+                if t == "string" and c.char_length is not None:
+                    return t, f"varchar({c.char_length})"
+                return t, t
+
             rows = [
                 (db, ts.name, c.name, i + 1,
-                 c.spark_type.simpleString(),
+                 _mysql_col_type(c)[0],
                  "YES" if c.nullable else "NO",
                  "PRI" if c.name in ts.primary_key else "",
-                 _default_display(c))
+                 _default_display(c),
+                 _mysql_col_type(c)[1])
                 for db, tables in sorted(self.databases.items())
                 for ts in tables.values()
                 for i, c in enumerate(ts.columns)
@@ -1689,15 +1791,16 @@ class Engine:
                 rows += [
                     (self.current_db, r.name, f.name, i + 1,
                      f.dataType.simpleString(),
-                     "YES" if f.nullable else "NO", "", None)
+                     "YES" if f.nullable else "NO", "", None,
+                     f.dataType.simpleString())
                     for i, f in enumerate(fields)
                 ]
             self.spark.createDataFrame(
                 rows or [(self.current_db, None, None, 0, None, None, None,
-                          None)],
+                          None, None)],
                 "TABLE_SCHEMA string, TABLE_NAME string, COLUMN_NAME string, "
                 "ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string, "
-                "COLUMN_KEY string, COLUMN_DEFAULT string",
+                "COLUMN_KEY string, COLUMN_DEFAULT string, COLUMN_TYPE string",
             ).filter("TABLE_NAME IS NOT NULL").createOrReplaceTempView(
                 "information_schema__columns")
         if "views" in needed:
@@ -2564,7 +2667,10 @@ class Engine:
             columns.append(ColumnDef(cname, dtype, nullable, default, auto_inc,
                                      enum_vals, bounds, generated,
                                      set_values=set_vals,
-                                     char_length=_char_len_of(rest)))
+                                     char_length=_char_len_of(rest),
+                                     fsp=_fsp_of(rest),
+                                     is_year=bool(re.match(
+                                         r"\s*YEAR\b", rest, re.I))))
         if pk:
             for c in columns:
                 if c.name in pk:
@@ -2634,7 +2740,10 @@ class Engine:
                 col = ColumnDef(col_name, dtype, nullable, default,
                                 enum_values=enum_vals, int_bounds=bounds,
                                 generated=generated, set_values=set_vals,
-                                char_length=_char_len_of(col_rest))
+                                char_length=_char_len_of(col_rest),
+                                fsp=_fsp_of(col_rest),
+                                is_year=bool(re.match(
+                                    r"\s*YEAR\b", col_rest, re.I)))
                 if generated is not None:
                     # ALTER ADD generated column backfills over existing rows
                     fill = F.expr(transpile_select(generated)).cast(dtype)
@@ -3403,6 +3512,12 @@ class Engine:
                 select_cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
             elif c.name in target_cols:
                 src = F.col(c.name)
+                if c.is_year and dict(named.dtypes).get(c.name) == "string":
+                    # YEAR: the STRINGS '0'/'00' mean 2000, while the
+                    # NUMBER 0 means 0000 (reference sql/types/year.go) —
+                    # resolve before the int cast erases the distinction
+                    src = (F.when(src.rlike("^00?$"), F.lit(2000))
+                           .otherwise(src.cast("int")))
                 if (c.spark_type.simpleString() == "string"
                         and dict(named.dtypes).get(c.name) == "boolean"):
                     # MySQL TRUE/FALSE are 1/0 — a boolean literal stored
@@ -4035,6 +4150,21 @@ class Engine:
         lenient '' rewrite) still sees them. One projection, JVM-side."""
         exprs = {}
         for c in ts.columns:
+            if (c.fsp is not None
+                    and c.spark_type.simpleString() == "timestamp"):
+                # DATETIME(n)/TIMESTAMP(n): ROUND to n fractional digits
+                # on write (reference sql/types/datetime.go)
+                scale = 10 ** (6 - c.fsp)
+                if scale > 1:
+                    exprs[c.name] = (
+                        f"timestamp_micros(CAST(ROUND(unix_micros("
+                        f"`{c.name}`) / {scale}) * {scale} AS BIGINT))")
+            if c.is_year:
+                exprs[c.name] = (
+                    f"CASE WHEN `{c.name}` IS NULL THEN NULL "
+                    f"WHEN `{c.name}` BETWEEN 1 AND 69 THEN `{c.name}` + 2000 "
+                    f"WHEN `{c.name}` BETWEEN 70 AND 99 THEN `{c.name}` + 1900 "
+                    f"ELSE `{c.name}` END")
             if c.enum_values is None and c.set_values is None:
                 continue
             name = f"`{c.name}`"
@@ -4375,7 +4505,7 @@ class Engine:
                       for c in ts.columns] if seq_rows else [])
         updated = base.select(*out_cols, "__matched", *old_carry)
         if any(c.enum_values is not None or c.set_values is not None
-               for c in ts.columns):
+               or c.fsp is not None or c.is_year for c in ts.columns):
             updated = self._enum_set_normalize(ts, updated)
         if any(c.generated for c in ts.columns):
             updated = self._compute_generated(ts, updated)
