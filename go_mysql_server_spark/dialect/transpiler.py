@@ -323,6 +323,31 @@ def rewrite_numeric_literals(sql: str) -> str:
 
 _CAST_CALL = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 
+# single-element mutable flag (set by the engine on SET sql_mode):
+# True → `||` is string concatenation, not logical OR
+PIPES_AS_CONCAT = [False]
+
+_PIPE_ATOM = (r"(?:CONCAT\((?:[^()]|\([^()]*\))*\)|"
+              r"\((?:[^()]|\([^()]*\))*\)|\x00\d+\x00|[\w.`]+)")
+_PIPE_PAT = re.compile(rf"({_PIPE_ATOM})\s*\|\|\s*({_PIPE_ATOM})")
+
+
+def _pipes_concat_rewrite(sql: str) -> str:
+    """sql_mode PIPES_AS_CONCAT: `||` concatenates, binding TIGHTER than
+    arithmetic (MySQL: 1 + 2 || 3 + 4 = 1 + '23' + 4 = 28) — assemble
+    CONCAT() calls atom-by-atom, left-associatively. Booleans render as
+    their MySQL integer forms inside the concatenation."""
+    sql = re.sub(r"\bTRUE\b(?=\s*\|\|)", "1", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"(\|\|\s*)TRUE\b", r"\g<1>1", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bFALSE\b(?=\s*\|\|)", "0", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"(\|\|\s*)FALSE\b", r"\g<1>0", sql, flags=re.IGNORECASE)
+    while True:
+        new = _PIPE_PAT.sub(
+            lambda m: f"CONCAT({m.group(1)}, {m.group(2)})", sql, count=1)
+        if new == sql:
+            return sql
+        sql = new
+
 # MySQL's lax string→integer cast: the longest numeric prefix parses (with
 # HALF_UP rounding of a fractional prefix), anything else is 0 — never NULL
 # and never an error (reference sql/types/number.go convertToInt64).
@@ -467,7 +492,11 @@ def _rewrite_cast_signed(sql: str) -> str:
             repl = _lax_signed_expr(inner)
         elif target == "UNSIGNED":
             repl = _lax_unsigned_expr(inner)
-        elif target in ("FLOAT", "DOUBLE", "REAL"):
+        elif target == "FLOAT":
+            # keep FLOAT width: a DOUBLE-widened 0.8 no longer equals a
+            # FLOAT column's 0.8 (single-precision representation)
+            repl = f"CAST({_lax_double_expr(inner)} AS FLOAT)"
+        elif target in ("DOUBLE", "REAL"):
             repl = _lax_double_expr(inner)
         else:  # DECIMAL
             prec = mm.group(2) or mm.group(4) or "10"
@@ -681,7 +710,8 @@ _MISC_FN = re.compile(
     r"FIELD|CHAR|INSERT|FORMAT|MAKEDATE|DATE_ADD|DATE_SUB|ADDDATE|SUBDATE|"
     r"INTERVAL|JSON_ARRAYAGG|JSON_OBJECTAGG|JSON_ARRAY|JSON_OBJECT|"
     r"JSON_LENGTH|JSON_VALUE|"
-    r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT|NAME_CONST|FIND_IN_SET)\s*\(",
+    r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT|NAME_CONST|FIND_IN_SET|"
+    r"LAST_INSERT_ID)\s*\(",
     re.IGNORECASE)
 
 
@@ -958,6 +988,13 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             if len(args) != 2:
                 return None
             return f"find_in_set(lower({args[0]}), lower({args[1]}))"
+        if name == "LAST_INSERT_ID":
+            # LAST_INSERT_ID(expr) returns expr (and seeds the session
+            # counter — the engine handles the bare () form; reference
+            # sql/expression/function/last_insert_id.go)
+            if len(args) == 1 and args[0].strip():
+                return f"({args[0]})"
+            return None
         if name == "NAME_CONST":
             # NAME_CONST(name, value) → the value (reference
             # sql/expression/function/name_const.go; the name only
@@ -1274,7 +1311,7 @@ def wrap_truthy_operands(sql: str) -> str:
     _STANDALONE_AFTER = re.compile(
         r"(\)|,|;|AND\b|OR\b|THEN\b|ELSE\b|END\b|WHEN\b|GROUP\b|ORDER\b|"
         r"HAVING\b|LIMIT\b|UNION\b|EXCEPT\b|INTERSECT\b|WINDOW\b|"
-        r"QUALIFY\b)", re.IGNORECASE)
+        r"QUALIFY\b|AS\b|FROM\b)", re.IGNORECASE)
 
     def _between_ands(text: str) -> set[int]:
         return {m.start(1) for m in between_and.finditer(text)}
@@ -1282,9 +1319,10 @@ def wrap_truthy_operands(sql: str) -> str:
     # operand shapes: numeric literal, string placeholder (gets MySQL's
     # lax numeric parse — 'Hello' is 0, not NULL), fully-parenthesized
     # identifier ("(t0.c0) OR (t1.c0)"), bare identifier
-    _ATOM = (r"(?:[-+]?\d+\.?\d*|\x00\d+\x00|"
-             r"\(\s*(?:`?\w+`?(?:\.`?\w+`?)*|[-+]?\d+\.?\d*|\x00\d+\x00)"
-             r"\s*\)|`?\w+`?(?:\.`?\w+`?)*)")
+    _ATOM = (r"(?:[-+]?\d+(?:\.\d*)?(?:\s*[+\-*/%]\s*[-+]?\d+(?:\.\d*)?)+|"
+             r"[-+]?\d+\.?\d*|\x00\d+\x00|"
+             r"\(\s*(?:`?\w+`?(?:\.`?\w+`?)*|[-+]?\d+\.?\d*|\x00\d+\x00|"
+             r"[\d\s+\-*/%.]+)\s*\)|`?\w+`?(?:\.`?\w+`?)*)")
     _KEYWORDS = ("TRUE", "FALSE", "NULL", "NOT", "EXISTS", "IN", "BETWEEN",
                  "LIKE", "ILIKE", "IS", "CASE", "WHEN", "THEN", "ELSE",
                  "END", "SELECT", "AND", "OR", "INTERVAL", "CAST")
@@ -1296,6 +1334,11 @@ def wrap_truthy_operands(sql: str) -> str:
             lit = lits[int(core.strip("\x00"))]
             if lit[:1] == "'":
                 return f"({_lax_double_expr(core)} <> 0.0)"
+        if re.fullmatch(r"`?\w+`?(?:\.`?\w+`?)*", core) \
+                and not re.fullmatch(r"[-+]?[\d.]+", core):
+            # identifier operand: a STRING column must truthy-compare via
+            # MySQL's lax numeric parse ('john' → 0, not NULL)
+            return f"({_lax_double_expr(core)} <> 0.0)"
         return wrap(a)
 
     def _is_keyword(a: str) -> bool:
@@ -1393,6 +1436,9 @@ def transpile_select(sql: str) -> str:
     # participate in arithmetic)
     sql = _HEX_LITERAL.sub(lambda m: str(int(m.group(1), 16)), sql)
     sql = _LIMIT_COMMA.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    # MySQL ROW(a, b) tuple constructor → bare parens (Spark row-value
+    # syntax; also VALUES ROW(...) table-value constructors)
+    sql = re.sub(r"\bROW\s*\(", "(", sql, flags=re.IGNORECASE)
     sql = _rewrite_json_arrows(sql)
     sql = _promote_unary_minus(sql, lits)
     sql = _rewrite_datetime_formats(sql, lits)
@@ -1487,7 +1533,12 @@ def transpile_select(sql: str) -> str:
     # masked, so these can't hit string contents; `!=` is protected by
     # the lookahead. The NOT spelling keeps MySQL truthiness via the
     # engine's wrap_truthy_filters retry (NOT over a numeric operand).
-    sql = re.sub(r"\|\|", " OR ", sql)
+    # Under sql_mode PIPES_AS_CONCAT (or ANSI) `||` stays Spark concat —
+    # the engine flips the module flag on SET sql_mode.
+    if not PIPES_AS_CONCAT[0]:
+        sql = re.sub(r"\|\|", " OR ", sql)
+    else:
+        sql = _pipes_concat_rewrite(sql)
     sql = re.sub(r"&&", " AND ", sql)
     sql = re.sub(r"!(?!=)", " NOT ", sql)
     # Bit shifts are 64-bit in MySQL; Spark's << / >> type from the left
@@ -1690,8 +1741,26 @@ def wrap_ungrouped_any_value(sql: str) -> str:
         expr, alias = (am.group(1).strip(), am.group(2)) if am else (it, None)
         if alias:
             aliases.add(alias.lower())
+        if (not ident.match(expr)
+                and not re.search(
+                    r"\b(?:COUNT|SUM|AVG|MIN|MAX|GROUP_CONCAT|STDDEV\w*|"
+                    r"VAR\w+|BIT_AND|BIT_OR|BIT_XOR|ANY_VALUE|COLLECT_\w+|"
+                    r"JSON_ARRAYAGG|JSON_OBJECTAGG|FIRST|LAST|OVER)\b",
+                    expr, re.IGNORECASE)
+                and re.search(r"(?<![\w.`'])[A-Za-z_]\w*(?!\s*\()"
+                              r"(?![\w.`'])", re.sub(
+                                  r"\x00\d+\x00", "", expr))
+                and bare(expr) not in group_keys):
+            # non-aggregate COMPOUND expression over ungrouped columns
+            # (concat(i, i)): MySQL evaluates it against the picked row —
+            # any_value over the whole expression preserves that
+            label = f" AS `{alias}`" if alias else ""
+            new_sel.append(f"any_value({expr}){label}")
+            changed = True
+            continue
         if ident.match(expr) and bare(expr) not in group_keys and \
-                expr.upper() not in ("TRUE", "FALSE", "NULL"):
+                expr.upper() not in ("TRUE", "FALSE", "NULL") and \
+                not re.fullmatch(r"[\d.]+", expr):
             name = alias or expr.split(".")[-1].strip("`")
             new_sel.append(f"any_value({expr}) AS `{name}`")
             aliases.add(name.lower())  # ORDER BY resolves via the output

@@ -630,6 +630,11 @@ class Engine:
             # the reference brands version_comment "Dolt" and defaults the
             # server-side charset pair to utf8mb4 / utf8mb4_0900_bin
             "version_comment": "Dolt",
+            # validate_password component defaults (MySQL 8)
+            "validate_password.length": 8,
+            "validate_password.number_count": 1,
+            "validate_password.mixed_case_count": 1,
+            "validate_password.special_char_count": 1,
             "character_set_server": "utf8mb4",
             "collation_server": "utf8mb4_0900_bin",
         }
@@ -1096,6 +1101,13 @@ class Engine:
         head = (_mh.group(0).upper() if _mh
                 else ("(" if sql.startswith("(") else ""))
         self._query_count += 1
+        # sync the || dialect flag to THIS session's sql_mode (the
+        # transpiler is stateless otherwise; single-threaded engines)
+        from .dialect import transpiler as _tp
+        _mode = str(self.sys_vars.get("sql_mode", "")).upper()
+        _tp.PIPES_AS_CONCAT[0] = ("PIPES_AS_CONCAT" in _mode
+                                  or re.search(r"\bANSI\b", _mode)
+                                  is not None)
         handler = {
             "SELECT": self._q_select, "WITH": self._q_select,
             "TABLE": self._q_select, "VALUES": self._q_select,
@@ -1192,7 +1204,10 @@ class Engine:
     # ---- variable substitution --------------------------------------------
 
     _USER_VAR = re.compile(r"@(?!@)(\w+)")
-    _SYS_VAR = re.compile(r"@@(?:session\.|global\.)?(\w+)", re.I)
+    # dotted component vars (validate_password.length) resolve as ONE
+    # name when registered; other dots stay field accesses
+    _SYS_VAR = re.compile(
+        r"@@(?:session\.|global\.)?(\w+(?:\.\w+)?)", re.I)
 
     def _substitute_vars(self, sql: str) -> str:
         # Literal-aware: mask '...'/"..."/`...` first so @ inside a string
@@ -1200,7 +1215,15 @@ class Engine:
         from .dialect.transpiler import mask_literals, unmask_literals
 
         def sys_repl(m: re.Match) -> str:
-            return self._lit(self.sys_vars.get(m.group(1).lower()))
+            name = m.group(1).lower()
+            if name in self.sys_vars:
+                return self._lit(self.sys_vars.get(name))
+            if "." in name:
+                head = name.split(".", 1)[0]
+                if head in self.sys_vars:  # @@var.field: var then field
+                    return (self._lit(self.sys_vars.get(head))
+                            + name[len(head):])
+            return self._lit(self.sys_vars.get(name))
 
         def user_repl(m: re.Match) -> str:
             return self._lit(self.user_vars.get(m.group(1)))
@@ -1326,6 +1349,27 @@ class Engine:
         masked = re.sub(r"\bROW_COUNT\s*\(\s*\)",
                         self._lit(self.last_row_count), masked, flags=re.I)
         masked = self._rewrite_unix_timestamp(masked)
+        # validate_password_strength reads the validate_password.* policy
+        # vars — thread the session's current values as extra literals
+        if re.search(r"\bVALIDATE_PASSWORD_STRENGTH\s*\(", masked, re.I):
+            from .dialect.transpiler import _find_close as _fc
+            pat = re.compile(r"\bVALIDATE_PASSWORD_STRENGTH\s*\(", re.I)
+            pos = 0
+            while True:
+                mm = pat.search(masked, pos)
+                if not mm:
+                    break
+                close = _fc(masked, mm.end() - 1)
+                if close < 0:
+                    break
+                arg = masked[mm.end():close]
+                vals = ", ".join(str(int(self.sys_vars.get(
+                    f"validate_password.{k}", d))) for k, d in (
+                    ("length", 8), ("number_count", 1),
+                    ("mixed_case_count", 1), ("special_char_count", 1)))
+                repl = (f"validate_password_strength_policy({arg}, {vals})")
+                masked = masked[:mm.start()] + repl + masked[close + 1:]
+                pos = mm.start() + len(repl)
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_cross_db(sql)
@@ -1450,6 +1494,16 @@ class Engine:
                 if rewritten != final:
                     return self.spark.sql(rewritten)
                 raise
+            if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in msg:
+                # WITH RECURSIVE ... UNION (DISTINCT): Spark's native
+                # recursion is UNION ALL-only — run our driver-side
+                # fixpoint with per-round dedup instead
+                # (operators/recursive_cte.py; reference
+                # sql/plan/recursive_cte.go deduplicating union)
+                out = self._run_recursive_union(final)
+                if out is not None:
+                    return out
+                raise
             if not retryable:
                 raise
             from .dialect.transpiler import (wrap_truthy_case,
@@ -1458,6 +1512,64 @@ class Engine:
                                              wrap_truthy_operands)
             return self.spark.sql(wrap_truthy_operands(
                 wrap_truthy_if(wrap_truthy_case(wrap_truthy_filters(final)))))
+
+    def _run_recursive_union(self, final: str) -> DataFrame | None:
+        """WITH RECURSIVE name [(cols)] AS (anchor UNION recursive) tail —
+        driver-side fixpoint with per-round dedup (reference
+        sql/plan/recursive_cte.go; Spark only natively supports UNION
+        ALL). Returns None when the statement shape isn't the single
+        leading recursive CTE this handles."""
+        from .dialect.transpiler import _find_close, mask_literals
+        from .operators.recursive_cte import recursive_cte
+        m = re.search(r"\bWITH\s+RECURSIVE\s+`?(\w+)`?\s*"
+                      r"(?:\(([^)]*)\))?\s*AS\s*(\()", final, re.I)
+        if not m:
+            return None
+        name, collist = m.group(1), m.group(2)
+        close = _find_close(final, m.start(3))
+        if close < 0:
+            return None
+        body = final[m.start(3) + 1:close]
+        # excise the CTE definition; its result binds as a temp view so
+        # every remaining reference (outer query, sibling CTEs, derived
+        # tables) resolves against the materialized fixpoint
+        after = final[close + 1:].lstrip()
+        if after.startswith(","):  # further CTEs: re-open the WITH list
+            after = "WITH " + after[1:].lstrip()
+        rest = final[:m.start()] + after
+        # split the body at the top-level UNION (not ALL)
+        masked, _ = mask_literals(body)
+        depth, split_at, rec_start = 0, None, None
+        for um in re.finditer(r"[()]|\bUNION\b(\s+ALL\b)?", masked, re.I):
+            tok = um.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0 and um.group(1) is None:
+                split_at, rec_start = um.start(), um.end()
+                break
+        if split_at is None:
+            return None
+        anchor_sql, rec_sql = body[:split_at], body[rec_start:]
+        anchor = self.spark.sql(anchor_sql)
+        if collist:
+            cols = [c.strip().strip("`") for c in collist.split(",")]
+            anchor = anchor.toDF(*cols)
+
+        def step(delta: DataFrame) -> DataFrame:
+            delta.createOrReplaceTempView(name)
+            out = self.spark.sql(rec_sql)
+            return out.toDF(*anchor.columns)
+
+        result = recursive_cte(anchor, step, distinct=True)
+        result.createOrReplaceTempView(name)
+        try:
+            return self.spark.sql(rest)
+        except Exception as exc:  # noqa: BLE001 — nested recursive CTEs
+            if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(exc):
+                return self._run_recursive_union(rest)
+            raise
 
     def _rewrite_cross_db(self, sql: str) -> str:
         """db-qualified table references (`db1.t1`, including the 3-part
@@ -1637,6 +1749,10 @@ class Engine:
         head, tail = sql[:om.start()], sql[om.start():]
         tail, lits = mask_literals(tail)
         for cname, vals in enum_cols.items():
+            if re.search(rf"\bAS\s+`?{re.escape(cname)}`?\b", head, re.I):
+                # a projection alias shadows the enum column — ORDER BY
+                # names the alias (string order), not the table column
+                continue
             arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
             tail = re.sub(
                 rf"\b{cname}\b",
@@ -3072,10 +3188,36 @@ class Engine:
         return OkResult(0)
 
     def _q_rename(self, sql: str) -> OkResult:
-        m = re.match(r"RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)", sql, re.I)
-        if not m:
-            raise SqlError(f"cannot parse RENAME: {sql[:60]!r}")
-        return self._q_alter(f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}")
+        """RENAME TABLE a TO b[, c TO d ...] — engine tables and VIEWS
+        both rename (reference sql/plan/rename_table.go renames views via
+        the same statement)."""
+        body = re.sub(r"^\s*RENAME\s+TABLE\s+", "", sql, flags=re.I)
+        pairs = []
+        for item in _split_top_level(body):
+            pm = re.match(r"\s*([`\w.]+)\s+TO\s+([`\w.]+)\s*$", item, re.I)
+            if not pm:
+                raise SqlError(f"cannot parse RENAME: {sql[:60]!r}")
+            pairs.append((pm.group(1), pm.group(2)))
+        for old, new in pairs:
+            _, old_t = self._split_name(old)
+            _, new_t = self._split_name(new)
+            if old_t not in self._db(None) and \
+                    old_t.lower() not in {t.lower() for t in self._db(None)}:
+                # a temp VIEW of that name renames by re-binding
+                try:
+                    vdf = self.spark.table(old_t)
+                except Exception:  # noqa: BLE001
+                    raise SqlError(
+                        f"table {old_t!r} not found in database "
+                        f"{self.current_db!r}")
+                vdf.createOrReplaceTempView(new_t)
+                self.spark.catalog.dropTempView(old_t)
+                vk = getattr(self, "views", None)
+                if isinstance(vk, dict) and old_t in vk:
+                    vk[new_t] = vk.pop(old_t)
+                continue
+            self._q_alter(f"ALTER TABLE {old} RENAME TO {new}")
+        return OkResult(0)
 
     def _q_drop(self, sql: str) -> OkResult:
         from . import admin
@@ -3524,6 +3666,20 @@ class Engine:
                     # into a string column renders '1'/'0', not 'true'
                     src = (F.when(src.isNull(), F.lit(None).cast("string"))
                            .when(src, "1").otherwise("0"))
+                if (c.spark_type.simpleString() == "string"
+                        and dict(named.dtypes).get(c.name) == "binary"):
+                    # binary → utf8mb4 column: strict mode rejects invalid
+                    # byte sequences; non-strict keeps the longest valid
+                    # prefix (reference sql/types/strings.go charset
+                    # validation, enginetest "charset validation" scripts)
+                    if not lenient:
+                        bad = named.filter(F.expr(
+                            f"NOT mysql_utf8_valid(`{c.name}`)")).count()
+                        if bad:
+                            raise SqlError(
+                                f"Incorrect string value for column "
+                                f"{c.name!r}")
+                    src = F.expr(f"mysql_utf8_lenient(`{c.name}`)")
                 base_val = (self._lenient_cast(c, src) if lenient
                             else src.cast(c.spark_type))
                 if c.auto_increment:
@@ -4787,6 +4943,13 @@ class Engine:
         into the target by PK — two distributed joins, no row loops.
         A WITH prefix (cte_prefix) is transpiled and prepended to the
         staging SELECT so the join refs may name CTEs."""
+        limit_n = offset_n = None
+        lm = re.search(r"\s+LIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*;?\s*$",
+                       sql, re.I)
+        if lm:  # LIMIT on a multi-table UPDATE caps the matched rows
+            limit_n = int(lm.group(1))
+            offset_n = int(lm.group(2)) if lm.group(2) else None
+            sql = sql[:lm.start()]
         m = re.match(r"UPDATE\s+(.*?)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
                      sql, re.I | re.S)
         if not m:
@@ -4841,8 +5004,13 @@ class Engine:
                 else ""
             updates = self.spark.sql(
                 f"{cte_sql}SELECT {pk_select}, {new_select}, "
-                f"1 AS __upd_match FROM {from_clause}{where_sql}"
+                f"1 AS __upd_match FROM "
+                f"{transpile_select(from_clause)}{where_sql}"
             ).dropDuplicates(pk)
+            if offset_n:
+                updates = updates.offset(offset_n)
+            if limit_n is not None:
+                updates = updates.limit(limit_n)
             n = updates.count()
             total += n
             # UPDATE triggers fire per matched row on EACH target table
@@ -4868,8 +5036,11 @@ class Engine:
                             t.body, new=newd, old=pairs_old[i])
                 if bts and prs:
                     # NEW may have been mutated — rebuild the staging df
+                    # over EVERY non-key column: a BEFORE trigger can SET
+                    # new.<col> on columns the statement didn't assign
                     by_name = {c.name: c for c in ts.columns}
-                    fields = pk + [c for c in assigns if c not in pk]
+                    fields = pk + [c.name for c in ts.columns
+                                   if c.name not in pk]
                     data = [tuple(self._py_coerce(
                         d[f.lower()], by_name[f].spark_type)
                         for f in fields) for d in pairs_new]
@@ -4877,6 +5048,8 @@ class Engine:
                         [T.StructField(f, by_name[f].spark_type)
                          for f in fields])
                     rebuilt = self.spark.createDataFrame(data, schema2)
+                    assigns = {f: assigns.get(f, "/*trigger-set*/")
+                               for f in fields if f not in pk}
                     updates = rebuilt.select(
                         *pk,
                         *[F.col(c).alias(f"__new_{c}") for c in assigns],
@@ -5396,7 +5569,8 @@ class Engine:
             if cm2:
                 self.query(f"SET CHARACTER SET {cm2.group(1)}")
                 continue
-            m = re.match(rf"{scope}@@(?:session\.|local\.|global\.)?(\w+)"
+            m = re.match(rf"{scope}@@(?:session\.|local\.|global\.)?"
+                         r"(\w+(?:\.\w+)?)"
                          r"\s*:?=\s*(.*)$", assign, re.I)
             if m:
                 self.sys_vars[m.group(1).lower()] = \
@@ -5406,7 +5580,8 @@ class Engine:
             if m:
                 self.user_vars[m.group(1)] = self._eval_scalar(m.group(2))
                 continue
-            m = re.match(rf"{scope}(\w+)\s*=\s*(.*)$", assign, re.I)
+            m = re.match(rf"{scope}(\w+(?:\.\w+)?)\s*=\s*(.*)$",
+                         assign, re.I)
             if m:  # bare sysvar, optionally SESSION/LOCAL/GLOBAL-scoped
                 self.sys_vars[m.group(1).lower()] = \
                     self._eval_sysvar_value(m.group(1).lower(), m.group(2))

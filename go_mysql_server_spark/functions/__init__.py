@@ -196,6 +196,64 @@ def _register_misc_sql(spark: SparkSession) -> None:
         return score
 
     _reg("validate_password_strength", _pw_strength, T.IntegerType())
+
+    def _pw_strength_policy(pw, length, ncount, mcount, scount):
+        """Policy-parameterized strength (reference sql/expression/
+        function/hash.go ValidatePasswordStrength.Eval): 0 below 4
+        chars, 25 below validate_password.length, 50 when the
+        number/mixed-case/special counts fail, else 100 (dictionary
+        matching unsupported upstream too)."""
+        if pw is None:
+            return None
+        pw = str(pw)
+        if len(pw) < 4:
+            return 0
+        if len(pw) < int(length):
+            return 25
+        num, lower, upper, special = (int(ncount), int(mcount),
+                                      int(mcount), int(scount))
+        for c in pw:
+            if c.isdigit():
+                num -= 1
+            elif c.isupper():
+                upper -= 1
+            elif c.islower():
+                lower -= 1
+            else:
+                special -= 1
+        if num > 0 or upper > 0 or lower > 0 or special > 0:
+            return 50
+        return 100
+
+    _reg("validate_password_strength_policy", _pw_strength_policy,
+         T.IntegerType())
+
+    # utf8mb4 charset validation on binary→string conversion (reference
+    # sql/types/strings.go charset validation): lenient mode keeps the
+    # longest valid prefix (truncates at the first invalid byte)
+    def _utf8_lenient(b):
+        if b is None:
+            return None
+        if isinstance(b, str):
+            return b
+        try:
+            return bytes(b).decode("utf-8")
+        except UnicodeDecodeError as e:
+            return bytes(b)[:e.start].decode("utf-8", "ignore")
+
+    def _utf8_valid(b):
+        if b is None:
+            return None
+        if isinstance(b, str):
+            return True
+        try:
+            bytes(b).decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    _reg("mysql_utf8_lenient", _utf8_lenient, T.StringType())
+    _reg("mysql_utf8_valid", _utf8_valid, T.BooleanType())
     _reg("coercibility", lambda e: 4 if e is not None else 6, T.IntegerType())
     _reg("gtid_subtract", wkb_fns._gtid_subtract, T.StringType())
     _reg("json_schema_validation_report", wkb_fns._schema_report,

@@ -203,6 +203,9 @@ def _parse_scripts(src_path: Path):
                 continue
             setup_body = setup_m.group(1)
         setup = []
+        # strip //-commented-out lines — their string literals are NOT
+        # setup statements (e.g. the disabled @myUnion SELECT INTO)
+        setup_body = re.sub(r"^\s*//[^\n]*$", "", setup_body, flags=re.M)
         for gm in re.finditer(r'"((?:[^"\\]|\\.)*)"|`([^`]*)`',
                               setup_body):
             if gm.group(1) is not None:
@@ -231,7 +234,8 @@ def _parse_scripts(src_path: Path):
                 continue
             query = (qm.group(1).encode().decode("unicode_escape")
                      if qm.group(1) is not None else qm.group(2))
-            if "types.OkResult" in em.group(1) or not \
+            if "types.OkResult" in em.group(1) \
+                    or "types.NewOkResult" in em.group(1) or not \
                     query.upper().lstrip().startswith(("SELECT", "WITH")):
                 # DML step between matches: execute for state, don't
                 # compare rows (OkResult shape is engine-specific)
@@ -295,7 +299,15 @@ def _canon(v):
         # int-collapse so reprs agree).
         f = float(v)
         return int(f) if f.is_integer() else round(f, 4)
-    if isinstance(v, str) and re.fullmatch(r"-?\d{1,18}", v):
+    import datetime
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}"
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str) and re.fullmatch(r"-?\d{1,20}", v):
         # integer-rendered DECIMAL goldens ("1" from cast(e as decimal));
         # both sides canonize identically so string-vs-string equality is
         # unchanged — this only aligns numeric kinds across engines
