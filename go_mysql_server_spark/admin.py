@@ -520,6 +520,7 @@ def q_analyze(eng, sql: str):
 def create_index(eng, sql: str):
     from .engine import OkResult, SqlError
     m = re.match(r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+"
+                 r"(?:IF\s+NOT\s+EXISTS\s+)?"
                  r"[`]?(\w+)[`]?\s*(?:USING\s+(?:HASH|BTREE)\s*)?"
                  r"ON\s+([`\w.]+)\s*\(([^)]*)\)"
                  r"(?:\s+(?:USING\s+(?:HASH|BTREE)|(?:IN)?VISIBLE|"

@@ -444,6 +444,27 @@ def _lax_decimal_expr(x: str, prec: str, scale: str) -> str:
     )
 
 
+def _rewrite_cast_char_n(sql: str) -> str:
+    """CAST(x AS CHAR(n)) truncates the rendered text to n characters
+    (reference sql/types/strings.go length-parameterized conversion)."""
+    pos = 0
+    while True:
+        m = _CAST_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        body = sql[m.end():close]
+        mm = re.search(r"\s+AS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$", body,
+                       re.IGNORECASE)
+        if not mm:
+            pos = m.end()
+            continue
+        inner = _rewrite_cast_char_n(body[:mm.start()])
+        repl = f"substring(CAST(({inner}) AS STRING), 1, {mm.group(1)})"
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_cast_binary(sql: str) -> str:
     """CAST(x AS BINARY(n)) — Spark has no length-parameterized BINARY.
     MySQL zero-pads (and truncates) to n bytes (reference
@@ -571,6 +592,31 @@ def _rewrite_datetime_formats(sql: str, lits: list[str]) -> str:
         close = _find_close(sql, open_paren)
         args = _split_args(sql[open_paren + 1:close])
         fmt_lit = _literal_of(args[1], lits) if len(args) == 2 else None
+        if fmt_lit is not None and "%D" in fmt_lit \
+                and fname != "STR_TO_DATE":
+            # %D = day with English ordinal suffix (1st, 2nd, …) — no
+            # Java pattern exists; splice a CASE suffix around the day
+            x = args[0]
+            day = f"day({x})"
+            suffix = (f"(CASE WHEN {day} IN (1, 21, 31) THEN 'st' "
+                      f"WHEN {day} IN (2, 22) THEN 'nd' "
+                      f"WHEN {day} IN (3, 23) THEN 'rd' ELSE 'th' END)")
+            ordinal = f"CONCAT(CAST({day} AS STRING), {suffix})"
+            parts = fmt_lit.split("%D")
+            frags = []
+            for i, part in enumerate(parts):
+                if part:
+                    java = translate_datetime_format(part)
+                    ph = _PH.format(len(lits))
+                    lits.append("'" + java + "'")
+                    frags.append(f"date_format({x}, {ph})")
+                if i < len(parts) - 1:
+                    frags.append(ordinal)
+            repl = (frags[0] if len(frags) == 1
+                    else "CONCAT(" + ", ".join(frags) + ")")
+            sql = sql[:m.start()] + repl + sql[close + 1:]
+            pos = m.start() + len(repl)
+            continue
         if fmt_lit is not None:
             java = translate_datetime_format(fmt_lit,
                                              parse=fname == "STR_TO_DATE")
@@ -711,14 +757,21 @@ _MISC_FN = re.compile(
     r"INTERVAL|JSON_ARRAYAGG|JSON_OBJECTAGG|JSON_ARRAY|JSON_OBJECT|"
     r"JSON_LENGTH|JSON_VALUE|"
     r"MAKE_SET|EXPORT_SET|OCT|GET_FORMAT|NAME_CONST|FIND_IN_SET|"
-    r"LAST_INSERT_ID)\s*\(",
+    r"LOCATE|INSTR|SOUNDEX|"
+    r"LAST_INSERT_ID|REGEXP_LIKE|REGEXP_INSTR|REGEXP_SUBSTR|"
+    r"REGEXP_REPLACE|DATEDIFF|TIMESTAMPDIFF)\s*\(",
     re.IGNORECASE)
 
 
 def _json_frag(arg: str) -> str:
     """One argument → its JSON-fragment text, any type: serialize through a
     one-field struct and strip the wrapper. NULL handled explicitly
-    (to_json drops null struct fields)."""
+    (to_json drops null struct fields). An argument that is ITSELF a
+    rewritten JSON constructor (CONCAT('{' … / CONCAT('[' …) embeds raw —
+    re-serializing would escape the nested document into a string."""
+    a = arg.strip()
+    if re.match(r"CONCAT\('\[',|CONCAT\('\{\{?',|'\[\]'|'\{\{?\}\}?'", a):
+        return arg
     return (f"(CASE WHEN ({arg}) IS NULL THEN 'null' ELSE "
             f"regexp_replace(to_json(struct(({arg}) AS v)), "
             f"'^\\\\{{\"v\":|\\\\}}$', '') END)")
@@ -814,6 +867,83 @@ def _fix_unordered_windows(sql: str) -> str:
         pos = close + len("ORDER BY (SELECT NULL)") + 1
 
 
+_TRIM_CALL = re.compile(r"\bTRIM\s*\(", re.IGNORECASE)
+
+
+def _rewrite_trim_from(sql: str) -> str:
+    """TRIM([LEADING|TRAILING|BOTH] remstr FROM str) — MySQL trims the
+    whole remstr repeatedly; Spark's TRIM(x FROM y) trims a character
+    set. Route the remstr form to the mysql_trim UDF; bare TRIM(s) stays
+    the Spark builtin."""
+    pos = 0
+    while True:
+        m = _TRIM_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        body = sql[m.end():close]
+        # top-level FROM split
+        depth, from_at = 0, None
+        for fm in re.finditer(r"[()]|\bFROM\b", body, re.IGNORECASE):
+            if fm.group(0) == "(":
+                depth += 1
+            elif fm.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                from_at = fm
+                break
+        if from_at is None:
+            pos = m.end()
+            continue
+        head = body[:from_at.start()].strip()
+        target = body[from_at.end():].strip()
+        mm = re.match(r"(?:(LEADING|TRAILING|BOTH)\s+)?(.*)$", head,
+                      re.IGNORECASE | re.DOTALL)
+        mode = (mm.group(1) or "BOTH").lower()
+        rem = mm.group(2).strip()
+        if not rem:  # TRIM(LEADING FROM s) — character-set form, space
+            pos = m.end()
+            continue
+        target = _rewrite_trim_from(target)
+        repl = f"mysql_trim('{mode}', {rem}, {target})"
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
+_POSITION_CALL = re.compile(r"\bPOSITION\s*\(", re.IGNORECASE)
+
+
+def _rewrite_position_in(sql: str) -> str:
+    """POSITION(x IN y) → case-insensitive locate (ai_ci collation)."""
+    pos = 0
+    while True:
+        m = _POSITION_CALL.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        body = sql[m.end():close]
+        depth, in_at = 0, None
+        for fm in re.finditer(r"[()]|\bIN\b", body, re.IGNORECASE):
+            if fm.group(0) == "(":
+                depth += 1
+            elif fm.group(0) == ")":
+                depth -= 1
+            elif depth == 0:
+                in_at = fm
+                break
+        if in_at is None:
+            pos = m.end()
+            continue
+        sub, hay = body[:in_at.start()].strip(), body[in_at.end():].strip()
+        repl = f"locate(lower({sub}), lower({hay}))"
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
     """MySQL functions whose Spark twin differs in name, signature, or
     semantics (reference sql/expression/function/*.go):
@@ -878,6 +1008,9 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             return (f"CONCAT(SUBSTRING({s}, 1, ({p}) - 1), {new}, "
                     f"SUBSTRING({s}, ({p}) + ({ln})))")
         if name == "FORMAT":
+            if len(args) == 3:
+                return (f"mysql_format_locale({args[0]}, {args[1]}, "
+                        f"{args[2]})")
             if len(args) != 2:
                 return None
             return f"format_number({args[0]}, {args[1]})"
@@ -981,6 +1114,21 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
                 f"{_json_frag(args[i + 1])})"
                 for i in range(0, len(args), 2))
             return f"CONCAT('{{', concat_ws(',', {pairs}), '}}')"
+        if name in ("LOCATE", "INSTR"):
+            # default ai_ci collation: substring search is
+            # case-insensitive (reference sql/expression/function/str.go)
+            if name == "INSTR" and len(args) == 2:
+                return f"instr(lower({args[0]}), lower({args[1]}))"
+            if name == "LOCATE" and len(args) in (2, 3):
+                rest = f", {args[2]}" if len(args) == 3 else ""
+                return (f"locate(lower({args[0]}), lower({args[1]})"
+                        f"{rest})")
+            return None
+        if name == "SOUNDEX":
+            # MySQL soundex keeps ALL digits (not the 4-char standard)
+            if len(args) == 1:
+                return f"mysql_soundex({args[0]})"
+            return None
         if name == "FIND_IN_SET":
             # the default utf8mb4_0900_ai_ci collation makes member
             # matching case-insensitive (reference sql/expression/
@@ -988,6 +1136,31 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             if len(args) != 2:
                 return None
             return f"find_in_set(lower({args[0]}), lower({args[1]}))"
+        if name in ("DATEDIFF", "TIMESTAMPDIFF"):
+            # MySQL parses lax date separators ('2019/12/28'); normalize
+            # string operands before Spark's strict parse
+            def norm(a: str, to: str) -> str:
+                # only '/' → '-': '.' would clobber fractional seconds
+                return (f"CAST(replace(CAST({a} AS STRING), '/', '-') "
+                        f"AS {to})")
+            if name == "DATEDIFF" and len(args) == 2:
+                return (f"datediff({norm(args[0], 'DATE')}, "
+                        f"{norm(args[1], 'DATE')})")
+            if name == "TIMESTAMPDIFF" and len(args) == 3:
+                return (f"timestampdiff({args[0]}, "
+                        f"{norm(args[1], 'TIMESTAMP')}, "
+                        f"{norm(args[2], 'TIMESTAMP')})")
+            return None
+        if name in ("REGEXP_LIKE", "REGEXP_INSTR", "REGEXP_SUBSTR",
+                    "REGEXP_REPLACE"):
+            # Spark builtins cover the base arities (JVM fast path);
+            # MySQL's position/occurrence/flags long forms route to the
+            # Python twins (reference sql/expression/function/regexp_*.go)
+            base = {"REGEXP_LIKE": 2, "REGEXP_INSTR": 2,
+                    "REGEXP_SUBSTR": 2, "REGEXP_REPLACE": 3}[name]
+            if len(args) <= base:
+                return None
+            return f"mysql_{name.lower()}({', '.join(args)})"
         if name == "LAST_INSERT_ID":
             # LAST_INSERT_ID(expr) returns expr (and seeds the session
             # counter — the engine handles the bare () form; reference
@@ -1004,9 +1177,10 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
             return f"({args[1]})"
         if name == "MAKE_SET":
             bits, rest = args[0], ", ".join(args[1:])
-            return (f"array_join(filter(transform(array({rest}), "
+            return (f"(CASE WHEN ({bits}) IS NULL THEN NULL ELSE "
+                    f"array_join(filter(transform(array({rest}), "
                     f"(__x, __i) -> IF(shiftright({bits}, __i) & 1 = 1, "
-                    f"__x, NULL)), __x -> __x IS NOT NULL), ',')")
+                    f"__x, NULL)), __x -> __x IS NOT NULL), ',') END)")
         if name == "EXPORT_SET":
             # pad the 3/4-arg forms to the 5-arg SQL macro
             if len(args) == 3:
@@ -1015,7 +1189,9 @@ def _rewrite_misc_fns(sql: str, lits: list[str] | None = None) -> str:
                 args = args + ["64"]
             if len(args) != 5:
                 return None
-            return f"export_set({', '.join(args)})"
+            nulls = " OR ".join(f"({a}) IS NULL" for a in args[:4])
+            return (f"(CASE WHEN {nulls} THEN NULL "
+                    f"ELSE export_set({', '.join(args)}) END)")
         return None
 
     return _rewrite_calls(sql, _MISC_FN, repl)
@@ -1073,8 +1249,19 @@ def _rewrite_truncate(sql: str) -> str:
             # TRUNCATE TABLE etc. is routed in engine.py; leave untouched
             return sql
         x, d = args
-        repl = (f"(CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) * POW(10, ({d}))) "
-                f"ELSE CEIL(({x}) * POW(10, ({d}))) END / POW(10, ({d})))")
+        # MySQL lax coercions: non-integer scale ROUNDS ('1.5' → 2),
+        # strings parse by numeric prefix ('abc' → 0); scale clamps to
+        # DOUBLE-safe range so POW stays finite
+        xn = _lax_double_expr(x)
+        # clamp to double mantissa range: Spark FLOOR(double) returns
+        # BIGINT, so a scale past ~15 would overflow int64 and clamp
+        dn = (f"GREATEST(LEAST(CAST(ROUND({_lax_double_expr(d)}) "
+              f"AS INT), 15), -15)")
+        repl = (f"(CASE WHEN ({x}) IS NULL OR ({d}) IS NULL THEN NULL "
+                f"WHEN ({xn}) >= 0 THEN FLOOR(({xn}) * POW(10, ({dn}))) "
+                f"/ POW(10, ({dn})) "
+                f"ELSE CEIL(({xn}) * POW(10, ({dn}))) / POW(10, ({dn})) "
+                f"END)")
         sql = sql[:m.start()] + repl + sql[close + 1:]
 
 
@@ -1446,6 +1633,8 @@ def transpile_select(sql: str) -> str:
     # misc fn rewrites BEFORE truncate: the truncate expansion generates
     # FLOOR/CEIL that must keep Spark semantics (no BIGINT cast)
     sql = _rewrite_misc_fns(sql, lits)
+    sql = _rewrite_trim_from(sql)
+    sql = _rewrite_position_in(sql)
     sql = _rewrite_truncate(sql)
     sql = _rewrite_any_all(sql)
     sql = _rewrite_collate(sql)
@@ -1482,6 +1671,7 @@ def transpile_select(sql: str) -> str:
     sql = _rewrite_convert(sql)
     sql = _rewrite_cast_datetime(sql)
     sql = _rewrite_cast_binary(sql)
+    sql = _rewrite_cast_char_n(sql)
     sql = _rewrite_cast_signed(sql)
     sql = re.sub(r"AS\s+SIGNED(\s+INTEGER)?\s*\)", "AS BIGINT)", sql,
                  flags=re.IGNORECASE)
@@ -1520,6 +1710,11 @@ def transpile_select(sql: str) -> str:
             continue
         sql = re.sub(rf"\b{myname}\s*\(", f"{sparkname}(", sql,
                      flags=re.IGNORECASE)
+    # session identity functions: the Spark builtins user()/current_user()
+    # return the OS user; MySQL reports user@host
+    sql = re.sub(r"\b(?:CURRENT_USER|SESSION_USER|SYSTEM_USER|USER)"
+                 r"\s*\(\s*\)|\bCURRENT_USER\b",
+                 "'root@localhost'", sql, flags=re.IGNORECASE)
     # MySQL CURTIME/CURRENT_TIME → TIME-of-day string; SYSDATE ≈ per-call
     # time (Spark's now() is statement-time; per-call drift is below test
     # resolution and documented).
@@ -1562,6 +1757,39 @@ def transpile_select(sql: str) -> str:
             return f"CAST({atom} AS BIGINT) {m.group(2)}"
 
         sql = _shift_pat.sub(_shift_repl, sql)
+        if not _changed:
+            break
+    # MySQL bit ops are uint64: fractional operands ROUND first, and
+    # DECIMAL values past int64-max reinterpret as two's complement so
+    # the 64-bit pattern survives (reference sql/expression/arithmetic
+    # bit ops over uint64). `>>` is a LOGICAL shift — shiftrightunsigned.
+    sql = re.sub(
+        r"(CAST\((?:[^()]|\([^()]*\))*AS BIGINT\))\s*>>\s*"
+        r"(\d+|\x00\d+\x00|`?\w+`?(?:\.`?\w+`?)*|\([^()]*\))",
+        r"shiftrightunsigned(\1, \2)", sql)
+
+    def _to_i64(x: str) -> str:
+        return (f"CAST((CASE WHEN ({x}) >= 9223372036854775808BD THEN "
+                f"CAST(ROUND({x}) AS DECIMAL(21,0)) - "
+                f"18446744073709551616BD ELSE ROUND({x}) END) AS BIGINT)")
+
+    _bit_atom = (r"(?:\d+\.?\d*(?:BD)?|\x00\d+\x00|"
+                 r"\w+\s*\((?:[^()]|\([^()]*\))*\)|"
+                 r"`?\w+`?(?:\.`?\w+`?)*|\((?:[^()]|\([^()]*\))*\))")
+    _bitop_pat = re.compile(rf"({_bit_atom})\s*([&^]|\|(?!\|))\s*"
+                            rf"({_bit_atom})")
+    while True:
+        _changed = False
+
+        def _bit_repl(m: re.Match) -> str:
+            nonlocal _changed
+            left, op, right = m.group(1), m.group(2), m.group(3)
+            if left.startswith("CAST((CASE WHEN"):
+                return m.group(0)
+            _changed = True
+            return f"{_to_i64(left)} {op} {_to_i64(right)}"
+
+        sql = _bitop_pat.sub(_bit_repl, sql, count=1)
         if not _changed:
             break
     # GROUP BY a, b WITH ROLLUP → GROUP BY ROLLUP(a, b)
@@ -1789,6 +2017,33 @@ def wrap_ungrouped_any_value(sql: str) -> str:
     if not changed:
         return sql
     return unmask_literals(head + ", ".join(new_sel) + rest, lits)
+
+
+def lax_numeric_minmax(sql: str) -> str:
+    """GREATEST/LEAST over mixed types: MySQL compares NUMERICALLY when
+    any argument is numeric (GREATEST(1, 2, '9', 'foo999') = 9, junk
+    strings parse as 0). Spark requires one type — retry-only rewrite
+    that runs every argument through the lax numeric parse."""
+    pat = re.compile(r"\b(GREATEST|LEAST)\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        close = _find_close(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        args = _split_args(sql[m.end():close])
+        if len(args) < 2:
+            pos = m.end()
+            continue
+        laxed = ", ".join(_lax_double_expr(lax_numeric_minmax(a))
+                          for a in args)
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        repl = (f"(CASE WHEN {nulls} THEN NULL "
+                f"ELSE {m.group(1)}({laxed}) END)")
+        sql = sql[:m.start()] + repl + sql[close + 1:]
+        pos = m.start() + len(repl)
 
 
 def boolean_if_branches_to_int(sql: str) -> str:

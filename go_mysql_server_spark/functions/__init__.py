@@ -170,6 +170,14 @@ def _register_misc_sql(spark: SparkSession) -> None:
         "random_bytes",
         lambda n: None if n is None else _secrets.token_bytes(int(n)),
         T.BinaryType())
+
+    def _sleep(n):
+        import time as _t
+        if n is not None:
+            _t.sleep(min(float(n), 5.0))  # bounded: test harness safety
+        return 0
+
+    _reg_volatile("sleep", _sleep, T.IntegerType())
     _reg("load_file", lambda p: None, T.StringType())  # priv-gated → NULL
     _reg("is_used_lock", lambda name: None, T.LongType())  # no lock held
     _reg("is_binary",
@@ -254,6 +262,182 @@ def _register_misc_sql(spark: SparkSession) -> None:
 
     _reg("mysql_utf8_lenient", _utf8_lenient, T.StringType())
     _reg("mysql_utf8_valid", _utf8_valid, T.BooleanType())
+
+    # MySQL extended REGEXP_* signatures (position / occurrence /
+    # return-option / match-flags args — reference sql/expression/
+    # function/regexp_*.go). Spark's builtins cover only the base
+    # arities; these UDFs back the long forms. MySQL flags: the LAST of
+    # conflicting 'c'/'i' wins; 'm'/'n'/'u' map to re.M/re.S.
+    import re as _re
+
+    def _re_compile(pattern, flags):
+        f = 0
+        eff_ci = None
+        for ch in str(flags or ""):
+            if ch == "i":
+                eff_ci = "i"
+            elif ch == "c":
+                eff_ci = "c"
+            elif ch == "m":
+                f |= _re.M
+            elif ch == "n":
+                f |= _re.S
+        if eff_ci == "i":
+            f |= _re.I
+        return _re.compile(pattern, f)
+
+    def _mysql_regexp_like(s, p, flags=None):
+        if s is None or p is None:
+            return None
+        return int(bool(_re_compile(p, flags).search(str(s))))
+
+    def _mysql_regexp_instr(s, p, pos=1, occ=1, ret=0, flags=None):
+        if s is None or p is None or pos is None or occ is None:
+            return None
+        s = str(s)
+        rx = _re_compile(p, flags)
+        start = max(int(pos) - 1, 0)
+        n = 0
+        for m in rx.finditer(s, start):
+            n += 1
+            if n == int(occ):
+                return (m.end() + 1) if int(ret or 0) else (m.start() + 1)
+        return 0
+
+    def _mysql_regexp_substr(s, p, pos=1, occ=1, flags=None):
+        if s is None or p is None or pos is None or occ is None:
+            return None
+        s = str(s)
+        rx = _re_compile(p, flags)
+        n = 0
+        for m in rx.finditer(s, max(int(pos) - 1, 0)):
+            n += 1
+            if n == int(occ):
+                return m.group(0)
+        return None
+
+    def _mysql_regexp_replace(s, p, r, pos=1, occ=0, flags=None):
+        if s is None or p is None or r is None or pos is None \
+                or occ is None:
+            return None
+        s = str(s)
+        rx = _re_compile(p, flags)
+        start = max(int(pos) - 1, 0)
+        head, tail = s[:start], s[start:]
+        rep = str(r).replace("\\", "\\\\")
+        occ = int(occ)
+        if occ == 0:
+            return head + rx.sub(rep, tail)
+        n = 0
+        out, last = [], 0
+        for m in rx.finditer(tail):
+            n += 1
+            if n == occ:
+                out.append(tail[last:m.start()])
+                out.append(str(r))
+                last = m.end()
+                break
+        out.append(tail[last:])
+        return head + "".join(out)
+
+    # SQL-callable inet twins (the Column builders in special.py have no
+    # _py_fn; reference sql/expression/function/inet.go, including
+    # MySQL's short forms: '127.1' = 127<<24 | 1)
+    def _inet_aton_py(ip):
+        if ip is None:
+            return None
+        parts = str(ip).split(".")
+        try:
+            vals = [int(x) for x in parts]
+        except ValueError:
+            return None
+        if not 1 <= len(vals) <= 4 or any(v < 0 or v > 255 for v in vals):
+            return None
+        # the LAST group fills the remaining low bytes (MySQL short form)
+        raw = bytes(vals[:-1]) + b"\x00" * (4 - len(vals)) \
+            + bytes([vals[-1]])
+        return int.from_bytes(raw, "big")
+
+    def _inet_ntoa_py(n):
+        if n is None:
+            return None
+        try:
+            v = int(float(n)) & 0xFFFFFFFF
+        except (TypeError, ValueError):
+            v = 0  # MySQL's lax numeric parse of junk input
+        return ".".join(str((v >> s) & 255) for s in (24, 16, 8, 0))
+
+    _reg("inet_aton", _inet_aton_py, T.LongType())
+    _reg("inet_ntoa", _inet_ntoa_py, T.StringType())
+
+    def _mysql_trim(mode, rem, s):
+        """TRIM([LEADING|TRAILING|BOTH] remstr FROM str): MySQL removes
+        the WHOLE remstr repeatedly (reference sql/expression/function/
+        str.go Trim) — Spark's trim removes a character SET."""
+        if s is None or rem is None:
+            return None
+        s, rem = str(s), str(rem)
+        if not rem:
+            return s
+        if mode in ("leading", "both"):
+            while s.startswith(rem):
+                s = s[len(rem):]
+        if mode in ("trailing", "both"):
+            while s.endswith(rem):
+                s = s[:-len(rem)]
+        return s
+
+    _reg("mysql_trim", _mysql_trim, T.StringType())
+
+    def _mysql_format_locale(x, d, loc):
+        """FORMAT(x, d, locale) (reference sql/expression/function/
+        format.go): en-style grouping, with comma/point swapped for the
+        European locales the reference's tests exercise."""
+        if x is None or d is None:
+            return None
+        nd = max(int(float(d)), 0)
+        s = f"{float(x):,.{nd}f}"
+        head = str(loc or "en_US").replace("-", "_").split("_")[0].lower()
+        if head in ("da", "de", "es", "it", "nl", "pt", "tr", "id",
+                    "hr", "ro", "sr", "sk", "sl", "el", "bg", "vi"):
+            s = (s.replace(",", "\x00").replace(".", ",")
+                 .replace("\x00", "."))
+        return s
+
+    _reg("mysql_format_locale", _mysql_format_locale, T.StringType())
+
+    def _mysql_soundex(s):
+        """MySQL SOUNDEX keeps EVERY consonant digit (no 4-char cap;
+        reference sql/expression/function/soundex.go)."""
+        if s is None:
+            return None
+        s = str(s)
+        codes = {**{c: "1" for c in "bfpvBFPV"},
+                 **{c: "2" for c in "cgjkqsxzCGJKQSXZ"},
+                 **{c: "3" for c in "dtDT"}, "l": "4", "L": "4",
+                 **{c: "5" for c in "mnMN"}, "r": "6", "R": "6"}
+        i = 0
+        while i < len(s) and not s[i].isalpha():
+            i += 1
+        if i == len(s):
+            return ""
+        out = [s[i].upper()]
+        last = codes.get(s[i], "")
+        for c in s[i + 1:]:
+            code = codes.get(c, "")
+            if code and code != last:
+                out.append(code)
+            if c.isalpha():
+                last = code
+        res = "".join(out)
+        return res if len(res) >= 4 else res + "0" * (4 - len(res))
+
+    _reg("mysql_soundex", _mysql_soundex, T.StringType())
+
+    _reg("mysql_regexp_like", _mysql_regexp_like, T.IntegerType())
+    _reg("mysql_regexp_instr", _mysql_regexp_instr, T.IntegerType())
+    _reg("mysql_regexp_substr", _mysql_regexp_substr, T.StringType())
+    _reg("mysql_regexp_replace", _mysql_regexp_replace, T.StringType())
     _reg("coercibility", lambda e: 4 if e is not None else 6, T.IntegerType())
     _reg("gtid_subtract", wkb_fns._gtid_subtract, T.StringType())
     _reg("json_schema_validation_report", wkb_fns._schema_report,

@@ -357,13 +357,41 @@ def _inet6_aton(s):
 def _inet6_ntoa(b):
     if b is None:
         return None
+    if isinstance(b, str):
+        b = b.encode("latin-1", "ignore")
     try:
         addr = ipaddress.ip_address(bytes(b))
     except ValueError:
         return None
-    if isinstance(addr, ipaddress.IPv6Address) and addr.ipv4_mapped:
-        return f"::ffff:{addr.ipv4_mapped}"  # MySQL prints the dotted form
+    if isinstance(addr, ipaddress.IPv6Address):
+        if addr.ipv4_mapped:
+            return f"::ffff:{addr.ipv4_mapped}"  # MySQL's dotted form
+        packed = addr.packed
+        if packed[:12] == b"\x00" * 12 and packed[12:] != b"\x00" * 4 \
+                and packed[12:16] != b"\x00\x00\x00\x01":
+            # IPv4-compatible (::a.b.c.d) also prints dotted in MySQL
+            return "::" + ".".join(str(x) for x in packed[12:])
     return str(addr)
+
+
+def _is_ipv4(s):
+    if s is None:
+        return None
+    try:
+        return int(isinstance(ipaddress.ip_address(str(s)),
+                              ipaddress.IPv4Address))
+    except ValueError:
+        return 0
+
+
+def _is_ipv6(s):
+    if s is None:
+        return None
+    try:
+        return int(isinstance(ipaddress.ip_address(str(s)),
+                              ipaddress.IPv6Address))
+    except ValueError:
+        return 0
 
 
 def _is_ipv4_compat(b):
@@ -385,6 +413,8 @@ def _is_ipv4_mapped(b):
 INET6_FNS = {
     "inet6_aton": _udfw(_inet6_aton, T.BinaryType()),
     "inet6_ntoa": _udfw(_inet6_ntoa, T.StringType()),
+    "is_ipv4": _udfw(_is_ipv4, T.IntegerType()),
+    "is_ipv6": _udfw(_is_ipv6, T.IntegerType()),
     "is_ipv4_compat": _udfw(_is_ipv4_compat, T.IntegerType()),
     "is_ipv4_mapped": _udfw(_is_ipv4_mapped, T.IntegerType()),
 }

@@ -139,11 +139,13 @@ def _extract_wild(doc: str | None, path: str | None):
 
 
 def _json_unquote(x) -> Column:
+    # full JSON string decode (\t, \uXXXX, \" …) via the JVM JSON parser:
+    # wrap in a one-element array and extract (reference
+    # sql/expression/function/json/json_unquote.go)
     x = _c(x)
     return F.when(
         x.startswith('"') & x.endswith('"'),
-        F.regexp_replace(F.substring(x, 2, F.octet_length(x) - 2),
-                         r'\\"', '"'),
+        F.get_json_object(F.concat(F.lit("["), x, F.lit("]")), "$[0]"),
     ).otherwise(x)
 
 

@@ -113,3 +113,56 @@ def wire_roundtrip_end_state(spark, sf_dir):
     finally:
         srv.close()
     return eng.query("SELECT rk, rname, score FROM wire_rt ORDER BY rk")
+
+
+@query(
+    "dbapi_roundtrip_end_state",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nk,
+       LOWER(n_name) AS nname,
+       CAST(n_regionkey * 10 AS BIGINT) AS score
+FROM nation
+WHERE n_nationkey < 8 AND n_nationkey <> 3
+UNION ALL SELECT 200, 'dbapi-x', 77
+UNION ALL SELECT 201, NULL, 88
+ORDER BY nk
+""",
+)
+def dbapi_roundtrip_end_state(spark, sf_dir):
+    """End-to-end through the PEP 249 driver (dbapi.py): connect() /
+    cursor() / qmark parameter binding / executemany / the transaction
+    context manager (commit on clean exit, rollback on error), oracled on
+    final table state — the embedding-API twin of
+    `wire_roundtrip_end_state` (reference server/handler.go runs the same
+    engine the Go sql.DB driver binds to). The rollback leg proves
+    statement-level snapshot restore through the driver: a failed batch
+    inside the context manager leaves no trace."""
+    from .. import dbapi
+
+    eng = _eng(spark, sf_dir, "nation")
+    eng.query("DROP TABLE IF EXISTS dbapi_rt")
+    conn = dbapi.connect(engine=eng)
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE dbapi_rt (nk BIGINT PRIMARY KEY, "
+                "nname VARCHAR(32), score BIGINT)")
+    cur.execute("INSERT INTO dbapi_rt "
+                "SELECT n_nationkey, LOWER(n_name), n_regionkey * 10 "
+                "FROM nation WHERE n_nationkey < 8")
+    cur.executemany("INSERT INTO dbapi_rt VALUES (?, ?, ?)",
+                    [(200, "dbapi-x", 77), (201, None, 88)])
+    cur.execute("DELETE FROM dbapi_rt WHERE nk = ?", (3,))
+    # transaction context manager: the duplicate-key failure rolls the
+    # whole block back — row 500 must NOT survive
+    try:
+        with conn:
+            conn.begin()
+            conn.cursor().execute(
+                "INSERT INTO dbapi_rt VALUES (500, 'doomed', 0)")
+            conn.cursor().execute(
+                "INSERT INTO dbapi_rt VALUES (200, 'dup', 0)")
+    except dbapi.Error:
+        pass
+    cur.execute("SELECT COUNT(*) FROM dbapi_rt")
+    assert cur.fetchone() is not None
+    conn.close()
+    return eng.query("SELECT nk, nname, score FROM dbapi_rt ORDER BY nk")

@@ -135,6 +135,26 @@ class Client:
         first = p.read_packet(self.sock)
         if first is None:
             raise MySQLClientError(2013, "HY000", "connection closed")
+        if first[:1] == b"\xfb":
+            # LOCAL INFILE request: the server names the file; stream its
+            # bytes and terminate with an empty packet, then read the
+            # final OK/ERR (MySQL client protocol local-infile handshake)
+            fname = first[1:].decode("utf-8", "replace")
+            seq = 2
+            try:
+                with open(fname, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 20)
+                        if not chunk:
+                            break
+                        seq = p.write_packet(self.sock, chunk, seq)
+            except OSError:
+                pass  # empty stream → server loads zero rows / errors
+            p.write_packet(self.sock, b"", seq)
+            final = p.read_packet(self.sock)
+            if final is None:
+                raise MySQLClientError(2013, "HY000", "connection closed")
+            return self._read_one_result(final)
         return self._read_one_result(first)
 
     def multi_query(self, sql: str) -> list[ResultSet | OkStatus]:

@@ -29,6 +29,7 @@ keeps `SELECT *` over a large table from becoming a driver OOM.
 from __future__ import annotations
 
 import os
+import re
 import socket
 import socketserver
 import struct
@@ -205,7 +206,11 @@ class MySQLServer:
                     "USE `%s`" % body.decode("utf-8", "replace"))
             elif cmd == p.COM_QUERY:
                 sql = body.decode("utf-8", "replace")
-                if caps & p.CLIENT_MULTI_STATEMENTS:
+                lm = re.match(r"\s*LOAD\s+DATA\s+LOCAL\s+INFILE\s+"
+                              r"'([^']+)'", sql, re.I)
+                if lm:
+                    self._local_infile(sock, sess, sql, lm.group(1))
+                elif caps & p.CLIENT_MULTI_STATEMENTS:
                     self._multi_query(sock, sess, sql)
                 else:
                     self._run_and_reply(sock, sess, sql)
@@ -235,6 +240,43 @@ class MySQLServer:
                     1047, "08S01", f"Unknown command {cmd:#x}"), 1)
 
     # -- text protocol
+
+    def _local_infile(self, sock, sess: "_ConnSession", sql: str,
+                      fname: str) -> None:
+        """LOAD DATA LOCAL INFILE: the server answers COM_QUERY with a
+        0xFB LOCAL INFILE request naming the file; the CLIENT streams the
+        file's bytes as packets terminated by an empty packet; the server
+        loads the received bytes and replies OK/ERR (reference
+        server/handler.go ComQuery local-infile callback path). The bytes
+        spool to a server-side temp file and run through the engine's
+        regular LOAD DATA INFILE plan."""
+        import os
+        import tempfile
+
+        p.write_packet(sock, b"\xfb" + fname.encode("utf-8"), 1)
+        data = bytearray()
+        while True:
+            pkt = p.read_packet(sock)
+            if pkt is None:
+                return  # client vanished mid-stream
+            if not pkt:
+                break  # empty packet terminates the stream
+            data += pkt
+        tmp = tempfile.NamedTemporaryFile(
+            prefix="local_infile_", suffix=".csv", delete=False)
+        try:
+            tmp.write(bytes(data))
+            tmp.close()
+            rewritten = re.sub(
+                r"\bLOCAL\s+INFILE\s+'[^']*'",
+                "INFILE '" + tmp.name.replace("\\", "/") + "'",
+                sql, count=1, flags=re.I)
+            self._run_and_reply(sock, sess, rewritten)
+        finally:
+            try:
+                os.unlink(tmp.name)
+            except OSError:
+                pass
 
     def _multi_query(self, sock, sess: _ConnSession, sql: str) -> None:
         """CLIENT_MULTI_STATEMENTS: split on top-level semicolons

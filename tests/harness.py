@@ -32,6 +32,9 @@ def _canon_cell(v):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
         return ("t", v.isoformat())
+    if isinstance(v, datetime.time):
+        # our TIME shim is a string column; DuckDB returns time objects
+        return ("s", v.isoformat())
     if isinstance(v, (list, tuple)):
         return ("l", tuple(_canon_cell(x) for x in v))
     if isinstance(v, bytes):

@@ -369,9 +369,11 @@ def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
 
     ok, skipped, failures = 0, 0, []
 
-    def fresh_engine():
+    def fresh_engine(needed=None):
         e = Engine(spark, default_db=db)
-        for ddl, ins in fixtures.values():
+        for tname, (ddl, ins) in fixtures.items():
+            if needed is not None and tname.lower() not in needed:
+                continue
             e.query(ddl)
             for stmt in ([ins] if isinstance(ins, str) else ins or []):
                 e.query(stmt)
@@ -383,7 +385,11 @@ def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
             skipped += len(asserts)
             continue
         if not shared:
-            eng = fresh_engine()
+            # preload only the fixtures the script actually references —
+            # a fresh engine per script otherwise pays ~1s of unused DDL
+            text = " ".join(setup) + " " + " ".join(q for q, _, _ in asserts)
+            words = {w.lower() for w in re.findall(r"\w+", text)}
+            eng = fresh_engine({t for t in fixtures if t.lower() in words})
         try:
             for stmt in setup:
                 # a script that creates a table shadowing a preloaded
@@ -423,6 +429,74 @@ def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
                 failures.append(
                     (name,
                      f"{query[:80]} got={got[:3]} want={want[:3]}"[:240]))
+    return ok, skipped, failures
+
+
+def _parse_query_tests(src_path: Path):
+    """[]QueryTest / []RegexTest corpora: independent (Query, Expected
+    rows) pairs over the standard fixtures. Entries with Skip/ExpectedErr
+    or Go-expression cells we can't evaluate are dropped."""
+    src = _read_go_source(src_path)
+    tests = []
+    chunks = re.split(r"(?=\n\t*Query:)", src)
+    for ch in chunks[1:]:
+        qm = re.match(r"\n\t*Query:\s+(?:\"((?:[^\"\\\\]|\\\\.)*)\"|`([^`]*)`)",
+                      ch)
+        if not qm:
+            continue
+        head = ch[:1200]
+        if re.search(r"^\s*(Skip:\s*true|ExpectedErr|SkipServerEngine)",
+                     head, re.M):
+            continue
+        em = re.search(r"Expected:\s+(\[\]sql\.Row\{.*)", ch, re.S)
+        if not em:
+            continue
+        if re.search(r"MustConvert|MustJSON|math\.|time\.\w|sql\.True"
+                     r"|sql\.False|\[\]byte|fmt\.", em.group(1)[:800]):
+            continue
+        query = (qm.group(1).encode().decode("unicode_escape")
+                 if qm.group(1) is not None else qm.group(2))
+        try:
+            expected = _parse_go_rows(em.group(1))
+        except ValueError:
+            continue
+        if expected is None:
+            continue
+        tests.append((query, expected, "ORDER BY" in query.upper()))
+    return tests
+
+
+def run_query_tests(spark, src_path: Path, fixtures: dict, skip=(),
+                    db: str = "mydb"):
+    """Run a QueryTest corpus against the reference's own golden rows:
+    ONE engine with the standard fixtures preloaded (entries are
+    independent reads). Returns (ok, skipped, failures)."""
+    from go_mysql_server_spark.engine import Engine
+
+    eng = Engine(spark, default_db=db)
+    for ddl, ins in fixtures.values():
+        eng.query(ddl)
+        for stmt in ([ins] if isinstance(ins, str) else ins or []):
+            eng.query(stmt)
+    ok, skipped, failures = 0, 0, []
+    for query, expected, ordered in _parse_query_tests(src_path):
+        if any(k in query for k in skip):
+            skipped += 1
+            continue
+        try:
+            got = [tuple(_canon(c) for c in r)
+                   for r in eng.query(query).collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((query[:90], f"ERR {exc}"[:220]))
+            continue
+        want = [tuple(_canon(c) for c in r) for r in expected]
+        same = got == want if ordered else sorted(
+            map(repr, got)) == sorted(map(repr, want))
+        if same:
+            ok += 1
+        else:
+            failures.append(
+                (query[:80], f"got={got[:3]} want={want[:3]}"[:240]))
     return ok, skipped, failures
 
 

@@ -96,6 +96,28 @@ FIXTURES = {
     "emptytable": (
         "CREATE TABLE emptytable (i BIGINT PRIMARY KEY, s VARCHAR(20))",
         None),
+    # reference setup_data.sg.go:2993 — function_queries.go JSON goldens
+    "jsontable": (
+        "CREATE TABLE jsontable (pk SMALLINT PRIMARY KEY, c1 VARCHAR(20),"
+        " c2 JSON, c3 JSON)",
+        "INSERT INTO jsontable VALUES "
+        "(1, 'row one', '[1,2]', '{\"a\": 2}'),"
+        "(2, 'row two', '[3,4]', '{\"b\": 2}'),"
+        "(3, 'row three', '[5,6]', '{\"c\": 2}'),"
+        "(4, 'row four', '[7,8]', '{\"d\": 2}')"),
+    # reference setup_data.sg.go:141 — exercised heavily by
+    # function_queries.go date/time goldens
+    "datetime_table": (
+        "CREATE TABLE datetime_table (i BIGINT PRIMARY KEY, date_col DATE,"
+        " datetime_col DATETIME, timestamp_col TIMESTAMP,"
+        " time_col TIME(6))",
+        "INSERT INTO datetime_table VALUES "
+        "(1, '2019-12-31', '2020-01-01 12:00:00', '2020-01-02 12:00:00',"
+        " '03:10:00'),"
+        "(2, '2020-01-03', '2020-01-04 12:00:00', '2020-01-05 12:00:00',"
+        " '04:00:44'),"
+        "(3, '2020-01-07', '2020-01-07 12:00:00', '2020-01-07 12:00:01',"
+        " '15:00:00.005000')"),
 }
 
 

@@ -193,8 +193,6 @@ INSERT_KNOWN_FAIL = (
     # IGNORE must downgrade a multi-row scalar-subquery error to a
     # warning mid-SELECT — Spark evaluates the subquery inside the scan
     "Try INSERT IGNORE with primary key, non null, and single row",
-    # RETURNING must observe BEFORE-trigger-mutated values
-    "insert...returning works with",
     # nested WITH inside a CTE body with qualified column aliases —
     # Spark analyzer cap
     "issue 4857: insert cte column alias",

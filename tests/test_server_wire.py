@@ -317,3 +317,19 @@ def test_dbapi_transaction_context(conn):
     cur.execute("SELECT COUNT(*) AS n FROM dbt3")
     assert cur.fetchone() == (1,)
     cur.execute("DROP TABLE dbt3")
+
+
+def test_load_data_local_infile_over_wire(cli, tmp_path):
+    """LOAD DATA LOCAL INFILE through the real socket: the server answers
+    with the 0xFB local-infile request, the client streams the file's
+    bytes terminated by an empty packet, and the engine loads them via
+    the regular LOAD DATA plan (reference server/handler.go local-infile
+    callback; MySQL client protocol local-infile handshake)."""
+    f = tmp_path / "li.tsv"
+    f.write_text("1\talpha\n2\tbeta\n3\t\\N\n")
+    cli.query("CREATE TABLE li_wire (a INT, b VARCHAR(20))")
+    res = cli.query(f"LOAD DATA LOCAL INFILE '{f}' INTO TABLE li_wire")
+    assert not hasattr(res, "rows")  # OK packet, not a resultset
+    rs = cli.query("SELECT a, b FROM li_wire ORDER BY a")
+    assert rs.rows == [("1", "alpha"), ("2", "beta"), ("3", None)]
+    cli.query("DROP TABLE li_wire")
