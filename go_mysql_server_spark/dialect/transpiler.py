@@ -213,11 +213,12 @@ def _rewrite_collate(sql: str) -> str:
             from .collation_ja import ja_key_sql_body
             return ja_key_sql_body(operand)
         if coll.startswith("utf8mb4_zh_0900"):
-            # pinyin-order ICU-weight key for the Chinese collation
-            # (restricted code point set — dialect/collation_zh.py);
-            # inlined for the same Spark-4 Sort/SQL-UDF reason as ja
-            from .collation_zh import zh_key_sql_body
-            return zh_key_sql_body(operand)
+            # pinyin-order ICU-weight key for the Chinese collation,
+            # FULL CJK Unified Ideographs coverage (20 992 hanzi via the
+            # broadcast-dict UDF, dialect/zh_weights_data.py). A Python
+            # UDF is legal in Sort (only SQL-macro UDFs are rejected
+            # there), and the engine registers it at init.
+            return f"mysql_zh_key_wide({operand})"
         return operand  # _bin / _cs: binary compare is the Spark default
 
     return _COLLATE.sub(repl, sql)

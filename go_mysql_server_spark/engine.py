@@ -602,7 +602,9 @@ class Engine:
             from .dialect.collation_ja import register_sql as _register_ja
             _register_ja(self.spark)   # mysql_ja_key macro (ja collation)
             from .dialect.collation_zh import register_sql as _register_zh
+            from .dialect.collation_zh import register_wide_udf
             _register_zh(self.spark)   # mysql_zh_key macro (zh collation)
+            register_wide_udf(self.spark)  # full CJK-block weight table
             from .dialect.sql_macros import register_sql_macros
             register_sql_macros(self.spark)  # TIME/date shims for SQL text
             spark.conf.set("spark.gms.fnRegistered", "1")

@@ -212,3 +212,49 @@ def collation_zh_order(spark, sf_dir):
     return (df.select(F.row_number().over(w).cast("int").alias("ord"),
                       "id", "s")
             .orderBy("ord"))
+
+
+# Out-of-restricted-set hanzi for the FULL CJK-block weight table
+# (dialect/zh_weights_data.py, 20 992 entries — VERDICT r7 task 5). None
+# of these are in the 175-entry restricted ZH_WEIGHTS set; their order
+# below is the reference ICU pinyin order (犇 bēn < 骉 biāo < 猋 biāo <
+# 龘 dá < 淼 miǎo < 馕 náng < 羴 shān < 鱻 xiān < 鑫 xīn < 燚 yì <
+# 昱 yù < 彧 yù), computed from the reference's own generated table.
+_ZH_WIDE_ROWS = [
+    (1, "鑫"), (2, "馕"), (3, "龘"), (4, "彧"), (5, "昱"), (6, "犇"),
+    (7, "骉"), (8, "燚"), (9, "猋"), (10, "羴"), (11, "鱻"), (12, "淼"),
+]
+
+_ZH_WIDE_EXPECTED = [
+    (1, 6, "犇"), (2, 7, "骉"), (3, 9, "猋"), (4, 3, "龘"), (5, 12, "淼"),
+    (6, 2, "馕"), (7, 10, "羴"), (8, 11, "鱻"), (9, 1, "鑫"), (10, 8, "燚"),
+    (11, 5, "昱"), (12, 4, "彧"),
+]
+
+
+@query(
+    "collation_zh_order_wide",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({o}, {i}, '{s}')" for o, i, s in _ZH_WIDE_EXPECTED)
+    + ") AS t(ord, id, s) ORDER BY ord",
+)
+def collation_zh_order_wide(spark, sf_dir):
+    """ORDER BY under utf8mb4_zh_0900_as_cs for hanzi OUTSIDE the
+    restricted 175-entry set: the key comes from the full CJK Unified
+    Ideographs weight table (20 992 entries, dialect/zh_weights_data.py,
+    generated from the reference's ICU table — the weights ARE the
+    spec), shipped to executors as a dict inside an Arrow-batched UDF —
+    the broadcast-map scale path (a 21k-entry Catalyst map literal would
+    linear-scan per character). Closes the r6/r7 'zh falls back to
+    codepoint order outside the restricted set' cap for the whole
+    common-hanzi block."""
+    from pyspark.sql.window import Window
+
+    from ..dialect.collation_zh import register_wide_udf, zh_sort_key_wide
+
+    register_wide_udf(spark)
+    df = spark.createDataFrame(_ZH_WIDE_ROWS, "id int, s string")
+    w = Window.orderBy(zh_sort_key_wide("s"), F.col("id"))
+    return (df.select(F.row_number().over(w).cast("int").alias("ord"),
+                      "id", "s")
+            .orderBy("ord"))
