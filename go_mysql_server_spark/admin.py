@@ -526,6 +526,33 @@ def create_index(eng, sql: str):
                  r"(?:\s+(?:USING\s+(?:HASH|BTREE)|(?:IN)?VISIBLE|"
                  r"COMMENT\s+\S+))*\s*$", sql, re.I)
     if not m:
+        # functional index (CREATE INDEX i ON t ((LOWER(name))),
+        # ((c1*10)) …): balanced-paren key list — advisory bookkeeping
+        # like plain indexes (Spark plans expressions directly)
+        fm = re.match(
+            r"CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?[`]?(\w+)[`]?\s*"
+            r"(?:USING\s+(?:HASH|BTREE)\s*)?ON\s+([`\w.]+)\s*(\()", sql,
+            re.I)
+        if fm:
+            depth, i = 0, fm.start(4)
+            while i < len(sql):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if depth == 0:
+                ts = eng._table(fm.group(3))
+                kind = (fm.group(1) or "").strip().upper()
+                ts.indexes.append(IndexDef(
+                    fm.group(2),
+                    (sql[fm.start(4) + 1:i].strip(),),
+                    unique=kind == "UNIQUE", kind="BTREE"))
+                return OkResult(0, info="functional index recorded "
+                                "(advisory)")
         raise SqlError(f"cannot parse CREATE INDEX: {sql[:60]!r}")
     ts = eng._table(m.group(3))
     cols = tuple(c.strip().strip("`").split("(")[0] for c in m.group(4).split(","))

@@ -1690,18 +1690,39 @@ def transpile_select(sql: str) -> str:
     # string_col' matches a '0'-prefixed string, not a boolean cast).
     # The bareword stays boolean elsewhere (WHERE TRUE, AND/OR operands).
     _tf = {"TRUE": "1", "FALSE": "0"}
-    sql = re.sub(
-        r"(=|!=|<>|<=|>=|<|>)\s*(TRUE|FALSE)\b",
-        lambda m: f"{m.group(1)} {_tf[m.group(2).upper()]}", sql,
-        flags=re.IGNORECASE)
-    sql = re.sub(
-        r"\b(TRUE|FALSE)\s*(=|!=|<>|<=|>=|<|>)",
-        lambda m: f"{_tf[m.group(1).upper()]} {m.group(2)}", sql,
-        flags=re.IGNORECASE)
+
+    def _tf_after(m: re.Match) -> str:
+        # a string operand on the other side ('true' from the JSON cast
+        # rewrite) compares as a BOOLEAN cast in Spark — keep the keyword
+        before = sql_tf[:m.start()].rstrip()
+        if before.endswith("'") or before.upper().endswith("AS STRING)"):
+            return m.group(0)
+        return f"{m.group(1)} {_tf[m.group(2).upper()]}"
+
+    def _tf_before(m: re.Match) -> str:
+        after = sql_tf[m.end():].lstrip()
+        if after.startswith("'"):
+            return m.group(0)
+        return f"{_tf[m.group(1).upper()]} {m.group(2)}"
+
+    sql_tf = sql
+    sql = re.sub(r"(=|!=|<>|<=|>=|<|>)\s*(TRUE|FALSE)\b", _tf_after, sql,
+                 flags=re.IGNORECASE)
+    sql_tf = sql
+    sql = re.sub(r"\b(TRUE|FALSE)\s*(=|!=|<>|<=|>=|<|>)", _tf_before, sql,
+                 flags=re.IGNORECASE)
+    def _tf_inlist(m: re.Match) -> str:
+        # `(i > 2) IN (true)`: the LHS is already boolean — keep the
+        # keyword so Spark compares boolean-to-boolean
+        before = sql_tf[:m.start()].rstrip()
+        if m.group(1).upper().startswith("IN") and before.endswith(")"):
+            return m.group(0)
+        return f"{m.group(1)} {_tf[m.group(2).upper()]} {m.group(3)}"
+
+    sql_tf = sql
     sql = re.sub(
         r"\b(IN\s*\(|WHEN)\s*(TRUE|FALSE)\s*(\)|THEN|,)",
-        lambda m: f"{m.group(1)} {_tf[m.group(2).upper()]} {m.group(3)}",
-        sql, flags=re.IGNORECASE)
+        _tf_inlist, sql, flags=re.IGNORECASE)
     # MySQL's default collation (utf8mb4_0900_ai_ci) makes LIKE
     # case-insensitive → Spark ILIKE ("ILIKE" itself never re-matches:
     # no word boundary between I and L)

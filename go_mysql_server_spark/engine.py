@@ -1376,6 +1376,7 @@ class Engine:
         sql = unmask_literals(masked, lits)
         sql = self._rewrite_information_schema(sql)
         sql = self._rewrite_cross_db(sql)
+        sql = self._rewrite_lax_temporal(sql)
         sql = self._rewrite_as_of(sql)
         sql = self._rewrite_json_table(sql)
         sql = self._rewrite_match_against(sql)
@@ -1585,6 +1586,30 @@ class Engine:
             if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" in str(exc):
                 return self._run_recursive_union(rest)
             raise
+
+    def _rewrite_lax_temporal(self, sql: str) -> str:
+        """MySQL parses '/' (and '.') date separators in temporal
+        comparisons (`date_col = '2019/12/31'` — reference
+        sql/types/datetime.go lax parse); Spark's implicit string→date
+        cast returns NULL. Normalize the literal when it compares against
+        a DATE/TIMESTAMP column of the statement's FROM table."""
+        if "/" not in sql or "'" not in sql:
+            return sql
+        fm = re.search(r"\bFROM\s+[`]?(\w+)[`]?", sql, re.I)
+        if not fm:
+            return sql
+        ts = self._db(None).get(fm.group(1))
+        if ts is None:
+            return sql
+        tcols = [c.name for c in ts.columns
+                 if c.spark_type.simpleString() in ("date", "timestamp")]
+        for cname in tcols:
+            pat = (rf"(\b{re.escape(cname)}\s*(?:=|!=|<>|<=|>=|<|>)\s*)"
+                   rf"'(\d{{4}})/(\d{{1,2}})/(\d{{1,2}})([^']*)'")
+            sql = re.sub(pat, lambda m: (f"{m.group(1)}'{m.group(2)}-"
+                                         f"{m.group(3)}-{m.group(4)}"
+                                         f"{m.group(5)}'"), sql, flags=re.I)
+        return sql
 
     def _rewrite_cross_db(self, sql: str) -> str:
         """db-qualified table references (`db1.t1`, including the 3-part
@@ -2306,6 +2331,12 @@ class Engine:
         if not m:
             raise SqlError(f"cannot parse LOAD DATA: {sql[:80]!r}")
         path, mode, name, opts = m.group(1), (m.group(2) or "").upper(), m.group(3), m.group(4)
+        if not path.startswith(("/", "file:", "s3:", "hdfs:")):
+            # relative paths resolve against the PROCESS cwd (MySQL
+            # resolves relative to datadir); Spark would otherwise pin
+            # them to the JVM's startup directory
+            import os as _os
+            path = _os.path.join(_os.getcwd(), path)
         ts = self._table(name)
         # (col | @var, ...) [SET col = expr, ...] — trailing clauses
         col_spec: list[str] | None = None
@@ -2332,27 +2363,69 @@ class Engine:
             quote = om.group(1).encode().decode("unicode_escape") or '"'
         om = re.search(r"ESCAPED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
         if om:
-            escape = om.group(1).encode().decode("unicode_escape") or "\\"
+            # ESCAPED BY '' explicitly DISABLES escape processing
+            escape = om.group(1).encode().decode("unicode_escape")
         om = re.search(r"LINES\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", opts, re.I)
         if om:
             line_sep = om.group(1).encode().decode("unicode_escape")
         om = re.search(r"IGNORE\s+(\d+)\s+(?:LINES|ROWS)", opts, re.I)
         if om:
             skip = int(om.group(1))
+        starting = None
+        om = re.search(r"LINES\s+(?:TERMINATED\s+BY\s+'(?:[^'\\]|\\.)*'"
+                       r"\s+)?STARTING\s+BY\s+'((?:[^'\\]|\\.)*)'",
+                       opts, re.I)
+        if om:
+            starting = om.group(1).encode().decode("unicode_escape")
         if col_spec is not None:
             read_names = [("__var_" + c[1:]) if c.startswith("@") else c
                           for c in col_spec]
             schema_str = ", ".join(f"`{n}` string" for n in read_names)
         else:
             schema_str = ts.schema.simpleString()
-        csv_opts = {"sep": sep, "quote": quote, "escape": escape,
-                    "nullValue": "\\N"}  # MySQL's NULL marker
-        if skip:
+        csv_opts = {"sep": sep, "quote": quote,
+                    "escape": escape or "\x00",
+                    "nullValue": (escape + "N") if escape
+                    else "\x00\x00N"}
+        if col_spec is None:
+            # MySQL maps file fields onto the FIRST w table columns and
+            # fills the rest from their DEFAULTs (reference
+            # sql/plan/load_data.go fieldToColumnMap) — probe the width
+            # with a schemaless read
+            try:
+                if skip or starting is not None:
+                    # width from the first KEPT line (the csv probe would
+                    # read the ignored header instead)
+                    first = [ln for ln in self.spark.sparkContext
+                             .textFile(path).take(skip + 1)][skip:]
+                    w = (first[0].count(sep) + 1) if first \
+                        else len(ts.columns)
+                else:
+                    w = len(self.spark.read.options(
+                        header="false", **csv_opts).csv(path).columns)
+            except Exception:  # noqa: BLE001 — empty file etc.
+                w = len(ts.columns)
+            if 0 < w < len(ts.columns):
+                head_cols = [c for c in ts.columns][:w]
+                schema_str = ", ".join(
+                    f"`{c.name}` {c.spark_type.simpleString()}"
+                    for c in head_cols)
+                col_spec = [c.name for c in head_cols]
+                read_names = list(col_spec)
+        if skip or starting is not None:
             # IGNORE n LINES: Spark CSV has no skip-n option; index lines
             # with zipWithIndex (order-preserving) and parse via from_csv.
             lines = self.spark.sparkContext.textFile(path).zipWithIndex()
             kept = lines.filter(lambda t: t[1] >= skip).map(lambda t: (t[0],))
             raw = self.spark.createDataFrame(kept, "line string")
+            if starting is not None:
+                # LINES STARTING BY: drop lines lacking the prefix and
+                # strip everything up to and including it
+                pre = starting.replace("\\", "\\\\").replace("'", "\\'")
+                raw = raw.filter(
+                    F.expr(f"instr(line, '{pre}') > 0")).select(
+                    F.expr(f"substring(line, instr(line, '{pre}') "
+                           f"+ {len(starting)})").alias("line"))
             df = raw.select(
                 F.from_csv(
                     F.col("line"),
@@ -2369,6 +2442,20 @@ class Engine:
                 df = reader.schema(schema_str).csv(path)
             else:
                 df = reader.schema(ts.schema).csv(path)
+        if escape and escape != quote:
+            # ESCAPED BY sequences decode AFTER field splitting (MySQL
+            # semantics; Spark's csv escape only covers quote chars).
+            # escape == quote is SQL-style doubling, already consumed by
+            # the csv reader
+            esc_lit = F.lit(escape)
+            for cname, dtype in df.dtypes:
+                if dtype == "string":
+                    df = df.withColumn(
+                        cname,
+                        F.when(F.col(cname).contains(escape),
+                               F.call_udf("mysql_load_unescape",
+                                          F.col(cname), esc_lit))
+                        .otherwise(F.col(cname)))
         if col_spec is not None:
             table_cols = {c.name for c in ts.columns}
             target = [c.name for c in ts.columns
@@ -2392,6 +2479,10 @@ class Engine:
 
     def _q_explain(self, sql: str) -> DataFrame:
         inner = sql.split(None, 1)[1]
+        # EXPLAIN [FORMAT={TREE|JSON|TRADITIONAL}] / EXPLAIN ANALYZE —
+        # one formatted plan serves them all here
+        inner = re.sub(r"^(?:FORMAT\s*=\s*\w+\s+|ANALYZE\s+)+", "", inner,
+                       flags=re.I)
         df = self._q_select(inner)
         plan = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -5676,7 +5767,10 @@ class Engine:
                 [(n,) for n in names], f"`{field}` string"
             )
         if up.startswith(("SHOW COLUMNS", "SHOW FIELDS", "SHOW FULL COLUMNS",
-                          "SHOW FULL FIELDS")):
+                          "SHOW FULL FIELDS", "SHOW EXTENDED COLUMNS",
+                          "SHOW EXTENDED FULL COLUMNS")):
+            # EXTENDED additionally lists hidden system columns; we store
+            # functional indexes as expressions, so there are none
             m = re.search(r"(?:FROM|IN)\s+([`\w.]+)", sql, re.I)
             if not m:
                 raise SqlError("SHOW COLUMNS needs FROM <table>")

@@ -434,6 +434,32 @@ def _register_misc_sql(spark: SparkSession) -> None:
 
     _reg("mysql_soundex", _mysql_soundex, T.StringType())
 
+    def _load_unescape(s, e):
+        """LOAD DATA ESCAPED BY decoding (reference sql/plan/load_data.go
+        unescape): e0→NUL, eb→\\b, en→\\n, er→\\r, et→\\t, eZ→^Z, eN→NULL
+        (whole field), e<any>→<any>."""
+        if s is None or not e:
+            return s
+        s = str(s)
+        if s == e + "N":
+            return None
+        if e not in s:
+            return s
+        special = {"0": "\x00", "b": "\b", "n": "\n", "r": "\r",
+                   "t": "\t", "Z": "\x1a"}
+        out, i = [], 0
+        while i < len(s):
+            c = s[i]
+            if c == e and i + 1 < len(s):
+                out.append(special.get(s[i + 1], s[i + 1]))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    _reg("mysql_load_unescape", _load_unescape, T.StringType())
+
     _reg("mysql_regexp_like", _mysql_regexp_like, T.IntegerType())
     _reg("mysql_regexp_instr", _mysql_regexp_instr, T.IntegerType())
     _reg("mysql_regexp_substr", _mysql_regexp_substr, T.StringType())

@@ -371,6 +371,9 @@ def run_script_seq(spark, scripts, fixtures: dict, shared: bool = False,
 
     def fresh_engine(needed=None):
         e = Engine(spark, default_db=db)
+        # the reference harness provisions a second empty database
+        # alongside mydb (enginetest setup: mydb + foo)
+        e.query("CREATE DATABASE IF NOT EXISTS foo")
         for tname, (ddl, ins) in fixtures.items():
             if needed is not None and tname.lower() not in needed:
                 continue

@@ -110,7 +110,7 @@ FIXTURES = {
     "datetime_table": (
         "CREATE TABLE datetime_table (i BIGINT PRIMARY KEY, date_col DATE,"
         " datetime_col DATETIME, timestamp_col TIMESTAMP,"
-        " time_col TIME(6))",
+        " time_col TIME)",  # TIME(6) would break the DuckDB twin
         "INSERT INTO datetime_table VALUES "
         "(1, '2019-12-31', '2020-01-01 12:00:00', '2020-01-02 12:00:00',"
         " '03:10:00'),"
