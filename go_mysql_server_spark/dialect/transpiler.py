@@ -1614,6 +1614,11 @@ def wrap_truthy_filters(sql: str) -> str:
 def transpile_select(sql: str) -> str:
     """MySQL SELECT → Spark SQL SELECT. All rewrites run on literal-masked
     text so quoted strings and backtick identifiers pass through verbatim."""
+    # charset introducers on identity charsets are no-ops on our
+    # utf8-native strings (_utf8mb4'x', _latin1'x', _ascii'x'); BEFORE
+    # masking so the literal masks normally afterwards
+    sql = re.sub(r"\b_(?:utf8mb4|utf8mb3|utf8|latin1|ascii|binary)(?=')",
+                 "", sql, flags=re.IGNORECASE)
     # bit-value literals (b'101' / 0b101) → decimal, BEFORE masking (the
     # quoted part would otherwise be hidden as a string placeholder)
     sql = _BIT_LITERAL.sub(lambda m: str(int(m.group(1), 2)), sql)

@@ -1097,6 +1097,12 @@ class Engine:
         if "ANSI_QUOTES" in str(self.sys_vars.get("sql_mode", "")).upper() \
                 and '"' in sql:
             sql = _ansi_quotes_to_backticks(sql)
+        if "_" in sql and "'" in sql:
+            # identity-charset string introducers are no-ops here
+            # (utf8-native strings; reference charset introducer parse)
+            sql = re.sub(
+                r"\b_(?:utf8mb4|utf8mb3|utf8|latin1|ascii|binary)(?=')",
+                "", sql, flags=re.I)
         # leading keyword only — `select(select ...)` is legal MySQL with
         # no whitespace after the verb, and `(SELECT ...)` may open with a
         # paren (reference parser accepts both)

@@ -395,3 +395,18 @@ def test_sqllogic_subquery_golden_scripts(spark):
         spark, allv["SQLLogicSubqueryTests"], FIXTURES, db="mydb")
     assert ok >= 42, f"sqllogic subquery pass count regressed: {ok}"
     assert len(failures) <= 22, failures[:4]
+
+
+@pytest.mark.skipif(not QDIR.exists(), reason="reference not present")
+def test_charset_collation_golden_scripts(spark):
+    """charset_collation_engine.go (15 scripts). Partial: identity
+    charset introducers and ci equality pass; collation-aware ORDER
+    (ICU weight sort for _ci/_as_cs columns) and non-utf8 transcoding
+    (utf16/latin1 round-trips) are documented caps — the floor pins the
+    passing set, the cap only shrinks."""
+    from .test_goldens import FIXTURES
+    allv = parse_script_vars(QDIR / "charset_collation_engine.go")
+    ok, skipped, failures = run_script_seq(
+        spark, allv["CharsetCollationEngineTests"], FIXTURES, db="mydb")
+    assert ok >= 34, f"charset_collation pass count regressed: {ok}"
+    assert len(failures) <= 40, failures[:4]
