@@ -1868,7 +1868,19 @@ class Engine:
         r"columns_extensions|tables_extensions|schemata_extensions|"
         r"table_constraints_extensions)\b", re.I)
 
+    _INFO_BARE = re.compile(
+        r"\b(FROM|JOIN)\s+(tables|columns|schemata|views|routines|"
+        r"triggers|key_column_usage|table_constraints|statistics|"
+        r"character_sets|collations|events|referential_constraints|"
+        r"check_constraints|parameters|processlist|engines|keywords)\b",
+        re.I)
+
     def _rewrite_information_schema(self, sql: str) -> str:
+        if self.current_db == "information_schema":
+            # USE information_schema: bare table names qualify implicitly
+            sql = self._INFO_BARE.sub(
+                lambda m: f"{m.group(1)} information_schema."
+                          f"{m.group(2).lower()}", sql)
         needed = {m.group(1).lower() for m in self._INFO_SCHEMA.finditer(sql)}
         if not needed:
             return sql
@@ -2641,9 +2653,15 @@ class Engine:
             self.procedures[name.lower()] = Procedure(name, params, body)
             return OkResult(0)
         if upper.startswith("CREATE DATABASE") or upper.startswith("CREATE SCHEMA"):
-            name = sql.split()[-1].strip("`")
-            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
-                name = sql.split()[-1].strip("`")
+            # trailing CHARACTER SET / COLLATE / ENCRYPTION options are
+            # accepted and recorded nowhere (we're utf8mb4-native)
+            nm = re.match(
+                r"CREATE\s+(?:DATABASE|SCHEMA)\s+"
+                r"(IF\s+NOT\s+EXISTS\s+)?[`]?([\w$]+)[`]?", sql, re.I)
+            if not nm:
+                raise SqlError(f"cannot parse CREATE DATABASE: {sql[:60]!r}")
+            name = nm.group(2)
+            if nm.group(1):
                 self.databases.setdefault(name, {})
             elif name in self.databases:
                 raise SqlError(f"database {name!r} exists")
@@ -5628,6 +5646,9 @@ class Engine:
 
     def _q_use(self, sql: str) -> OkResult:
         db = sql.split()[1].strip("`")
+        if db.lower() == "information_schema":
+            db = "information_schema"  # always-present virtual schema
+            self.databases.setdefault(db, {})
         if db not in self.databases:
             raise SqlError(f"unknown database {db!r}")
         self.current_db = db
