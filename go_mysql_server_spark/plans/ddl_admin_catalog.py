@@ -493,7 +493,7 @@ def admin_session_variables(spark, sf_dir):
 @query(
     "func_session_info",
     oracle="""
-SELECT 'mydb' AS db, 'mydb' AS sch, 'root' AS cu,
+SELECT 'mydb' AS db, 'mydb' AS sch, 'root@localhost' AS cu,
        '8.0.0-gms-spark' AS ver, CAST(1 AS BIGINT) AS cid,
        CAST(3 AS BIGINT) AS rc
 """,
