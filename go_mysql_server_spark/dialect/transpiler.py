@@ -1696,18 +1696,44 @@ def transpile_select(sql: str) -> str:
     # The bareword stays boolean elsewhere (WHERE TRUE, AND/OR operands).
     _tf = {"TRUE": "1", "FALSE": "0"}
 
+    def _tail_is_json_extract(before: str) -> bool:
+        # does `before` end in a json_extract(...) call?  MySQL compares
+        # JSON scalars type-aware: JSON true = TRUE is 1, and the lax
+        # numeric parse below would NULL on the extracted 'true'/'false'
+        # words (reference json_scripts.go "json bools")
+        before = before.rstrip()
+        if not before.endswith(")"):
+            return False
+        depth = 0
+        for i in range(len(before) - 1, -1, -1):
+            c = before[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    return bool(re.search(r"json_extract\s*$", before[:i],
+                                          flags=re.IGNORECASE))
+        return False
+
     def _tf_after(m: re.Match) -> str:
         # a string operand on the other side ('true' from the JSON cast
         # rewrite) compares as a BOOLEAN cast in Spark — keep the keyword
         before = sql_tf[:m.start()].rstrip()
         if before.endswith("'") or before.upper().endswith("AS STRING)"):
             return m.group(0)
+        if m.group(1) in ("=", "!=", "<>") and _tail_is_json_extract(before):
+            # JSON-extract operand: compare against the JSON word form
+            return f"{m.group(1)} '{m.group(2).lower()}'"
         return f"{m.group(1)} {_tf[m.group(2).upper()]}"
 
     def _tf_before(m: re.Match) -> str:
         after = sql_tf[m.end():].lstrip()
         if after.startswith("'"):
             return m.group(0)
+        if (m.group(2) in ("=", "!=", "<>")
+                and re.match(r"json_extract\s*\(", after, flags=re.IGNORECASE)):
+            return f"'{m.group(1).lower()}' {m.group(2)}"
         return f"{_tf[m.group(1).upper()]} {m.group(2)}"
 
     sql_tf = sql
