@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import md5_int60
+from .scale import spread
 from .text import normalize_text, normalize_text_sql, shingles, shingles_sql
 
 NUM_MINHASHES = 8
@@ -60,16 +61,11 @@ def _mix_expr(h: str, seed: int) -> str:
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition to the session's parallelism.
-
-    The testdata tables are single parquet files → one input split → one
-    task; compute-dense operators (md5 over every shingle) would run
-    single-threaded. On a real cluster the input arrives in many splits and
-    this is a no-op-ish rebalance; locally it's the difference between 1
-    and 32 cores.
-    """
-    sess = df.sparkSession
-    return df.repartition(sess.sparkContext.defaultParallelism, key)
+    """Hash-repartition to the session's parallelism — scale-adaptive
+    (r9): repartitions only when the input splits cover fewer than half
+    the session's cores, so a many-split cluster input is never shuffled
+    just for parallelism (see operators/scale.py)."""
+    return spread(df, key)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",

@@ -1,0 +1,35 @@
+"""Scale-adaptive fan-out for compute-dense operators.
+
+The testdata parquet files are single row groups → one input split → ONE
+task, so compute-dense projections (md5 over shingles, per-row cosine
+against every IVF centroid, bigram explodes) would run single-threaded
+locally. A hash repartition fixes that — but on a real cluster the input
+already arrives in many splits and an unconditional repartition would be a
+full extra exchange of the corpus (the guide §2.4 accidental-shuffle
+class).
+
+``spread`` therefore repartitions ONLY when the input's actual partition
+count is well below the session's parallelism: locally (1 split) it fans
+out to every core; at 100 TB (thousands of splits) it is a no-op and the
+corpus is never shuffled for parallelism's sake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` to the session's parallelism,
+    but only when the plan would otherwise run on fewer than half the
+    session's cores (guide §2: scale-adaptive partitioning, never a
+    constant tuned for one deployment)."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: unplannable input
+        n_in = 1
+    if n_in * 2 >= target:
+        return df
+    return df.repartition(target, key)

@@ -57,10 +57,11 @@ def l2_squared(a: Column, b: Column) -> Column:
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition to session parallelism: the testdata arrives as one file
-    → one split, which would serialize the distance computation; on a real
-    cluster inputs are already split and this is a cheap rebalance."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Repartition to session parallelism — scale-adaptive (r9): skipped
+    when the input is already split across the cores, so a cluster input
+    is never shuffled just for parallelism (operators/scale.py)."""
+    from .scale import spread
+    return spread(df, key)
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity
+from ..operators.scale import spread
 from ..operators.text import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -112,8 +113,7 @@ def text_features(spark, sf_dir):
     """Language-ID + quality + token counting in one JVM-side projection."""
     c = F.col("text")
     return (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(t(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             token_count(c).alias("n_tokens"),
@@ -138,8 +138,7 @@ ORDER BY doc_id
 def text_fingerprints(spark, sf_dir):
     c = F.col("text")
     return (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(t(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             fingerprint_md5(c).alias("fp_md5"),
@@ -156,8 +155,7 @@ def text_fingerprints(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     """Binary media column → typed metadata via Arrow-batched mapInPandas
     (deterministic fake decode; see operators/multimodal.py)."""
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     images = multimodal.documents_as_images(docs)
     return multimodal.decode_images(images).orderBy("doc_id")
 

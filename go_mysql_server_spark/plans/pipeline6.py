@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import normalize_text, normalize_text_sql, tokens, tokens_sql
 from ._util import t
+from ..operators.scale import spread
 from .registry import query
 
 _QR_STOPWORDS = ("the", "of", "and", "to", "in", "a", "is", "for")
@@ -262,7 +263,13 @@ def pipeline_char_lm_score(spark, sf_dir):
     materialized BEFORE the bigram lambda — referencing the regexp
     normalization expression inside it re-ran the regexp per element.
     (No reference analogue; LLM-pipeline requirement.)"""
-    docs = t(spark, sf_dir, "documents").withColumn(
+    # Spread the single-split scan across the session's cores BEFORE the
+    # normalize+explode projection: the testdata parquet is one row group
+    # (one task), so without this the whole bigram blow-up runs
+    # single-threaded (r9 profile: 2.8 s noop, scan stage = 1 task). The
+    # shuffle moves only the raw text once; on a multi-split cluster input
+    # it is a cheap rebalance (guide §2.5 input skew).
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id").withColumn(
         "_norm", normalize_text(F.col("text")))
     bigrams = _bigrams_col(F.col("_norm"))
 
@@ -543,8 +550,13 @@ def similarity_ivf_pq_search(spark, sf_dir):
         for sc, (c, _) in zip(score_sqls, crows)) +
         f")), 1, {IVFPQ_NPROBE}).c")
 
+    # Spread the single-split scan first: cell assignment evaluates
+    # NCELLS cosine scores per corpus row and would otherwise run in ONE
+    # task (single-row-group testdata parquet; r9 profile). The shuffle
+    # moves raw embeddings once, before any derived column exists.
     cand = (
-        emb.withColumn("_cb", F.expr(cb_sql))
+        spread(emb, "vec_id")
+        .withColumn("_cb", F.expr(cb_sql))
         .withColumn("_e", F.expr(e_dbl_sql))
         .withColumn("cell", F.expr(assigned_sql))
     )
@@ -649,10 +661,14 @@ def pipeline_decontaminate(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     # tokenize ONCE into a column: referencing split(...) inside the
     # gram-window lambda made Catalyst re-evaluate the split per gram
-    # (~46x per row at 50 tokens/doc — the r5 profile's hot spot)
-    toked = docs.select(
+    # (~46x per row at 50 tokens/doc — the r5 profile's hot spot).
+    # r9: spread the single-split scan across cores, then checkpoint —
+    # three consumers (probe grams, flagged join, final ledger) would
+    # otherwise each re-run the split from the one-task scan stage.
+    toked = spread(docs, "doc_id").select(
         "doc_id", "source",
-        F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"))
+        F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"),
+    ).localCheckpoint(eager=True)
     grams = F.array_distinct(F.expr(
         "CASE WHEN size(_toks) >= 5 THEN "
         "transform(sequence(0, size(_toks) - 5), "

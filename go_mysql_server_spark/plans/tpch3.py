@@ -83,10 +83,8 @@ LIMIT 100
 def q2(spark, sf_dir):
     """TPC-H q2: cheapest European supplier per qualifying part (reference
     tpch_plans.go q2). The correlated MIN subquery is decorrelated into a
-    grouped min over the SAME partsupp relation + an equality join — one
-    aggregate instead of a per-row subquery, the plan Catalyst also
-    produces for the SQL form."""
-    ps = _partsupp(spark, sf_dir)
+    window MIN over the part-filtered partsupp relation (see the r9
+    rewrite note below)."""
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_size") < 10) & (F.col("p_type") == "ECONOMY"))
     supp = t(spark, sf_dir, "supplier")
@@ -99,14 +97,34 @@ def q2(spark, sf_dir):
               nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(eu, ps.ps_suppkey == eu.s_suppkey)
-    min_cost = eu_ps.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost"))
+    # r9 rewrite (guide §2.3/§2.4/§3.2):
+    # 1. The part filter is pushed BELOW the partsupp aggregation: joining
+    #    lineitem to the 585 qualifying parts first shrinks the grouped
+    #    relation ~30x (591k -> ~17k groups) before its exchange. Filtering
+    #    by partkey only drops whole (partkey, suppkey) groups, so the
+    #    grouped MIN is unchanged.
+    # 2. The correlated-min is a window MIN over the SAME relation instead
+    #    of a grouped-min + equality self-join — the old plan computed the
+    #    whole lineitem aggregation and the EU join TWICE and met itself in
+    #    a SortMergeJoin. Per-partkey MIN over the joined relation is
+    #    identical because the join preserves every row of a qualifying
+    #    partkey. Oracle-verified: same 100 rows.
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    li_f = li.join(part, li.l_partkey == part.p_partkey)
+    ps_f = li_f.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        "p_partkey", "p_name",
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+          .alias("ps_supplycost"))
+    eu_ps = ps_f.join(eu, ps_f.ps_suppkey == eu.s_suppkey)
+    w_min = Window.partitionBy("ps_partkey")
     return (
-        eu_ps.join(part, eu_ps.ps_partkey == part.p_partkey)
-        .join(min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
-              (F.col("p_partkey") == F.col("mc_partkey"))
-              & (F.col("ps_supplycost") == F.col("min_cost")))
+        eu_ps
+        .withColumn("min_cost", F.min("ps_supplycost").over(w_min))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.round("ps_supplycost", 6).alias("supplycost"),
