@@ -99,22 +99,27 @@ SELECT canonical_id, n_copies FROM (
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """(id, mh_0..mh_{n-1}): column-wise min over seeded shingle hashes.
+    """(id, mh_0..mh_{n-1}): per-seed min over seeded shingle hashes.
 
-    One md5 pass per shingle (the `hs` array), then n cheap integer mixes —
-    no explode, no shuffle; Catalyst keeps the md5 projection separate
-    (CollapseProject refuses to duplicate non-cheap expressions).
-    """
-    hashed = _spread(docs, id_col).select(
-        F.col(id_col),
-        F.transform(shingles(F.col(text_col)), md5_int60).alias("hs"),
+    r9 formulation: explode shingles → md5 in a WHOLE-STAGE-CODEGEN'd
+    projection → one groupBy(id) computing all n seed-mins as parallel
+    aggregate columns. The previous array-transform form evaluated md5
+    INSIDE a higher-order-function lambda, which Catalyst interprets
+    (~40µs/eval, guide §1.2 per-task work); it also forced an eager
+    checkpoint in the caller because projection columns get re-inlined.
+    Aggregate outputs can't be re-inlined, so no checkpoint is needed.
+    The groupBy reuses the _spread hash partitioning on the id — the
+    explode never crosses an exchange (map-side partial agg collapses it
+    back to one row per doc)."""
+    ex = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        .select(F.col(id_col), md5_int60(F.col("sh")).alias("h"))
     )
-    cols = [F.col(id_col)]
-    for s in range(num_hashes):
-        cols.append(
-            F.array_min(F.expr(f"transform(hs, h -> {_mix_expr('h', s)})")).alias(f"mh_{s}")
-        )
-    return hashed.select(*cols)
+    return ex.groupBy(id_col).agg(*[
+        F.min(F.expr(_mix_expr("h", s))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ])
 
 
 def _minhash_sql_exprs(text_col: str, num_hashes: int) -> list[str]:
@@ -139,13 +144,11 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     dropped (a degenerate band would otherwise go quadratic), then pairs are
     generated *inside* each bucket with array transforms — no self-join, and
     per-bucket output is bounded by max_bucket²/2."""
-    # Materialize signatures once: the band columns all reference them and
-    # Catalyst would otherwise inline (and so recompute) the md5-over-
-    # shingles pass per band column. eager: AQE's concurrent stage
-    # submission can race a lazy checkpoint into double materialization.
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes).localCheckpoint(
-        eager=True
-    )
+    # No checkpoint needed (r9): signatures are AGGREGATE outputs, which
+    # Catalyst cannot re-inline into the band projections the way it
+    # duplicated the old projection-based signature columns — the md5
+    # pass runs exactly once either way.
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
     n_bands = num_hashes // band_size
     band_cols = [
         F.concat_ws(

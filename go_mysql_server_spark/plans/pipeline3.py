@@ -408,8 +408,12 @@ def pipeline_cluster_keep_best(spark, sf_dir):
         "label", F.col("node"))
     # Convergence probe: labels are monotonically non-increasing per node
     # (min-combine), so the label SUM strictly decreases every round until
-    # the fixpoint — one tiny aggregate on the already-checkpointed result
+    # the fixpoint — one tiny aggregate on the checkpointed result
     # replaces the previous left_anti-join + isEmpty job per round.
+    # r9: the checkpoint is LAZY and the probe aggregate materializes it —
+    # one Spark job per round instead of two (the probe is the only
+    # consumer until the next round's join, which then reads the stored
+    # blocks). Guide §1.2: fewer passes in the iterative algorithm.
     last_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         prop = (
@@ -420,7 +424,7 @@ def pipeline_cluster_keep_best(spark, sf_dir):
         labels = iter_checkpoint(
             labels.select("node", "label").unionAll(prop)
             .groupBy("node").agg(F.min("label").alias("label")),
-            eager=True,
+            eager=False,
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == last_sum:
