@@ -404,8 +404,18 @@ def pipeline_cluster_keep_best(spark, sf_dir):
     pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint(eager=False)
     edges = pairs.selectExpr("a AS u", "b AS v").unionAll(
         pairs.selectExpr("b AS u", "a AS v")).localCheckpoint(eager=False)
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node"))
+    # r9: fused init + round 1. The old init (distinct nodes labelled by
+    # themselves) plus the first propagation round is algebraically ONE
+    # aggregation: every node appears as edge target v (edges carry both
+    # directions), and round-1's min over {node} ∪ {incoming u} is
+    # min(v, min u) = groupBy(v).min(least(u, v)). Saves the distinct
+    # exchange AND a whole join+union+agg round.
+    labels = iter_checkpoint(
+        edges.select(F.col("v").alias("node"),
+                     F.least("u", "v").alias("label"))
+        .groupBy("node").agg(F.min("label").alias("label")),
+        eager=False,
+    )
     # Convergence probe: labels are monotonically non-increasing per node
     # (min-combine), so the label SUM strictly decreases every round until
     # the fixpoint — one tiny aggregate on the checkpointed result

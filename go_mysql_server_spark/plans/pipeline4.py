@@ -185,6 +185,9 @@ def pipeline_domain_mix(spark, sf_dir):
     from ..operators.hashing import seeded
     from ..operators.text import token_count
 
+    # r9 note: a spread() here was measured SLOWER (0.77 -> 0.96 s noop at
+    # sf0.1) — token_count is one split() per row, too cheap to amortize
+    # the extra exchange. Left as a single pass + checkpoint.
     docs = t(spark, sf_dir, "documents")
     weights = spark.createDataFrame(list(_MIX_WEIGHTS), "lang string, tw double")
     # one pass over the corpus text: checkpoint the 3-column projection

@@ -352,7 +352,15 @@ LIMIT 100
 """,
 )
 def q18(spark, sf_dir):
-    """IN-subquery over a HAVING aggregate → semi join against an agg."""
+    """IN-subquery over a HAVING aggregate → semi join against an agg.
+
+    r9 (guide §2.4 remove shuffles outright): the old form scanned and
+    aggregated lineitem TWICE — once for the HAVING set, once to re-sum
+    quantities after the join. Every final group key is functionally
+    dependent on o_orderkey (orders' primary key), so the per-order sum
+    from the first aggregate IS sum_qty; the qualifying rows join orders
+    directly and no second lineitem pass or re-aggregation exists.
+    Oracle-verified identical."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -360,15 +368,12 @@ def q18(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 100)
-        .select("l_orderkey")
     )
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "bk"),
-                    orders.o_orderkey == F.col("bk"), "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.round(F.col("q"), 2).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
