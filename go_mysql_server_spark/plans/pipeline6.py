@@ -20,7 +20,6 @@ DuckDB twin:
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import functions as F
 
@@ -273,18 +272,28 @@ def pipeline_char_lm_score(spark, sf_dir):
         "_norm", normalize_text(F.col("text")))
     bigrams = _bigrams_col(F.col("_norm"))
 
+    # r9: the model never leaves Spark — the old form collect()ed the
+    # bigram counts, re-derived fpm in Python and createDataFrame'd them
+    # back (a driver round-trip + an extra job). The total is a window
+    # SUM over the ~114-row counts relation (bounded by charset², so the
+    # SinglePartition window is safe at any corpus size), and the model
+    # subtree builds directly inside the scoring job's broadcast
+    # (guide §1.2: fewer passes; §5: keep the driver out of the data
+    # path). Same IEEE-double formula: c * 1000000.0 / s, floored.
+    from pyspark.sql import Window
+
     counts = (
         docs.filter(F.col("source") == "src0")
         .select(F.explode(bigrams).alias("g"))
         .groupBy("g")
-        .count()
-        .collect()
+        .agg(F.count("*").alias("c"))
     )
-    total = sum(r["count"] for r in counts)
-    # identical IEEE-double formula to the oracle's FLOOR(c * 1e6 / s)
-    fpm_rows = [(r["g"], int(math.floor(r["count"] * 1000000.0 / total)))
-                for r in counts]
-    fpm_df = spark.createDataFrame(sorted(fpm_rows), "g string, fpm long")
+    fpm_df = counts.select(
+        "g",
+        F.floor(F.col("c") * F.lit(1000000.0)
+                / F.sum("c").over(Window.partitionBy()))
+        .cast("long").alias("fpm"),
+    )
 
     ex = docs.select("doc_id", "source", F.explode(bigrams).alias("g"))
     return (

@@ -249,13 +249,16 @@ def test_sequence_packing_partitioned_window_no_global_sort(spark):
 def test_char_lm_score_shape(spark):
     """Scoring is explode → BROADCAST join against the tiny model table →
     partial+final aggregate: the bigram blow-up stays inside the scan
-    stage, the model never shuffles, and the only data exchanges are the
-    one-row-per-doc aggregate and the final ORDER BY."""
+    stage and the corpus is never sort-merge shuffled against the model.
+    r9: the model is trained INSIDE the broadcast subtree (no driver
+    collect round-trip), so the plan carries exactly three hash exchanges:
+    the scale-adaptive input spread, the ~114-group model aggregate
+    (bounded by charset²), and the one-row-per-doc scoring aggregate."""
     plan = formatted_plan(spark, "pipeline_char_lm_score")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the model side must never shuffle
     assert plan.count("HashAggregate") >= 2  # map-side partial combine
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_pq_assignment_is_scan_side(spark):
