@@ -154,8 +154,15 @@ def text_fingerprints(spark, sf_dir):
 )
 def multimodal_decode(spark, sf_dir):
     """Binary media column → typed metadata via Arrow-batched mapInPandas
-    (deterministic fake decode; see operators/multimodal.py)."""
-    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
+    (deterministic fake decode; see operators/multimodal.py).
+
+    r9: the repartition before the Python stage is GONE — mapInPandas
+    needs no particular partitioning, and the per-partition Python worker
+    dispatch (~30-40 ms each) dwarfed the decode itself: 32 partitions
+    measured 1.06 s vs 0.42 s on the natural scan split (guide §2.4
+    remove shuffles outright; §4 fewer, larger batches across the
+    boundary). On a cluster the scan's own splits provide parallelism."""
+    docs = t(spark, sf_dir, "documents")
     images = multimodal.documents_as_images(docs)
     return multimodal.decode_images(images).orderBy("doc_id")
 
