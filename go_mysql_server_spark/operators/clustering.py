@@ -46,7 +46,7 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
 
     dims = len(vecs.select("v").first()[0])
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         scored = vecs.crossJoin(F.broadcast(centroids)).select(
             id_col, "v", "cluster", l2_squared(F.col("v"), F.col("c")).alias("d")
         )
@@ -56,6 +56,12 @@ def kmeans(embeddings: DataFrame, k: int = 8, iterations: int = 3,
             .filter(F.col("rn") == 1)
             .select(id_col, "v", "cluster", "d")
         )
+        if it == iterations - 1:
+            # r9: the round-N assignment (the returned value) uses the
+            # round-(N-1) centroids — updating centroids once more was a
+            # whole wasted aggregate + checkpoint job per kmeans() call
+            # (guide §1.2: don't compute things you throw away).
+            break
         centroids = (
             assigned.groupBy("cluster")
             .agg(*[F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"c{i}")

@@ -278,10 +278,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     per-shingle shuffle."""
     if candidates is None:
         candidates = minhash_candidate_pairs(docs, text_col, id_col)
+    # r9 (guide §3.2 reduce the joined side): shingle sets are materialized
+    # ONLY for documents that appear in a candidate pair — the candidate id
+    # set is bounded by 2x the pair count, so at 100 TB the expensive
+    # shingle pass and the checkpointed relation shrink from corpus-sized
+    # to candidate-sized. Verification output is unchanged: docs outside
+    # every pair never contribute a row.
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .unionAll(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
     # Checkpoint: both joins reference the shingle-set relation; inlining
     # would recompute the shingle pass per side.
     shs = (
-        _spread(docs, id_col)
+        _spread(docs.join(cand_ids, id_col, "left_semi"), id_col)
         .select(F.col(id_col),
                 F.array_distinct(shingles(F.col(text_col))).alias("shs"))
         .localCheckpoint(eager=True)

@@ -170,8 +170,14 @@ def q11(spark, sf_dir):
                 (F.col("ps_supplycost") * F.col("ps_availqty"))
                 .cast("decimal(24,6)").alias("v"))
     )
-    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
-    total = nat_ps.agg((F.sum("v") * F.lit(0.001)).alias("threshold"))
+    # r9 (guide §2.4): the global threshold is the sum of the per-part
+    # sums — DECIMAL addition is exact, so regrouping cannot change the
+    # value. Deriving it from the checkpointed per-part aggregate makes
+    # ONE pass over the partsupp relation instead of two full
+    # lineitem-aggregation subtrees.
+    per_part = (nat_ps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+                .localCheckpoint(eager=False))
+    total = per_part.agg((F.sum("sv") * F.lit(0.001)).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("sv") > F.col("threshold"))
@@ -206,11 +212,15 @@ def q16(spark, sf_dir):
     tpch_plans.go q16; 'complaints' LIKE-predicate adapted to s_acctbal<0
     on the reduced schema). NOT IN over a non-null key column = anti-join;
     COUNT(DISTINCT) rides the grouping exchange."""
+    # r9 (guide §2.4): no intermediate DISTINCT — COUNT(DISTINCT suppkey)
+    # dedups per group anyway, so the (partkey, suppkey) projection feeds
+    # the joins directly and the 591k-row dedup exchange disappears (the
+    # distinct-aggregate's own expand shuffle does the dedup map-side).
     li = t(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
+    )
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 36, 41))
