@@ -83,7 +83,11 @@ def pipeline_repetition_signals(spark, sf_dir):
     map-side combine, then a per-(doc, kind) rollup — two exchanges,
     both keyed by doc_id so gram hot keys are bounded by document
     length, never by corpus size."""
-    docs = t(spark, sf_dir, "documents")
+    from ..operators.scale import spread
+
+    # r9: scale-adaptive fan-out of the single-split scan before the
+    # two-branch gram explode (A/B: 1.44 -> 1.05 s noop at sf0.1)
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
     bigrams = F.when(
         F.size("ws") >= 2,
