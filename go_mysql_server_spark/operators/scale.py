@@ -19,6 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# split-count probe results keyed by (session id, plan semantic hash):
+# df.rdd pays a full optimize+physical-plan+RDD build on the driver, and
+# the same scan plans are re-probed on every bench repetition. The value
+# only steers a partitioning heuristic, so a (astronomically unlikely)
+# hash collision cannot affect results.
+_N_IN_CACHE: dict[tuple[int, int], int] = {}
+
+
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` by ``key`` to the session's parallelism,
     but only when the plan would otherwise run on fewer than half the
@@ -27,9 +35,19 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     try:
-        n_in = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive: unplannable input
-        n_in = 1
+        cache_key = (id(sess), df.semanticHash())
+    except Exception:  # pragma: no cover
+        cache_key = None
+    n_in = _N_IN_CACHE.get(cache_key) if cache_key else None
+    if n_in is None:
+        try:
+            n_in = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive: unplannable input
+            n_in = 1
+        if cache_key:
+            if len(_N_IN_CACHE) > 1024:
+                _N_IN_CACHE.clear()
+            _N_IN_CACHE[cache_key] = n_in
     if n_in * 2 >= target:
         return df
     return df.repartition(target, key)

@@ -92,6 +92,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     import os as _os
 
+    # r9: memoized via a marker conf — tune_session runs on EVERY table
+    # load (sources/tables.py), and the 8 py4j conf round-trips were pure
+    # driver latency inside the bench's timed region (guide §5: the
+    # driver should do almost no work on the query path). Nothing else in
+    # the engine mutates these confs (session vars live in Engine.sys_vars),
+    # so re-applying them is a no-op re-spelled.
+    try:
+        if spark.conf.get("spark.gms.tuned", "") == "1":
+            return spark
+    except Exception:
+        pass
+
     cores = _os.cpu_count() or 8
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
@@ -111,4 +123,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # conf locked by the host session: keep going
+    try:
+        spark.conf.set("spark.gms.tuned", "1")
+    except Exception:
+        pass
     return spark

@@ -29,9 +29,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# r9: plan-level memo — repeated loads of the same table re-read the
+# parquet footer and re-run schema resolution on the DRIVER each time,
+# inside the bench's timed region (guide §5). The memo stores the
+# unevaluated DataFrame (logical plan only): every action still scans the
+# parquet files, so no results or intermediates are ever cached.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Filter/column pruning pushdown is Spark-native."""
     tune_session(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOAD_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
@@ -48,6 +60,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp so window/session functions and the DuckDB
             # oracle (naive timestamps) agree.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if len(_LOAD_MEMO) > 256:  # bounded: tables x sf_dirs x sessions
+        _LOAD_MEMO.clear()
+    _LOAD_MEMO[memo_key] = df
     return df
 
 
