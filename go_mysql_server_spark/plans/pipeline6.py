@@ -295,14 +295,35 @@ def pipeline_char_lm_score(spark, sf_dir):
         .cast("long").alias("fpm"),
     )
 
-    ex = docs.select("doc_id", "source", F.explode(bigrams).alias("g"))
+    # r9 (session 2): pre-aggregate the probe side to (doc, g) counts and
+    # put an explicit exchange between that aggregate and the broadcast
+    # join. Two effects, both measured (interleaved A/B, min-of-6:
+    # 1.53 s vs 1.75 s):
+    #  - the heavy explode+partial-agg map stage no longer sits in the
+    #    same stage as the join, so it is scheduled CONCURRENTLY with the
+    #    model-branch build instead of waiting for the broadcast (guide
+    #    §2.6 overlap; the broadcast barrier serialized ~0.6 s of model
+    #    stages before any probe work could start);
+    #  - the exchange moves per-(doc,bigram) COUNTS, not exploded rows —
+    #    aggregate-before-shuffle (guide §2.3), ≤ charset² rows per doc.
+    # The repartition key is (doc_id, source) — full-cardinality and
+    # skew-free at any scale (g alone has only ~charset² distinct values,
+    # which would cap reducer parallelism on a cluster), and the final
+    # per-doc aggregate REUSES this partitioning, so it adds no exchange
+    # of its own.
+    grp = (
+        docs.select("doc_id", "source", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "source", "g")
+        .agg(F.count("*").alias("n_dg"))
+        .repartition(F.col("doc_id"), F.col("source"))
+    )
     return (
-        ex.join(F.broadcast(fpm_df), "g", "left")
+        grp.join(F.broadcast(fpm_df), "g", "left")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(F.coalesce(F.col("fpm"), F.lit(0))).cast("long")
-            .alias("score_sum"),
+            F.sum("n_dg").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n_dg") * F.coalesce(F.col("fpm"), F.lit(0)))
+            .cast("long").alias("score_sum"),
         )
         .withColumn(
             "avg_fpm",

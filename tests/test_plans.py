@@ -251,17 +251,20 @@ def test_char_lm_score_shape(spark):
     partial+final aggregate: the bigram blow-up stays inside the scan
     stage and the corpus is never sort-merge shuffled against the model.
     r9: the model is trained INSIDE the broadcast subtree (no driver
-    collect round-trip), so the plan carries exactly three hash exchanges:
-    the scale-adaptive input spread, the ~114-group model aggregate
-    (bounded by charset²), and the one-row-per-doc scoring aggregate."""
+    collect round-trip), and the probe side is pre-aggregated to
+    per-(doc, bigram) COUNTS with an explicit (doc_id, source) rebalance
+    before the join — the heavy explode stage is then independent of the
+    broadcast barrier (scheduled concurrently with the model build) and
+    the exchange moves counts, not exploded rows."""
     plan = formatted_plan(spark, "pipeline_char_lm_score")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the model side must never shuffle
     assert plan.count("HashAggregate") >= 2  # map-side partial combine
     # hash exchanges: two scale-adaptive input spreads (scoring + model
-    # branches) and the bounded model aggregate; the per-doc scoring
-    # aggregate reuses the spread partitioning (NO exchange of its own)
-    assert plan.count("hashpartitioning(") <= 3
+    # branches), the bounded model aggregate, and the probe's (doc_id,
+    # source) rebalance; the final per-doc aggregate REUSES the rebalance
+    # partitioning (NO exchange of its own)
+    assert plan.count("hashpartitioning(") <= 4
 
 
 def test_pq_assignment_is_scan_side(spark):
