@@ -265,6 +265,9 @@ def test_char_lm_score_shape(spark):
     # source) rebalance; the final per-doc aggregate REUSES the rebalance
     # partitioning (NO exchange of its own)
     assert plan.count("hashpartitioning(") <= 4
+    # the probe rebalance must exist — it is what decouples the heavy
+    # explode stage from the broadcast barrier (overlap, guide §2.6)
+    assert "REPARTITION_BY_COL" in plan
 
 
 def test_pq_assignment_is_scan_side(spark):
