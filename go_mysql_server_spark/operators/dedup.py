@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from .hashing import md5_int60
 from .scale import spread
-from .text import normalize_text, normalize_text_sql, shingles, shingles_sql
+from .text import (normalize_text, normalize_text_sql, shingles_of_tokens,
+                   shingles_sql, tokens)
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 → P(candidate) = 1-(1-s^2)^4 for similarity s
@@ -111,9 +112,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     The groupBy reuses the _spread hash partitioning on the id — the
     explode never crosses an exchange (map-side partial agg collapses it
     back to one row per doc)."""
+    # Tokenize ONCE into a column before the shingle lambda: the transform
+    # references the token array per shingle position, and an inlined
+    # split() re-runs per element on the interpreted HOF path — O(tokens²)
+    # per doc (r9 A/B: 7.5x CPU on the sf0.1 corpus, 23x at 1000
+    # tokens/doc; locally masked by spread()'s 32-way fan-out, at 100 TB
+    # it is a 7x+ per-core waste).
     ex = (
         _spread(docs, id_col)
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col),
+                F.explode(shingles_of_tokens(F.col("_toks"))).alias("sh"))
         .select(F.col(id_col), md5_int60(F.col("sh")).alias("h"))
     )
     return ex.groupBy(id_col).agg(*[
@@ -294,8 +303,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # would recompute the shingle pass per side.
     shs = (
         _spread(docs.join(cand_ids, id_col, "left_semi"), id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col),
-                F.array_distinct(shingles(F.col(text_col))).alias("shs"))
+                F.array_distinct(
+                    shingles_of_tokens(F.col("_toks"), k)).alias("shs"))
         .localCheckpoint(eager=True)
     )
     sa = shs.select(F.col(id_col).alias("a"), F.col("shs").alias("sh_a"))

@@ -157,10 +157,19 @@ def fingerprint_md5_sql(expr: str) -> str:
     return f"md5({normalize_text_sql(expr)})"
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles; a document shorter than k words yields one shingle
-    (the whole text) so every document participates in dedup."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a PRE-MATERIALIZED token-array column; a
+    document shorter than k words yields one shingle (the whole text) so
+    every document participates in dedup.
+
+    `toks` must be a plain column reference, not the tokens() expression:
+    the transform lambda references it per element, and on the interpreted
+    higher-order-function path there is no subexpression elimination — an
+    inlined split() would re-tokenize the document once PER SHINGLE
+    POSITION, O(tokens²) per doc (r9 A/B: 23x slower at 1000 tokens/doc,
+    7.5x on the sf0.1 corpus). Catalyst's CollapseProject keeps the
+    upstream tokens projection separate because the alias is referenced
+    more than once by a non-cheap consumer."""
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -168,6 +177,13 @@ def shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles straight from a text column. ONLY for contexts that
+    cannot project a token column first; prefer shingles_of_tokens — this
+    inline form re-tokenizes per shingle position (see above)."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:
@@ -180,11 +196,18 @@ def shingles_sql(expr: str, k: int = 3) -> str:
     )
 
 
-def min_shingle_fingerprint(col: Column, k: int = 3) -> Column:
-    """Winnowing-lite rolling fingerprint: min hash over k-word shingles."""
+def min_shingle_fingerprint_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Winnowing-lite rolling fingerprint: min hash over k-word shingles,
+    from a pre-materialized token-array column (see shingles_of_tokens)."""
     return F.array_min(
-        F.transform(shingles(col, k), lambda s: md5_int60(s))
+        F.transform(shingles_of_tokens(toks, k), lambda s: md5_int60(s))
     )
+
+
+def min_shingle_fingerprint(col: Column, k: int = 3) -> Column:
+    """Inline-text form; prefer min_shingle_fingerprint_of_tokens (the
+    inline tokens() re-evaluates per shingle position)."""
+    return min_shingle_fingerprint_of_tokens(tokens(col), k)
 
 
 def min_shingle_fingerprint_sql(expr: str, k: int = 3) -> str:
@@ -198,12 +221,18 @@ def min_shingle_fingerprint_sql(expr: str, k: int = 3) -> str:
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all text-analysis columns at once."""
     c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-        langid(c).alias("pred_lang"),
-        quality_score(c).alias("quality"),
-        fingerprint_md5(c).alias("fp_md5"),
-        min_shingle_fingerprint(c).alias("fp_shingle"),
+    # Tokenize once into a column so the shingle lambda does not re-run the
+    # split per shingle position (see shingles_of_tokens).
+    return (
+        df.withColumn("_toks", tokens(c))
+        .select(
+            *df.columns,
+            token_count(c).alias("n_tokens"),
+            bpe_token_count(c).alias("n_bpe_tokens"),
+            langid(c).alias("pred_lang"),
+            quality_score(c).alias("quality"),
+            fingerprint_md5(c).alias("fp_md5"),
+            min_shingle_fingerprint_of_tokens(
+                F.col("_toks")).alias("fp_shingle"),
+        )
     )

@@ -18,8 +18,9 @@ from ..operators.text import (
     fingerprint_md5_sql,
     langid,
     langid_sql,
-    min_shingle_fingerprint,
+    min_shingle_fingerprint_of_tokens,
     min_shingle_fingerprint_sql,
+    tokens,
     quality_score,
     quality_score_sql,
     token_count,
@@ -137,12 +138,17 @@ ORDER BY doc_id
 )
 def text_fingerprints(spark, sf_dir):
     c = F.col("text")
+    # Tokenize once into a column: the shingle lambda inside the rolling
+    # fingerprint would otherwise re-run the split per shingle position
+    # (interpreted HOF path, r9 A/B 7.5x — see shingles_of_tokens).
     return (
         spread(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", c, tokens(c).alias("_toks"))
         .select(
             "doc_id",
             fingerprint_md5(c).alias("fp_md5"),
-            min_shingle_fingerprint(c).alias("fp_shingle"),
+            min_shingle_fingerprint_of_tokens(
+                F.col("_toks")).alias("fp_shingle"),
         )
         .orderBy("doc_id")
     )

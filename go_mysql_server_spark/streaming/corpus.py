@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
-    fingerprint_md5, langid, min_shingle_fingerprint, quality_score,
+    fingerprint_md5, langid, min_shingle_fingerprint_of_tokens,
+    quality_score, tokens,
     token_count,
 )
 from ..session import tune_session
@@ -78,7 +79,9 @@ def neardup_suppress(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
     100 TB/day firehose (a minhash band-join is a batch construct; at
     ingest time a single-key rolling fingerprint is the streamable form)."""
     return (
-        docs.withColumn("fp_shingle", min_shingle_fingerprint(F.col("text")))
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("fp_shingle",
+                    min_shingle_fingerprint_of_tokens(F.col("_toks")))
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["fp_shingle"])
         .select("fp_shingle", "doc_id", "source")
@@ -89,7 +92,9 @@ def neardup_suppress_batch_twin(docs: DataFrame) -> DataFrame:
     """Batch parity oracle: one surviving row per fingerprint (the
     deterministic min doc_id representative)."""
     return (
-        docs.withColumn("fp_shingle", min_shingle_fingerprint(F.col("text")))
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("fp_shingle",
+                    min_shingle_fingerprint_of_tokens(F.col("_toks")))
         .groupBy("fp_shingle")
         .agg(F.min("doc_id").alias("doc_id"))
     )
