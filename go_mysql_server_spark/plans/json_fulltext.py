@@ -126,9 +126,16 @@ def fulltext_match_against(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " +")
     relevance = F.size(F.filter(toks, lambda x: x.isin(*_FT_TERMS))).cast("long")
+    # The match predicate is arrays_overlap (codegen'd, pushed to the
+    # scan) rather than relevance > 0: the count's F.filter is an
+    # interpreted HOF that would run per row corpus-wide; overlap
+    # short-circuits and the count is only evaluated for matching rows.
+    # Same rows: relevance > 0 <=> some term is present (nulls drop
+    # either way).
     return (
-        docs.select("doc_id", relevance.alias("relevance"))
-        .filter(F.col("relevance") > 0)
+        docs.filter(F.arrays_overlap(
+            toks, F.array(*[F.lit(x) for x in _FT_TERMS])))
+        .select("doc_id", relevance.alias("relevance"))
         .orderBy(F.desc("relevance"), "doc_id")
         .limit(50)
     )
@@ -243,11 +250,16 @@ def fulltext_boolean_mode(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " +")
     n_req = F.size(F.filter(toks, lambda x: x == "spark")).cast("long")
-    n_excl = F.size(F.filter(toks, lambda x: x == "window"))
+    # Boolean-mode membership as array_contains (codegen'd, pushed to the
+    # scan) instead of count predicates: the counts' F.filter lambdas are
+    # interpreted HOFs that would run per row corpus-wide; the required
+    # count n_req is only evaluated for matching rows. Same rows:
+    # count > 0 <=> contains, count = 0 <=> NOT contains (nulls drop
+    # either way).
     return (
-        docs.select("doc_id", n_req.alias("n_req"), n_excl.alias("_ex"))
-        .filter((F.col("n_req") > 0) & (F.col("_ex") == 0))
-        .select("doc_id", "n_req")
+        docs.filter(F.array_contains(toks, "spark")
+                    & ~F.array_contains(toks, "window"))
+        .select("doc_id", n_req.alias("n_req"))
         .orderBy("doc_id")
         .limit(50)
     )
@@ -313,11 +325,19 @@ def fulltext_query_expansion(spark, sf_dir):
     identical feedback docs and terms."""
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " +")
-    seed_tf = F.size(F.filter(toks, lambda x: x == _QE_SEED)).cast("long")
+    # Phase 1 references the token array twice (seed-tf HOF filter + the
+    # carried ts column); materialize it once — CSE skips HOF fallback
+    # children (see text.langid_of_tokens).
+    seed_tf = F.size(
+        F.filter(F.col("ts"), lambda x: x == _QE_SEED)).cast("long")
 
+    # Membership predicate as array_contains (codegen'd, pushed to the
+    # scan); the tf count (interpreted HOF) only runs on matching rows,
+    # and the carried ts column shares the one split with it.
     top_docs = (
-        docs.select("doc_id", seed_tf.alias("rel"), toks.alias("ts"))
-        .filter(F.col("rel") > 0)
+        docs.filter(F.array_contains(toks, _QE_SEED))
+        .select("doc_id", toks.alias("ts"))
+        .select("doc_id", seed_tf.alias("rel"), "ts")
         .orderBy(F.desc("rel"), "doc_id")
         .limit(_QE_FEEDBACK_DOCS)
     )
@@ -333,9 +353,11 @@ def fulltext_query_expansion(spark, sf_dir):
     # expansion vocabulary as literals so the corpus pass stays scan-side
     terms = [_QE_SEED] + [r["tok"] for r in exp_terms.collect()]
     relevance = F.size(F.filter(toks, lambda x: x.isin(*terms))).cast("long")
+    # Same arrays_overlap-for-membership rewrite as fulltext_match_against.
     return (
-        docs.select("doc_id", relevance.alias("relevance"))
-        .filter(F.col("relevance") > 0)
+        docs.filter(F.arrays_overlap(
+            toks, F.array(*[F.lit(x) for x in terms])))
+        .select("doc_id", relevance.alias("relevance"))
         .orderBy(F.desc("relevance"), "doc_id")
         .limit(50)
     )

@@ -16,14 +16,14 @@ from ..operators.text import (
     bpe_token_count_sql,
     fingerprint_md5,
     fingerprint_md5_sql,
-    langid,
+    langid_of_tokens,
     langid_sql,
     min_shingle_fingerprint_of_tokens,
     min_shingle_fingerprint_sql,
     tokens,
-    quality_score,
+    quality_score_of_tokens,
     quality_score_sql,
-    token_count,
+    token_count_of_tokens,
     token_count_sql,
 )
 from ._util import t
@@ -113,14 +113,18 @@ ORDER BY doc_id
 def text_features(spark, sf_dir):
     """Language-ID + quality + token counting in one JVM-side projection."""
     c = F.col("text")
+    # Tokenize once into a column: each per-language stopword filter is an
+    # interpreted HOF, and CSE does not reach fallback children — inline
+    # tokens() would re-split per reference (see langid_of_tokens).
     return (
         spread(t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", c, tokens(c).alias("_toks"))
         .select(
             "doc_id",
-            token_count(c).alias("n_tokens"),
+            token_count_of_tokens(F.col("_toks")).alias("n_tokens"),
             bpe_token_count(c).alias("n_bpe_tokens"),
-            langid(c).alias("pred_lang"),
-            quality_score(c).alias("quality"),
+            langid_of_tokens(F.col("_toks")).alias("pred_lang"),
+            quality_score_of_tokens(c, F.col("_toks")).alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -248,8 +252,11 @@ ORDER BY source
 def langid_accuracy_by_source(spark, sf_dir):
     """Aggregated text-analysis: predicted-vs-labeled language per source."""
     docs = t(spark, sf_dir, "documents")
+    # Materialized token column: langid's four per-language HOF filters
+    # would each re-run the split otherwise (see langid_of_tokens).
     return (
-        docs.select("source", "lang", langid(F.col("text")).alias("pred"))
+        docs.select("source", "lang", tokens(F.col("text")).alias("_toks"))
+        .select("source", "lang", langid_of_tokens(F.col("_toks")).alias("pred"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

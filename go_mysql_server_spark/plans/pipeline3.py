@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..operators.hashing import md5_int60
 from ..operators.similarity import cosine, lsh_signature
-from ..operators.text import quality_score, quality_score_sql
+from ..operators.text import (quality_score_of_tokens, quality_score_sql,
+                              tokens)
 from ..session import iter_checkpoint
 from ._util import t
 from .registry import query
@@ -442,8 +443,15 @@ def pipeline_cluster_keep_best(spark, sf_dir):
         last_sum = cur_sum
     canon = labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_id"))
-    scored = canon.join(docs.select("doc_id", "text"), "doc_id").select(
-        "cluster_id", "doc_id", quality_score(F.col("text")).alias("q"))
+    # Materialized token column: inline quality_score would re-split once
+    # more inside its stopword HOF filter (see langid_of_tokens).
+    scored = (
+        canon.join(docs.select("doc_id", "text"), "doc_id")
+        .select("cluster_id", "doc_id", "text",
+                tokens(F.col("text")).alias("_toks"))
+        .select("cluster_id", "doc_id",
+                quality_score_of_tokens(
+                    F.col("text"), F.col("_toks")).alias("q")))
     w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
     wc = Window.partitionBy("cluster_id")
     return (
@@ -465,8 +473,8 @@ def pipeline_cluster_keep_best(spark, sf_dir):
 # ---- end-to-end corpus build ------------------------------------------------
 
 from ..operators.text import (  # noqa: E402
-    langid, langid_sql, normalize_text, normalize_text_sql,
-    token_count, token_count_sql,
+    langid_of_tokens, langid_sql, normalize_text, normalize_text_sql,
+    token_count_of_tokens, token_count_sql,
 )
 
 
@@ -513,11 +521,16 @@ def pipeline_end_to_end_corpus(spark, sf_dir):
     the query a data team runs nightly; every stage reuses the
     oracle-checked operator primitives."""
     docs = t(spark, sf_dir, "documents")
+    # One shared token column for quality + langid + token count: the five
+    # stopword HOF filters would each re-run the split inline (see
+    # langid_of_tokens).
     filtered = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("_toks"),
+    ).select(
         "doc_id", "source", "text",
-        quality_score(F.col("text")).alias("q"),
-        langid(F.col("text")).alias("lang_pred"),
-        token_count(F.col("text")).alias("n_tokens"),
+        quality_score_of_tokens(F.col("text"), F.col("_toks")).alias("q"),
+        langid_of_tokens(F.col("_toks")).alias("lang_pred"),
+        token_count_of_tokens(F.col("_toks")).alias("n_tokens"),
     ).filter(F.col("q") >= 0.5)
     deduped = (
         filtered

@@ -74,7 +74,10 @@ def pipeline_quality_rules(spark, sf_dir):
     (No reference analogue — GMS has no corpus operators; LLM-pipeline
     requirement.)"""
     docs = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Materialized token column: the stopword F.filter is an interpreted
+    # HOF and CSE skips fallback children — an inline tokens() would run
+    # the split a second time per row (see langid_of_tokens).
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     mean_wlen = (
         F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", ""))
@@ -83,6 +86,8 @@ def pipeline_quality_rules(spark, sf_dir):
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok.cast("double")
     n_sw = F.size(F.filter(toks, lambda x: x.isin(*_QR_STOPWORDS)))
     feat = docs.select(
+        "source", "text", tokens(F.col("text")).alias("_toks"),
+    ).select(
         "source",
         n_tok.alias("n_tok"),
         mean_wlen.alias("mean_wlen"),

@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
-    fingerprint_md5, langid, min_shingle_fingerprint_of_tokens,
-    quality_score, tokens,
-    token_count,
+    fingerprint_md5, langid_of_tokens, min_shingle_fingerprint_of_tokens,
+    quality_score_of_tokens, tokens,
+    token_count_of_tokens,
 )
 from ..session import tune_session
 
@@ -54,9 +54,13 @@ def corpus_ingest(docs: DataFrame, min_quality: float = 0.5,
 
     Returns the per-(source, predicted-lang) accumulator in update mode:
     docs kept and tokens kept — the numbers a corpus dashboard tracks."""
+    # One shared token column for quality + langid + token count (the
+    # stopword HOF filters would each re-run the split — langid_of_tokens).
     cleaned = (
-        docs.filter(quality_score(F.col("text")) >= min_quality)
-        .withColumn("lang_pred", langid(F.col("text")))
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .filter(quality_score_of_tokens(
+            F.col("text"), F.col("_toks")) >= min_quality)
+        .withColumn("lang_pred", langid_of_tokens(F.col("_toks")))
         .withColumn("fp", fingerprint_md5(F.col("text")))
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["fp"])
@@ -64,7 +68,8 @@ def corpus_ingest(docs: DataFrame, min_quality: float = 0.5,
     return (
         cleaned.groupBy("source", "lang_pred")
         .agg(F.count("*").alias("kept_docs"),
-             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+             F.sum(token_count_of_tokens(F.col("_toks")))
+             .alias("kept_tokens"))
     )
 
 
@@ -105,13 +110,16 @@ def corpus_ingest_batch_twin(docs: DataFrame,
     """The identical computation as a batch plan (dedup keeps one row per
     fingerprint) — the parity oracle for the stream."""
     cleaned = (
-        docs.filter(quality_score(F.col("text")) >= min_quality)
-        .withColumn("lang_pred", langid(F.col("text")))
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .filter(quality_score_of_tokens(
+            F.col("text"), F.col("_toks")) >= min_quality)
+        .withColumn("lang_pred", langid_of_tokens(F.col("_toks")))
         .withColumn("fp", fingerprint_md5(F.col("text")))
         .dropDuplicates(["fp"])
     )
     return (
         cleaned.groupBy("source", "lang_pred")
         .agg(F.count("*").alias("kept_docs"),
-             F.sum(token_count(F.col("text"))).alias("kept_tokens"))
+             F.sum(token_count_of_tokens(F.col("_toks")))
+             .alias("kept_tokens"))
     )

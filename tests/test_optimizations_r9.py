@@ -95,3 +95,42 @@ def test_load_memo_is_plan_level_only(spark):
     assert a is b  # memo hit
     assert "InMemoryRelation" not in _formatted(a)
     assert "Scan parquet" in _formatted(a)
+
+
+def test_shingle_and_feature_projections_tokenize_once(spark):
+    """The tokenize-once rewrite: every shingle/feature pipeline must
+    carry ONE materialized split of the text column — an inlined split is
+    re-evaluated per HOF reference (per shingle position inside the
+    transform lambda: O(tokens^2) per doc)."""
+    from go_mysql_server_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in ("text_fingerprints", "text_features",
+                 "langid_accuracy_by_source", "pipeline_quality_rules"):
+        plan = _formatted(qs[name](spark, SF_DIR))
+        assert plan.count("split(lower(trim(text") == 1, name
+    # minhash signature stage: one split, and never inside a lambda
+    from go_mysql_server_spark.operators.dedup import minhash_signatures
+    from go_mysql_server_spark.sources import load
+
+    plan = _formatted(minhash_signatures(load(spark, SF_DIR, "documents")))
+    assert plan.count("split(lower(trim(text") == 1
+    import re
+    assert not re.search(r"lambdafunction\([^)]*split\(", plan)
+
+
+def test_fulltext_membership_predicates_are_codegen_able(spark):
+    """Fulltext match predicates must be array_contains/arrays_overlap
+    (codegen'd, pushed to the scan), not interpreted HOF count
+    comparisons running corpus-wide per row."""
+    from go_mysql_server_spark.plans import all_queries
+
+    qs = all_queries()
+    plan = _formatted(qs["fulltext_match_against"](spark, SF_DIR))
+    assert "arrays_overlap" in plan
+    plan = _formatted(qs["fulltext_boolean_mode"](spark, SF_DIR))
+    assert plan.count("array_contains") == 2
+    # the tf count (interpreted HOF) survives only in the projection for
+    # matched rows, not in the pushed filter condition
+    cond = [ln for ln in plan.splitlines() if ln.startswith("Condition")]
+    assert cond and all("lambdafunction" not in ln for ln in cond)
