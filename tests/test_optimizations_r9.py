@@ -134,3 +134,14 @@ def test_fulltext_membership_predicates_are_codegen_able(spark):
     # matched rows, not in the pushed filter condition
     cond = [ln for ln in plan.splitlines() if ln.startswith("Condition")]
     assert cond and all("lambdafunction" not in ln for ln in cond)
+
+
+def test_kmeans_assign_is_minby_aggregate(spark):
+    """The Lloyd assign step must be a min(struct) hash aggregate (partial
+    agg collapses the k candidates map-side), not a window row_number
+    argmin that sorts k×N scored rows per iteration."""
+    from go_mysql_server_spark.plans import all_queries
+
+    plan = _formatted(all_queries()["similarity_kmeans_ivf"](spark, SF_DIR))
+    assert "min(struct" in plan
+    assert "row_number" not in plan
