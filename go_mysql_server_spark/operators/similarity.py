@@ -222,44 +222,78 @@ def ivf_probe_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 5,
         .select(id_col, vec_col).orderBy(id_col).collect()
     ]
 
-    def lit_vec(vals: list[float]) -> Column:
-        return F.array(*[F.lit(v) for v in vals])
-
-    def cell_scores(v: Column) -> list[Column]:
-        vn = norm(v)
-        return [
-            F.round(dot(v, lit_vec(cv)) / (vn * F.lit(math_sqrt_dot(cv))), 6)
-            for _, cv in cents
-        ]
-
     def math_sqrt_dot(vals: list[float]) -> float:
         s = 0.0
         for x in vals:
             s += x * x
         return s ** 0.5
 
-    # argmax cell, ties → smallest cell id (array_position = first match)
-    def assigned_cell(v: Column) -> Column:
-        scores = F.array(*cell_scores(v))
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    # The centroid expressions are generated as SQL strings and parsed
+    # JVM-side (r9 §5: the Column-API form built ncells×dims literals plus
+    # ~70 HOF lambdas through py4j — ~2 s of driver time per query
+    # construction, 2/3 of the query's local wall-clock; string building
+    # is free and F.expr is one call). CAST('<repr>' AS DOUBLE)
+    # round-trips the collected doubles exactly, so the scores are
+    # bit-identical to the old literal tree. The query-vector norm (_vn)
+    # and per-cell score array (_sc) are materialized as chained
+    # projection columns: the old tree embedded the norm in every cell
+    # score and the whole score array in every consumer, and HOF
+    # aggregates are CodegenFallback — no CSE — so each row evaluated
+    # 2×ncells score aggregates (assign) / ncells² (probe list) where one
+    # array evaluation suffices.
+    def _dlist(vals: list[float]) -> str:
+        return ("array(" +
+                ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")")
+
+    def _vnorm_sql(col: str) -> str:
+        vcol = f"transform({col}, x -> CAST(x AS DOUBLE))"
+        return (f"sqrt(aggregate(zip_with({vcol}, {vcol}, "
+                f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + x))")
+
+    def _scores_sql(col: str) -> str:
+        vcol = f"transform({col}, x -> CAST(x AS DOUBLE))"
+        terms = [
+            (f"round(aggregate(zip_with({vcol}, {_dlist(cv)}, "
+             f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+             f"(acc, x) -> acc + x) "
+             f"/ (_vn * CAST('{math_sqrt_dot(cv)!r}' AS DOUBLE)), 6)")
+            for _, cv in cents
+        ]
+        return "array(" + ", ".join(terms) + ")"
 
     base = _spread(embeddings, id_col)
-    cand = base.select(
-        F.col(id_col), F.col(vec_col).alias("cvec"),
-        assigned_cell(F.col(vec_col)).alias("cell"),
+    # argmax cell, ties → smallest cell id (array_position = first match)
+    cand = (
+        base.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+        .select("*", F.expr(_vnorm_sql("cvec")).alias("_vn"))
+        .select(F.col(id_col), F.col("cvec"),
+                F.expr(_scores_sql("cvec")).alias("_sc"))
+        .select(F.col(id_col), F.col("cvec"),
+                # coalesce(…, -1) makes the join key NON-NULLABLE: the
+                # equi-join otherwise infers isnotnull(cell) and pushes
+                # the whole argmax expression into a scan-side Filter
+                # BELOW the spread exchange — re-evaluating every cell
+                # score per row in the single-split scan task (r9 plan
+                # audit). -1 can never match a probe cell (ids ≥ 0) and
+                # the original is null only for a null embedding, which
+                # the join would drop anyway — row set identical.
+                F.expr("coalesce(CAST(array_position(_sc, array_max(_sc))"
+                       " - 1 AS INT), -1)").alias("cell"))
     )
     # probe list: nprobe best cells per query — sort (−score, cell) structs
-    def probe_cells(v: Column) -> Column:
-        structs = F.array(*[
-            F.struct((-s).alias("ns"), F.lit(int(c)).alias("c"))
-            for s, (c, _) in zip(cell_scores(v), cents)
-        ])
-        return F.slice(F.array_sort(structs), 1, nprobe)["c"]
+    probe_cells = ("slice(array_sort(array(" + ", ".join(
+        f"named_struct('ns', -_sc[{i}], 'c', {int(c)})"
+        for i, (c, _) in enumerate(cents)) + f")), 1, {nprobe}).c")
 
     q = (
         embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                F.explode(probe_cells(F.col(vec_col))).alias("cell"))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .select("*", F.expr(_vnorm_sql("qvec")).alias("_vn"))
+        .select(F.col("qid"), F.col("qvec"),
+                F.expr(_scores_sql("qvec")).alias("_sc"))
+        .select(F.col("qid"), F.col("qvec"),
+                F.explode(F.expr(probe_cells)).alias("cell"))
     )
     scored = (
         cand.join(F.broadcast(q), "cell")

@@ -571,18 +571,32 @@ def similarity_ivf_pq_search(spark, sf_dir):
             sq += x * x
         return sq ** 0.5
 
-    v_sql = e_dbl_sql
-    vn_sql = f"SQRT({dot_sql(v_sql, v_sql)})"
-    score_sqls = [
-        f"ROUND({dot_sql(v_sql, vec_sql(cv))} / ({vn_sql} * {dlit(cnorm(cv))}), 6)"
-        for _, cv in crows
-    ]
-    scores_sql = "array(" + ", ".join(score_sqls) + ")"
-    assigned_sql = (f"CAST(array_position({scores_sql}, "
-                    f"array_max({scores_sql})) - 1 AS INT)")
+    # The per-cell score array is materialized ONCE as a `_sc` column
+    # (referencing the materialized `_e` double-cast and `_vn` norm), then
+    # every consumer — argmax assign, probe-list structs — reads the
+    # column. The previous form textually embedded the whole scores array
+    # per consumer, and HOF aggregates are CodegenFallback (no CSE), so
+    # each candidate row evaluated 2×NCELLS score aggregates and each
+    # query row NCELLS² (r9; same mechanism as operators/similarity.py
+    # ivf_probe_topk). Also shrinks the parsed SQL ~10×.
+    def scores_col_sql(ecol: str) -> str:
+        terms = [
+            f"ROUND({dot_sql(ecol, vec_sql(cv))} / (_vn * {dlit(cnorm(cv))}), 6)"
+            for _, cv in crows
+        ]
+        return "array(" + ", ".join(terms) + ")"
+
+    # coalesce(…, -1): non-nullable join key, so the equi-join does not
+    # infer isnotnull(cell) and push the whole argmax into a scan-side
+    # Filter below the spread exchange (single-split scan task — see
+    # operators/similarity.py ivf_probe_topk). -1 never matches a probe
+    # cell; the original is null only for a null embedding, which the
+    # join drops anyway.
+    assigned_sql = ("coalesce(CAST(array_position(_sc, array_max(_sc))"
+                    " - 1 AS INT), -1)")
     probe_sql = ("slice(array_sort(array(" + ", ".join(
-        f"named_struct('ns', -({sc}), 'c', {int(c)})"
-        for sc, (c, _) in zip(score_sqls, crows)) +
+        f"named_struct('ns', -_sc[{i}], 'c', {int(c)})"
+        for i, (c, _) in enumerate(crows)) +
         f")), 1, {IVFPQ_NPROBE}).c")
 
     # Spread the single-split scan first: cell assignment evaluates
@@ -593,6 +607,8 @@ def similarity_ivf_pq_search(spark, sf_dir):
         spread(emb, "vec_id")
         .withColumn("_cb", F.expr(cb_sql))
         .withColumn("_e", F.expr(e_dbl_sql))
+        .withColumn("_vn", F.expr(f"SQRT({dot_sql('_e', '_e')})"))
+        .withColumn("_sc", F.expr(scores_col_sql("_e")))
         .withColumn("cell", F.expr(assigned_sql))
     )
 
@@ -614,11 +630,10 @@ def similarity_ivf_pq_search(spark, sf_dir):
 
     q = (
         emb.filter(F.col("vec_id") < IVFPQ_NQ)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.expr(e_dbl_sql).alias("_q"),
-            F.explode(F.expr(probe_sql)).alias("cell"),
-        )
+        .select(F.col("vec_id").alias("qid"), F.expr(e_dbl_sql).alias("_q"))
+        .withColumn("_vn", F.expr(f"SQRT({dot_sql('_q', '_q')})"))
+        .withColumn("_sc", F.expr(scores_col_sql("_q")))
+        .select("qid", "_q", F.explode(F.expr(probe_sql)).alias("cell"))
     )
 
     joined = cand.join(F.broadcast(q), "cell").filter(

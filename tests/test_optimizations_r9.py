@@ -145,3 +145,20 @@ def test_kmeans_assign_is_minby_aggregate(spark):
     plan = _formatted(all_queries()["similarity_kmeans_ivf"](spark, SF_DIR))
     assert "min(struct" in plan
     assert "row_number" not in plan
+
+
+def test_ivf_cell_assignment_not_reevaluated_in_scan_filter(spark):
+    """IVF cell assignment: the per-cell score array materializes once as
+    a _sc column and the join key is non-nullable (coalesce(..., -1)), so
+    no Filter condition re-evaluates the argmax expression below the
+    spread exchange (the single-split scan task)."""
+    from go_mysql_server_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in ("similarity_ivf_probe", "similarity_ivf_pq_search"):
+        plan = _formatted(qs[name](spark, SF_DIR))
+        assert "_sc" in plan, name
+        conds = [ln for ln in plan.splitlines()
+                 if ln.startswith("Condition")]
+        assert conds, name
+        assert all("array_position" not in ln for ln in conds), name
