@@ -147,18 +147,26 @@ def lsh_signature(embeddings: DataFrame, dims: int,
     in exchange volume at scale). Same pattern as ivf_probe_topk's inlined
     centroids."""
     signs = hyperplane_signs_py(dims, num_planes)
-    v = _to_double(F.col(vec_col))
-    sig = F.lit(0).cast("long")
+    # Rendered as SQL TEXT parsed with one F.expr (r9 §5: the Column form
+    # built planes×dims literals + 2×planes HOF lambdas through py4j,
+    # pure driver latency), over a materialized `_v` double-cast column —
+    # the inline cast is a HOF (CodegenFallback, no CSE) that would
+    # otherwise re-evaluate once per plane per row.
+    terms = []
     for p in range(num_planes):
-        lit_s = F.array(*[F.lit(float(s)) for s in signs[p]])
-        proj = F.aggregate(
-            F.zip_with(v, lit_s, lambda x, s: x * s),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-    cols = ["*"] if keep_cols else [F.col(id_col)]
-    return embeddings.select(*cols, sig.alias("sig"))
+        arr = ("array(" +
+               ", ".join(f"CAST('{float(s)!r}' AS DOUBLE)"
+                         for s in signs[p]) + ")")
+        proj = (f"aggregate(zip_with(_v, {arr}, (x, s) -> x * s), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {proj} > CAST(0.0 AS DOUBLE) "
+                     f"THEN CAST({1 << p} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    sig_sql = "CAST(0 AS BIGINT) + " + " + ".join(terms)
+    staged = embeddings.withColumn(
+        "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+    cols = list(embeddings.columns) if keep_cols else [id_col]
+    return staged.select(*cols, F.expr(sig_sql).alias("sig"))
 
 
 def lsh_topk(spark, embeddings: DataFrame, k: int = 3, n_queries: int = 5,

@@ -397,35 +397,39 @@ def similarity_pq_quantize(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     seed = [r["embedding"] for r in
             emb.orderBy("vec_id").limit(PQ_K).collect()]
-    cb_lit = F.array(*[
-        F.array(*[F.lit(float(x)).cast("double") for x in vec])
-        for vec in seed
-    ])
 
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    df = emb.withColumn("_cb", cb_lit).withColumn("_e", e)
+    # Codebook + pick expressions rendered as SQL TEXT, one F.expr parse
+    # each (r9 §5: the Column-API form built PQ_K×64 literals plus 32
+    # aggregate-HOF lambdas through py4j — ~1.6 s of driver time per plan
+    # build). CAST('<repr>' AS DOUBLE) parses exactly; arithmetic and the
+    # oracle hash are unchanged.
+    def dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    def sub_dist(m, code):
+    cb_sql = "array(" + ", ".join(
+        "array(" + ", ".join(dlit(x) for x in vec) + ")" for vec in seed
+    ) + ")"
+    df = (emb.withColumn("_cb", F.expr(cb_sql))
+          .withColumn("_e",
+                      F.expr("transform(embedding,"
+                             " x -> CAST(x AS DOUBLE))")))
+
+    def sub_dist_sql(m: int, code: int) -> str:
         # L2² over dims [m*SUB_DIM, (m+1)*SUB_DIM) in fixed index order
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(SUB_DIM - 1)),
-            F.lit(0.0),
-            lambda acc, i: acc + F.pow(
-                F.element_at(F.col("_e"), m * SUB_DIM + i + 1)
-                - F.element_at(F.element_at(F.col("_cb"), code + 1),
-                               m * SUB_DIM + i + 1), 2),
-        )
+        return (f"aggregate(sequence(0, {SUB_DIM - 1}), "
+                f"CAST(0.0 AS DOUBLE), (acc, i) -> acc + POW("
+                f"element_at(_e, {m * SUB_DIM} + i + 1) - "
+                f"element_at(element_at(_cb, {code + 1}), "
+                f"{m * SUB_DIM} + i + 1), 2))")
 
-    picks = F.array(*[
-        F.array_min(F.array(*[
-            F.struct(sub_dist(m, c).alias("d"), F.lit(c).alias("c"))
-            for c in range(PQ_K)
-        ]))
-        for m in range(M_SUB)
-    ])
+    picks_sql = "array(" + ", ".join(
+        "array_min(array(" + ", ".join(
+            f"named_struct('d', {sub_dist_sql(m, c)}, 'c', {c})"
+            for c in range(PQ_K)) + "))"
+        for m in range(M_SUB)) + ")"
     # CSV-joined, not array<int>: the driver canonicalizer can't hash list
     # cells (see pipeline_embedding_quantize / r3 red row).
-    out = df.withColumn("_picks", picks).select(
+    out = df.withColumn("_picks", F.expr(picks_sql)).select(
         "vec_id",
         F.array_join(
             F.transform(F.col("_picks"), lambda s: s["c"]), ","
