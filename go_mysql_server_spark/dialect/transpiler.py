@@ -1705,8 +1705,18 @@ def transpile_select(sql: str) -> str:
         if not before.endswith(")"):
             return False
         depth = 0
+        in_str = False
         for i in range(len(before) - 1, -1, -1):
             c = before[i]
+            # skip single-quoted literals: a JSON path like '$.a)b' must
+            # not count toward paren depth (scanning right-to-left, a
+            # doubled '' escape toggles twice = net no-op, so this stays
+            # correct for escaped quotes too)
+            if c == "'":
+                in_str = not in_str
+                continue
+            if in_str:
+                continue
             if c == ")":
                 depth += 1
             elif c == "(":

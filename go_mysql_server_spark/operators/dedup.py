@@ -301,8 +301,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
     # Checkpoint: both joins reference the shingle-set relation; inlining
     # would recompute the shingle pass per side.
+    # r10 (advice): spread the RAW docs scan, then semi-join — spreading
+    # the join output made spread()'s split probe execute the whole
+    # candidate pipeline a second time under AQE. The semi-join against
+    # the small cand_ids side broadcasts, so the fan-out partitioning
+    # survives into the shingle projection.
     shs = (
-        _spread(docs.join(cand_ids, id_col, "left_semi"), id_col)
+        _spread(docs, id_col).join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col),
                 F.array_distinct(

@@ -26,12 +26,27 @@ from pyspark.sql import DataFrame
 # hash collision cannot affect results.
 _N_IN_CACHE: dict[tuple[int, int], int] = {}
 
+# Logical operators that plan an Exchange (or consume one): downstream of
+# any of these the data is already distributed across the session's
+# shuffle partitions, so spread() has nothing to fix — and, critically,
+# probing such a plan with df.rdd under AQE MATERIALIZES every upstream
+# shuffle stage at plan-construction time (the r9 advice: in
+# ngram_jaccard_pairs the probe executed the whole candidate pipeline
+# twice). spread() is for narrow scan-rooted inputs only.
+# Note: a shuffle-false "Repartition n, false" (coalesce) stays probeable —
+# it is narrow and plans no exchange; "Repartition n, true" does.
+_WIDE_TOKENS = ("RepartitionByExpression", "Join ", "Aggregate [",
+                "Window [", "Distinct", "Deduplicate", "Sort [", "Intersect",
+                "Except", "GlobalLimit")
+_WIDE_RE = None  # compiled lazily: "Repartition <n>, true"
+
 
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ``df`` by ``key`` to the session's parallelism,
     but only when the plan would otherwise run on fewer than half the
     session's cores (guide §2: scale-adaptive partitioning, never a
-    constant tuned for one deployment)."""
+    constant tuned for one deployment). No-op on plans that already
+    contain a wide (exchange-planning) operator — see _WIDE_TOKENS."""
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
     try:
@@ -40,6 +55,18 @@ def spread(df: DataFrame, key: str) -> DataFrame:
         cache_key = None
     n_in = _N_IN_CACHE.get(cache_key) if cache_key else None
     if n_in is None:
+        try:
+            import re
+
+            global _WIDE_RE
+            if _WIDE_RE is None:
+                _WIDE_RE = re.compile(r"Repartition \d+, true")
+            plan_str = df._jdf.queryExecution().analyzed().toString()
+            if (any(tok in plan_str for tok in _WIDE_TOKENS)
+                    or _WIDE_RE.search(plan_str)):
+                return df
+        except Exception:  # pragma: no cover - defensive: stay safe, skip
+            return df
         try:
             n_in = df.rdd.getNumPartitions()
         except Exception:  # pragma: no cover - defensive: unplannable input

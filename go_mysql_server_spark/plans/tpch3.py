@@ -111,7 +111,10 @@ def q2(spark, sf_dir):
     #    partkey. Oracle-verified: same 100 rows.
     from pyspark.sql import Window
 
-    li = t(spark, sf_dir, "lineitem")
+    # Same l_quantity > 0 guard as _partsupp: the surrogate's definition
+    # must stay identical to the shared CTE or a degenerate zero/NULL
+    # quantity row would diverge from the SQL oracle (r9 advice).
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     li_f = li.join(part, li.l_partkey == part.p_partkey)
     ps_f = li_f.groupBy(
         F.col("l_partkey").alias("ps_partkey"),

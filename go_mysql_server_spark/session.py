@@ -100,6 +100,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # so re-applying them is a no-op re-spelled.
     try:
         if spark.conf.get("spark.gms.tuned", "") == "1":
+            # Re-assert the two cheap semantics-bearing confs every call:
+            # an external mid-session mutation (host harness, test code)
+            # must not silently change timestamp/coercion results. Two
+            # py4j set() calls — the memo still skips the other six.
+            for key, value in (("spark.sql.session.timeZone", "UTC"),
+                               ("spark.sql.ansi.enabled", "false")):
+                try:
+                    spark.conf.set(key, value)
+                except Exception:
+                    pass
             return spark
     except Exception:
         pass

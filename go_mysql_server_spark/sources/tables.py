@@ -34,13 +34,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # inside the bench's timed region (guide §5). The memo stores the
 # unevaluated DataFrame (logical plan only): every action still scans the
 # parquet files, so no results or intermediates are ever cached.
-_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# r10 (advice): keyed by the SparkSession OBJECT id, not applicationId —
+# two sessions of one application may carry different session-scoped
+# confs/UDF registries and must not share plans. Assumption (documented):
+# the memoized plan pins the parquet file-listing snapshot, so sf_dir
+# contents must not change while a session is alive (the testdata dirs
+# are read-only by contract).
+_LOAD_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Filter/column pruning pushdown is Spark-native."""
     tune_session(spark)
-    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo_key = (id(spark), sf_dir, name)
     hit = _LOAD_MEMO.get(memo_key)
     if hit is not None:
         return hit
