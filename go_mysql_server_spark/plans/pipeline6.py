@@ -716,13 +716,17 @@ def pipeline_decontaminate(spark, sf_dir):
     # tokenize ONCE into a column: referencing split(...) inside the
     # gram-window lambda made Catalyst re-evaluate the split per gram
     # (~46x per row at 50 tokens/doc — the r5 profile's hot spot).
-    # r9: spread the single-split scan across cores, then checkpoint —
-    # three consumers (probe grams, flagged join, final ledger) would
-    # otherwise each re-run the split from the one-task scan stage.
+    # r9 added spread + an eager localCheckpoint here; the driver measured
+    # the checkpoint as a 14% REGRESSION and the r10 interleaved A/B
+    # (eager/lazy/none at sf0.1 AND sf1) confirmed it: the three consumers
+    # (probe grams, flagged join, final ledger) share spread's exchange via
+    # ReusedExchange, so the checkpoint only added a blocking job that
+    # serialized the fat token arrays to block storage (sf0.1: 1.13 eager
+    # vs 0.96 none; sf1: 2.00 vs 1.68; results identical). No checkpoint.
     toked = spread(docs, "doc_id").select(
         "doc_id", "source",
         F.split(F.lower(F.trim(F.col("text"))), " +").alias("_toks"),
-    ).localCheckpoint(eager=True)
+    )
     grams = F.array_distinct(F.expr(
         "CASE WHEN size(_toks) >= 5 THEN "
         "transform(sequence(0, size(_toks) - 5), "
