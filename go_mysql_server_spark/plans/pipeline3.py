@@ -360,6 +360,96 @@ def pipeline_contamination_check(spark, sf_dir):
 
 # ---- best-of-cluster canonical selection ------------------------------------
 
+def cc_min_labels(edges):
+    """Connected components by min-label fixpoint over a bidirectional
+    edge list (u, v) → (node, label) with label = the component minimum.
+
+    Factored out of pipeline_cluster_keep_best so the hybrid convergence
+    mechanism is testable on synthetic graphs."""
+    # r9: fused init + round 1. The old init (distinct nodes labelled by
+    # themselves) plus the first propagation round is algebraically ONE
+    # aggregation: every node appears as edge target v (edges carry both
+    # directions), and round-1's min over {node} ∪ {incoming u} is
+    # min(v, min u) = groupBy(v).min(least(u, v)). Saves the distinct
+    # exchange AND a whole join+union+agg round.
+    labels = iter_checkpoint(
+        edges.select(F.col("v").alias("node"),
+                     F.least("u", "v").alias("label"))
+        .groupBy("node").agg(F.min("label").alias("label")),
+        eager=False,
+    )
+    # Convergence probe: labels are monotonically non-increasing per node
+    # (min-combine), so the label SUM strictly decreases every round until
+    # the fixpoint — one tiny aggregate on the checkpointed result
+    # replaces the previous left_anti-join + isEmpty job per round.
+    # r9: the checkpoint is LAZY and the probe aggregate materializes it —
+    # one Spark job per round instead of two (the probe is the only
+    # consumer until the next round's join, which then reads the stored
+    # blocks). Guide §1.2: fewer passes in the iterative algorithm.
+    last_sum = labels.agg(F.sum("label")).first()[0]
+    # r10: hybrid fixpoint. Plain edge-propagation moves the component min
+    # ONE hop per round, so round count = graph diameter — at sf1 the
+    # near-dup graph's diameter grew to 17 and the loop paid 17 fixed
+    # job-latency rounds of ~0.35 s on tiny data (guide §1.2: the
+    # distributed algorithm is the lever). From round 4 on, each round
+    # adds Shiloach-Vishkin-style min-HOOKING (send the neighbor's label
+    # to MY label's node, so improvements land on cluster heads and are
+    # shared by the whole cluster) plus pointer SHORTCUT
+    # (label := label(label)) — together they collapse label chains
+    # logarithmically regardless of id layout (pure shortcutting alone was
+    # measured nearly useless here: interleaved-id chains self-point).
+    # The first 3 rounds stay plain because shallow graphs — the common
+    # case, and all of sf0.1/sf0.01 — converge within them and the extra
+    # joins are pure cost (A/B sf0.1: 0.92 vs 0.92 s, identical path;
+    # sf1: 17 -> 8 rounds, 4.04 -> 2.50 s, labels identical). Fixpoint
+    # unchanged: candidates are always labels of component members, the
+    # per-node min decreases monotonically, and a no-change round under
+    # hook+shortcut implies labels are constant per component (for every
+    # edge (u,v): shortcut-stable means every label points at a root,
+    # hook-stable means root(u) <= root(v) and symmetrically) — the same
+    # unique fixpoint (component min) the plain rounds converge to.
+    rounds = 0
+    while True:
+        rounds += 1
+        nxt = labels.select("node", "label")
+        if rounds <= 3:
+            prop = (
+                labels.join(edges, labels.node == edges.v)
+                .filter(F.col("label") < F.col("u"))
+                .select(F.col("u").alias("node"), "label")
+            )
+            nxt = nxt.unionAll(prop)
+        else:
+            lv = labels.select(F.col("node").alias("_vn"),
+                               F.col("label").alias("_pv"))
+            lu = labels.select(F.col("node").alias("_un"),
+                               F.col("label").alias("_pu"))
+            hook = (
+                edges.join(lv, edges.v == lv._vn)
+                .join(lu, edges.u == lu._un)
+                .filter(F.col("_pv") < F.col("_pu"))
+                .select(F.col("_pu").alias("node"), F.col("_pv").alias("label"))
+            )
+            short = (
+                labels.join(
+                    labels.select(F.col("node").alias("_jn"),
+                                  F.col("label").alias("_jl")),
+                    F.col("label") == F.col("_jn"))
+                .filter(F.col("_jl") < F.col("label"))
+                .select("node", F.col("_jl").alias("label"))
+            )
+            nxt = nxt.unionAll(hook).unionAll(short)
+        labels = iter_checkpoint(
+            nxt.groupBy("node").agg(F.min("label").alias("label")),
+            eager=False,
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == last_sum:
+            break
+        last_sum = cur_sum
+    return labels
+
+
 @query(
     "pipeline_cluster_keep_best",
     oracle=f"""
@@ -405,42 +495,7 @@ def pipeline_cluster_keep_best(spark, sf_dir):
     pairs = dedup.minhash_candidate_pairs(docs).localCheckpoint(eager=False)
     edges = pairs.selectExpr("a AS u", "b AS v").unionAll(
         pairs.selectExpr("b AS u", "a AS v")).localCheckpoint(eager=False)
-    # r9: fused init + round 1. The old init (distinct nodes labelled by
-    # themselves) plus the first propagation round is algebraically ONE
-    # aggregation: every node appears as edge target v (edges carry both
-    # directions), and round-1's min over {node} ∪ {incoming u} is
-    # min(v, min u) = groupBy(v).min(least(u, v)). Saves the distinct
-    # exchange AND a whole join+union+agg round.
-    labels = iter_checkpoint(
-        edges.select(F.col("v").alias("node"),
-                     F.least("u", "v").alias("label"))
-        .groupBy("node").agg(F.min("label").alias("label")),
-        eager=False,
-    )
-    # Convergence probe: labels are monotonically non-increasing per node
-    # (min-combine), so the label SUM strictly decreases every round until
-    # the fixpoint — one tiny aggregate on the checkpointed result
-    # replaces the previous left_anti-join + isEmpty job per round.
-    # r9: the checkpoint is LAZY and the probe aggregate materializes it —
-    # one Spark job per round instead of two (the probe is the only
-    # consumer until the next round's join, which then reads the stored
-    # blocks). Guide §1.2: fewer passes in the iterative algorithm.
-    last_sum = labels.agg(F.sum("label")).first()[0]
-    while True:
-        prop = (
-            labels.join(edges, labels.node == edges.v)
-            .filter(F.col("label") < F.col("u"))
-            .select(F.col("u").alias("node"), "label")
-        )
-        labels = iter_checkpoint(
-            labels.select("node", "label").unionAll(prop)
-            .groupBy("node").agg(F.min("label").alias("label")),
-            eager=False,
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == last_sum:
-            break
-        last_sum = cur_sum
+    labels = cc_min_labels(edges)
     canon = labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_id"))
     # Materialized token column: inline quality_score would re-split once

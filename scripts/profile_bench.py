@@ -26,7 +26,7 @@ from go_mysql_server_spark.plans import all_queries
 from go_mysql_server_spark.session import build_session
 
 PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r09")
+                        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10"))
 
 
 def plan_stats(plan: str) -> dict:

@@ -20,6 +20,60 @@ def _formatted(df) -> str:
         .fromString("formatted"))
 
 
+def test_cc_hybrid_converges_logarithmically(spark):
+    """The CC fixpoint (pipeline3.cc_min_labels) switches to SV-style
+    hooking + shortcut after 3 plain rounds, so a long-diameter graph must
+    converge in O(log d) probe jobs, not O(d) — that round-count reduction
+    IS the r10 optimization (sf1: 17 -> 8 rounds). Pin it on a 64-node
+    chain (diameter 63, ids interleaved so pure pointer-shortcutting alone
+    would NOT help): plain propagation would need ~63 rounds; the hybrid
+    must land well under 16. Labels must still be the component minimum."""
+    from go_mysql_server_spark.plans.pipeline3 import cc_min_labels
+
+    n = 64
+    # path over nodes 1..n with ids interleaved: 1, 33, 2, 34, 3, ... so
+    # cluster heads self-point and only hooking collapses the chain
+    order = [i // 2 + 1 if i % 2 == 0 else n // 2 + 1 + i // 2
+             for i in range(n)]
+    pairs = [(order[i], order[i + 1]) for i in range(n - 1)]
+    e = spark.createDataFrame(pairs, "u long, v long")
+    edges = e.unionAll(e.selectExpr("v AS u", "u AS v")).localCheckpoint()
+
+    labels = cc_min_labels(edges)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 1 for r in rows), rows[:5]
+
+
+def test_cc_hybrid_round_count(spark):
+    """Count probe jobs (one .first() per round) on the interleaved chain:
+    must be logarithmic, not linear in the diameter."""
+    import go_mysql_server_spark.plans.pipeline3 as p3
+
+    n = 64
+    order = [i // 2 + 1 if i % 2 == 0 else n // 2 + 1 + i // 2
+             for i in range(n)]
+    pairs = [(order[i], order[i + 1]) for i in range(n - 1)]
+    e = spark.createDataFrame(pairs, "u long, v long")
+    edges = e.unionAll(e.selectExpr("v AS u", "u AS v")).localCheckpoint()
+
+    probes = {"n": 0}
+    import pyspark.sql.dataframe as dfmod
+    orig_first = dfmod.DataFrame.first
+
+    def counting_first(self, *a, **kw):
+        probes["n"] += 1
+        return orig_first(self, *a, **kw)
+
+    dfmod.DataFrame.first = counting_first
+    try:
+        p3.cc_min_labels(edges).collect()
+    finally:
+        dfmod.DataFrame.first = orig_first
+    # init probe + rounds; plain propagation would be ~64 probes
+    assert probes["n"] <= 16, probes["n"]
+
+
 def test_spread_skips_wide_plans(spark):
     """spread() must be an identity no-op on plans that already contain a
     wide (exchange-planning) operator: probing them with df.rdd under AQE
