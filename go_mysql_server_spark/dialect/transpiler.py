@@ -425,6 +425,121 @@ def _lax_double_expr(x: str) -> str:
     )
 
 
+_NUM_LIT_RE = re.compile(
+    r"^[0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?(BD|D|L)?$", re.IGNORECASE)
+# Functions numeric-typed in BOTH MySQL and the transpiled Spark plan
+# (no string/temporal-returning names; aggregates other than COUNT excluded
+# because MIN/MAX/SUM keep their argument's type).
+_NUM_FN_RE = re.compile(
+    r"^(ROUND|FLOOR|CEIL|CEILING|ABS|MOD|POWER|POW|EXP|LN|LOG|LOG2|LOG10|"
+    r"SQRT|SIGN|PI|RAND|RADIANS|DEGREES|SIN|COS|TAN|ASIN|ACOS|ATAN|ATAN2|"
+    r"COT|LENGTH|CHAR_LENGTH|CHARACTER_LENGTH|OCTET_LENGTH|BIT_LENGTH|"
+    r"ASCII|ORD|INSTR|LOCATE|STRCMP|CRC32|COUNT|DATEDIFF|TIMESTAMPDIFF|"
+    r"UNIX_TIMESTAMP|TO_DAYS|TO_SECONDS|DAYOFMONTH|DAYOFWEEK|DAYOFYEAR|"
+    r"YEAR|QUARTER|MONTH|WEEK|WEEKDAY|WEEKOFYEAR|HOUR|MINUTE|SECOND|"
+    r"MICROSECOND)\s*\(", re.IGNORECASE)
+_NONNUM_WORD_RE = re.compile(
+    r"\b(INTERVAL|CASE|AND|OR|NOT|IS|BETWEEN|LIKE|IN|XOR|REGEXP|RLIKE|"
+    r"COLLATE|SELECT|NULL|TRUE|FALSE)\b", re.IGNORECASE)
+
+
+def _strip_outer_parens(x: str) -> str:
+    x = x.strip()
+    while x.startswith("(") and _find_close(x, 0) == len(x) - 1:
+        x = x[1:-1].strip()
+    return x
+
+
+def _split_depth0(x: str, additive: bool) -> list[str] | None:
+    """Split x at depth-0 binary operators of one precedence class
+    (additive: + - ; multiplicative: * / % and DIV/MOD words). Returns None
+    if a depth-0 token that makes the expression non-arithmetic appears
+    (comparison chars, commas, bitwise ops). Unary +/- (operator preceded
+    by nothing or another operator, or an exponent's sign) stays attached
+    to its operand."""
+    parts, depth, last, i, n = [], 0, 0, 0, len(x)
+    found = False
+    while i < n:
+        c = x[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c in "=<>!,?&|^~":
+                return None
+            prev = x[:i].rstrip()
+            binary = bool(prev) and (prev[-1].isalnum() or prev[-1] in ")`_")
+            if c in "+-":
+                # exponent sign: 1e+5 / 1E-5
+                if (binary and len(prev) >= 2 and prev[-1] in "eE"
+                        and prev[-2].isdigit()):
+                    binary = False
+                if binary and additive:
+                    parts.append(x[last:i]); last = i + 1; found = True
+            elif c in "*/%":
+                if not additive and binary:
+                    parts.append(x[last:i]); last = i + 1; found = True
+            elif c.isalpha() and i > 0 and not (x[i - 1].isalnum()
+                                                or x[i - 1] == "_"):
+                m = re.match(r"(DIV|MOD)\b", x[i:], re.IGNORECASE)
+                if m and not additive:
+                    prev2 = x[:i].rstrip()
+                    if prev2 and (prev2[-1].isalnum() or prev2[-1] in ")`_"):
+                        parts.append(x[last:i]); last = i + len(m.group(1))
+                        found = True; i += len(m.group(1)) - 1
+        i += 1
+    if not found:
+        return None
+    parts.append(x[last:])
+    return parts
+
+
+def _definitely_numeric(x: str) -> bool:
+    """True only when the (masked) expression is guaranteed numeric-typed
+    in both MySQL and the transpiled Spark plan, so MySQL's lax
+    string-prefix parse is the identity and a plain CAST is exact.
+    Conservative: masked string literals, INTERVAL/CASE/boolean contexts,
+    and bare identifiers all return False. Top-level * / % DIV MOD make an
+    expression numeric outright (both engines coerce operands or fail
+    analysis identically either way); + and - additionally require every
+    operand numeric, because date + int is valid, DATE-typed Spark."""
+    x = _strip_outer_parens(x)
+    if not x or "\x00" in x or _NONNUM_WORD_RE.search(x):
+        return False
+    if _NUM_LIT_RE.match(x):
+        return True
+    # a whole-expression (TRY_)CAST to a numeric Spark type is numeric by
+    # construction, whatever the operand (earlier rewrites emit these)
+    mc = re.match(r"(?:TRY_)?CAST\s*\(", x, re.IGNORECASE)
+    if (mc and _find_close(x, x.index("(", mc.start())) == len(x) - 1
+            and re.search(
+                r"\sAS\s+(BIGINT|INTEGER|INT|SMALLINT|TINYINT|LONG|DOUBLE|"
+                r"FLOAT|REAL|DECIMAL(\s*\(\s*\d+\s*(,\s*\d+\s*)?\))?)"
+                r"\s*\)$", x, re.IGNORECASE)):
+        return True
+    m = _NUM_FN_RE.match(x)
+    if m and _find_close(x, x.index("(", m.start(1) + len(m.group(1)) - 1)) \
+            == len(x) - 1:
+        return True
+    terms = _split_depth0(x, additive=True)
+    if terms is not None:
+        return all(_definitely_numeric(t) for t in terms)
+    factors = _split_depth0(x, additive=False)
+    if factors is not None:
+        # * / % DIV MOD coerce string operands to numeric in both engines
+        # (a temporal operand fails analysis identically in either form) —
+        # but a PARENTHESIZED factor could be interval-typed (date - date),
+        # and interval * numeric is valid, interval-typed Spark. So each
+        # factor must be a bare (possibly qualified) identifier, or itself
+        # definitely numeric.
+        return all(
+            re.match(r"^[A-Za-z_][\w.]*$", f.strip())
+            or _definitely_numeric(f)
+            for f in factors)
+    return False
+
+
 def _lax_unsigned_expr(x: str) -> str:
     """MySQL CAST(x AS UNSIGNED): lax signed parse, negatives wrap to
     uint64 two's complement (reference sql/types/number.go
@@ -517,9 +632,20 @@ def _rewrite_cast_signed(sql: str) -> str:
         elif target == "FLOAT":
             # keep FLOAT width: a DOUBLE-widened 0.8 no longer equals a
             # FLOAT column's 0.8 (single-precision representation)
-            repl = f"CAST({_lax_double_expr(inner)} AS FLOAT)"
+            if _definitely_numeric(inner):
+                repl = f"CAST(({inner}) AS FLOAT)"
+            else:
+                repl = f"CAST({_lax_double_expr(inner)} AS FLOAT)"
         elif target in ("DOUBLE", "REAL"):
-            repl = _lax_double_expr(inner)
+            # r10 perf: when the operand is guaranteed numeric-typed (an
+            # arithmetic expression — MySQL arithmetic always yields
+            # numerics), the lax string-prefix parse is the identity and
+            # its two per-row regexp_extract calls are pure CPU waste
+            # (guide §1.2); emit the exact plain cast instead.
+            if _definitely_numeric(inner):
+                repl = f"CAST(({inner}) AS DOUBLE)"
+            else:
+                repl = _lax_double_expr(inner)
         else:  # DECIMAL
             prec = mm.group(2) or mm.group(4) or "10"
             scale = mm.group(3) or "0"

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 from ..operators.clustering import kmeans
 from ..operators.recursive_cte import recursive_cte
+from ..operators.scale import spread
 from ._util import t
 from .registry import query
 
@@ -143,7 +144,7 @@ def vocab_document_frequency(spark, sf_dir):
     """Vocabulary with term and document frequency (tokenizer-training
     wordcount). explode → single groupBy on token; DF filter prunes the
     long tail before the driver ever sees it."""
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),

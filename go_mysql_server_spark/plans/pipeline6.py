@@ -287,19 +287,6 @@ def pipeline_char_lm_score(spark, sf_dir):
     # path). Same IEEE-double formula: c * 1000000.0 / s, floored.
     from pyspark.sql import Window
 
-    counts = (
-        docs.filter(F.col("source") == "src0")
-        .select(F.explode(bigrams).alias("g"))
-        .groupBy("g")
-        .agg(F.count("*").alias("c"))
-    )
-    fpm_df = counts.select(
-        "g",
-        F.floor(F.col("c") * F.lit(1000000.0)
-                / F.sum("c").over(Window.partitionBy()))
-        .cast("long").alias("fpm"),
-    )
-
     # r9 (session 2): pre-aggregate the probe side to (doc, g) counts and
     # put an explicit exchange between that aggregate and the broadcast
     # join. Two effects, both measured (interleaved A/B, min-of-6:
@@ -321,6 +308,28 @@ def pipeline_char_lm_score(spark, sf_dir):
         .groupBy("doc_id", "source", "g")
         .agg(F.count("*").alias("n_dg"))
         .repartition(F.col("doc_id"), F.col("source"))
+    )
+
+    # r10: the model's per-bigram counts are DERIVED from the shared
+    # (doc, source, g) aggregate instead of a second normalize+explode
+    # pass over the src0 docs — SUM(n_dg) regrouped by g is exactly
+    # COUNT(*) over exploded src0 bigrams. The model branch now hangs off
+    # grp's exchange (ReusedExchange in the plan): the corpus is scanned,
+    # normalized and exploded ONCE for both the model and the scoring
+    # side (guide §1.2 fewer passes / §2.3 aggregate-before-shuffle; at
+    # scale this halves the dominant cost, the corpus-wide bigram
+    # explode). Interleaved A/B (min-of-6, noop): sf0.1 1.39→1.14 s,
+    # sf1 3.15→3.15 s, result diff 0.
+    counts = (
+        grp.filter(F.col("source") == "src0")
+        .groupBy("g")
+        .agg(F.sum("n_dg").alias("c"))
+    )
+    fpm_df = counts.select(
+        "g",
+        F.floor(F.col("c") * F.lit(1000000.0)
+                / F.sum("c").over(Window.partitionBy()))
+        .cast("long").alias("fpm"),
     )
     return (
         grp.join(F.broadcast(fpm_df), "g", "left")

@@ -89,3 +89,31 @@ def test_spread_skips_wide_plans(spark):
     narrow = spark.range(1000).coalesce(1)
     assert (spread(narrow, "id").rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism)
+
+
+def test_numeric_cast_skips_lax_regexp():
+    """CAST(<arithmetic> AS DOUBLE/FLOAT) must emit a plain cast: MySQL
+    arithmetic always yields numerics, so the lax string-prefix parse is
+    the identity there and its two per-row regexp_extract calls are pure
+    CPU (r10). String/temporal/boolean operands must keep the lax path."""
+    from go_mysql_server_spark.dialect.transpiler import transpile_select
+
+    plain = [
+        "SELECT CAST(o_custkey % 10 + 1 AS DOUBLE) FROM orders",
+        "SELECT CAST(a * b AS DOUBLE) FROM t",
+        "SELECT CAST(FLOOR(x) + 2 AS FLOAT) FROM t",
+        "SELECT CAST(COUNT(*) AS DOUBLE) FROM t",
+    ]
+    lax = [
+        "SELECT CAST(c_comment AS DOUBLE) FROM customer",     # bare column
+        "SELECT CAST(o_orderdate + 1 AS DOUBLE) FROM orders",  # date_add
+        "SELECT CAST('12abc' AS DOUBLE)",                      # string lit
+        "SELECT CAST(a * (d1 - d2) AS DOUBLE) FROM t",         # interval
+        "SELECT CAST(ts + INTERVAL 1 DAY AS DOUBLE) FROM t",
+        "SELECT CAST(o_custkey AS SIGNED) FROM orders",        # int target
+        "SELECT CAST(a + 1 AS DECIMAL(10,2)) FROM t",          # decimal tgt
+    ]
+    for q in plain:
+        assert "regexp_extract" not in transpile_select(q), q
+    for q in lax:
+        assert "regexp_extract" in transpile_select(q), q
