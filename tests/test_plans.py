@@ -255,16 +255,21 @@ def test_char_lm_score_shape(spark):
     per-(doc, bigram) COUNTS with an explicit (doc_id, source) rebalance
     before the join — the heavy explode stage is then independent of the
     broadcast barrier (scheduled concurrently with the model build) and
-    the exchange moves counts, not exploded rows."""
+    the exchange moves counts, not exploded rows. r10: the model's
+    per-bigram counts are derived from the (doc, source, g) aggregate
+    (SUM of n_dg regrouped by g) instead of aggregating the raw explode —
+    the model branch's per-doc aggregate completes on spread's doc_id
+    partitioning with NO exchange of its own, so only aggregated counts
+    cross the model-side shuffles."""
     plan = formatted_plan(spark, "pipeline_char_lm_score")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the model side must never shuffle
     assert plan.count("HashAggregate") >= 2  # map-side partial combine
     # hash exchanges: two scale-adaptive input spreads (scoring + model
-    # branches), the bounded model aggregate, and the probe's (doc_id,
-    # source) rebalance; the final per-doc aggregate REUSES the rebalance
-    # partitioning (NO exchange of its own)
-    assert plan.count("hashpartitioning(") <= 4
+    # branches), the (doc_id, source) rebalance each branch inherits, and
+    # the bounded model regroup by g; the final per-doc aggregate REUSES
+    # the rebalance partitioning (NO exchange of its own)
+    assert plan.count("hashpartitioning(") <= 5
     # the probe rebalance must exist — it is what decouples the heavy
     # explode stage from the broadcast barrier (overlap, guide §2.6)
     assert "REPARTITION_BY_COL" in plan
