@@ -30,3 +30,90 @@ def oracle():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Two-tier collection (r10, VERDICT r9 item 8). The driver's budgeted
+# pytest run cannot cover the exhaustive sweeps (~100 min); mark them
+# `full` so the default tier (pytest.ini: -m "not full") finishes within
+# budget while still running every mechanism pin, every golden, the
+# engine/dialect/function/plan suites, and a meaningful sample of the
+# sweeps. `pytest -o addopts=` runs everything, as before.
+
+# Bench headline set (the driver's perf surface) — always in the default
+# tier.
+_FAST_HEADLINE = {
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customer",
+    "agg_count_distinct", "window_row_number_topn_per_group",
+    "events_sessionization", "dedup_minhash_lsh", "dedup_simhash",
+    "similarity_topk_cosine", "text_features", "events_funnel",
+    "multimodal_decode", "vocab_document_frequency",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "pipeline_domain_mix", "pipeline_cluster_keep_best",
+    "pipeline_quality_rules", "pipeline_sequence_packing",
+    "pipeline_char_lm_score", "similarity_ivf_pq_search",
+    "pipeline_decontaminate",
+}
+
+# Queries rewritten in r9/r10 — the driver-verification-debt cohort
+# (VERDICT r9 "Next round" #1); their oracle rows stay in the default tier.
+_FAST_REWRITTEN = {
+    "collation_zh_order", "collation_zh_order_wide", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "fulltext_boolean_mode", "fulltext_indexed_match",
+    "fulltext_match_against", "fulltext_query_expansion", "func_custom_udaf",
+    "pipeline_char_lm_score", "pipeline_cluster_keep_best",
+    "pipeline_decontaminate", "pipeline_embedding_neardup",
+    "pipeline_embedding_quantize", "similarity_ivf_pq_search",
+    "similarity_ivf_probe", "similarity_kmeans_ivf", "similarity_lsh_ann",
+    "similarity_pq_quantize", "text_fingerprints",
+    "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
+    "vocab_document_frequency",
+}
+
+# Whole modules that are full-tier only. Measured on the r10 full run
+# (5598 s total): test_script_goldens ≈ 2450 s, test_script_queries_sweep
+# ≈ 1450 s, test_write_goldens ≈ 710 s — together ~82% of the suite; each
+# replays a large reference script corpus. The lighter goldens modules
+# (test_goldens ≈ 95 s, test_fulltext_goldens ≈ 54 s) stay default-tier.
+_FULL_MODULES = {
+    "test_script_queries_sweep",
+    "test_script_goldens",
+    "test_write_goldens",
+}
+
+
+def _fast_query_names() -> set[str]:
+    """One query per name-prefix family (alphabetically first, stable as
+    the registry grows) + the headline and rewritten sets."""
+    import re as _re
+
+    from go_mysql_server_spark.plans import all_queries
+
+    fam: dict[str, str] = {}
+    for n in sorted(all_queries()):
+        f = _re.match(r"[a-z0-9]+", n).group(0)
+        fam.setdefault(f, n)
+    return set(fam.values()) | _FAST_HEADLINE | _FAST_REWRITTEN
+
+
+def pytest_collection_modifyitems(config, items):
+    full = pytest.mark.full
+    fast_queries = None
+    sqllogic_idx = 0
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _FULL_MODULES:
+            item.add_marker(full)
+        elif mod == "test_queries":
+            if fast_queries is None:
+                fast_queries = _fast_query_names()
+            params = getattr(item, "callspec", None)
+            name = params.params.get("name") if params else None
+            if name is not None and name not in fast_queries:
+                item.add_marker(full)
+        elif mod == "test_sqllogic":
+            # deterministic 1-in-10 sample stays in the default tier
+            if sqllogic_idx % 10 != 0:
+                item.add_marker(full)
+            sqllogic_idx += 1
